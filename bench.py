@@ -1,0 +1,78 @@
+"""Benchmark harness: times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Each query is forced to full execution with a count-style action (no
+collect of wide results to the driver).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bigdata_logs_spark.registry import REGISTRY
+from bigdata_logs_spark.session import get_spark
+
+# Headline set: the flagship profile + representative members of each
+# operator family (agg, pivot, top-k, point-lookup, joins, text, sim).
+HEADLINE = [
+    "entity_profile",
+    "global_metrics",
+    "event_type_counts",
+    "events_per_day",
+    "suspicious_vs_normal_per_day",
+    "entity_event_matrix",
+    "top_events_with_others",
+    "events_for_entity",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark("bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen warmup on a cheap query so q1 isn't charged for it.
+    from bigdata_logs_spark.sources import load_table
+
+    load_table(spark, sf_dir, "events").limit(10).count()
+
+    names = [n for n in HEADLINE if n in REGISTRY]
+    names += [n for n in REGISTRY if n not in names and REGISTRY[n].bench]
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = REGISTRY[name].fn
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        assert n >= 0
+    total = round(sum(timings.values()), 4)
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
+    except ValueError:
+        sf = None
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,39 @@
+"""Reusable column-expression helpers.
+
+All helpers return native Column expressions (JVM-side, whole-stage
+codegen eligible) — no Python UDFs in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def null_if_empty(c: Column) -> Column:
+    """'' -> NULL. Regex extracts return '' on no-match; the reference's
+    Python ``re.search`` returns None instead (e.g.
+    ``src/parse_logs.py:17,22,25``) — this restores that semantics."""
+    return F.nullif(c, F.lit(""))
+
+
+def nonempty(c: Column) -> Column:
+    """Boolean: column is non-null and non-empty string."""
+    return c.isNotNull() & (c != F.lit(""))
+
+
+def count_if(cond: Column) -> Column:
+    """Conditional count aggregate (reference pattern
+    ``df['event'].isin(S).sum()``, ``src/stats_dashboard.py:40``)."""
+    return F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0)))
+
+
+def sorted_distinct_string(c: Column, sep: str = ",") -> Column:
+    """Sorted distinct values joined to one string.
+
+    Reproduces ``sorted(set(...))`` list columns
+    (``src/stats_dashboard.py:106,112``) in a hash-comparable form.
+    At 100 TB a per-group collect_set must be bounded; callers that
+    profile unbounded-cardinality groups should slice first.
+    """
+    return F.array_join(F.sort_array(F.collect_set(c)), sep)

@@ -1,0 +1,384 @@
+"""The dashboard aggregation family (SURVEY.md §2.2-§2.5, D-18..D-45).
+
+The reference computes these eagerly in pandas over a full MongoDB
+scan per interaction (``src/stats_dashboard.py:13-240``). Here each is
+a lazy DataFrame transform; the flagship per-entity profile fuses the
+reference's 14 sequential groupby passes
+(``src/stats_dashboard.py:103-117``) into ONE ``groupBy().agg()`` —
+a single shuffle, map-side partial aggregation, AQE skew handling.
+
+Domain mapping (FIXTURES.md §A): the driver's ``events`` table plays
+the parsed-log stream — ``user_id`` ↔ the reference's ``ip`` entity,
+``event_type`` ↔ ``event``, ``props.$.k`` ↔ ``port``, ``value > 150``
+↔ the root/admin-attempt conditional (``src/stats_dashboard.py:114``).
+
+Hash-compare conventions (shared with the DuckDB oracles in
+``__spark_entry__.py``):
+- dates/timestamps in outputs are formatted to ISO strings;
+- double sums go through exact DECIMAL accumulation then one cast to
+  double (order-independent, so partition-parallel sums hash-match);
+- averages are written sum/count explicitly;
+- every computed column is aliased identically in Spark and SQL.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import add
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bigdata_logs_spark.functions import count_if, sorted_distinct_string
+
+# Closed domain of event types in the fixture (explicit pivot values:
+# keeps the pivot single-pass and the output schema deterministic).
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+# The reference's suspicious set is {failed_password, invalid_user,
+# auth_failure} of its 11 tags (src/stats_dashboard.py:82); the
+# events-table analogue:
+SUSPICIOUS_EVENT_TYPES = ("error", "signup")
+
+# Analogue of lower(user) IN ('root','admin') (src/stats_dashboard.py:114).
+HIGH_VALUE_THRESHOLD = 150.0
+
+
+def _k(events: DataFrame) -> DataFrame:
+    """Extract the integer ``k`` from the JSON ``props`` column (the
+    'port' analogue). Native regexp — stays in whole-stage codegen."""
+    return events.withColumn(
+        "k", F.regexp_extract(F.col("props"), r'"k"\s*:\s*(\d+)', 1).cast("long")
+    )
+
+
+def _dsum(c: Column) -> Column:
+    """Order-independent sum of a 2-dp money-like double: accumulate
+    exactly in decimal, cast once to double."""
+    return F.sum(c.cast("decimal(18,2)")).cast("double")
+
+
+def _date(c: Column) -> Column:
+    return F.date_format(c, "yyyy-MM-dd")
+
+
+def _ts_str(c: Column) -> Column:
+    return F.date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+
+def _suspicious(c: Column) -> Column:
+    return c.isin(*SUSPICIOUS_EVENT_TYPES)
+
+
+# ---------------------------------------------------------------- D-18..D-20
+
+def global_metrics(events: DataFrame) -> DataFrame:
+    """Scalar metric row (D-18 total, D-19 uniques, D-20+D-15 failed
+    rate; src/stats_dashboard.py:35-42)."""
+    return events.agg(
+        F.count(F.lit(1)).alias("total_records"),
+        F.countDistinct("user_id").alias("unique_users"),
+        F.countDistinct("event_type").alias("distinct_events"),
+        count_if(_suspicious(F.col("event_type"))).alias("failed_events"),
+        F.round(
+            count_if(_suspicious(F.col("event_type"))) * 100.0 / F.count(F.lit(1)), 2
+        ).alias("failed_rate_pct"),
+    )
+
+
+def global_metrics_approx(events: DataFrame) -> DataFrame:
+    """100 TB variant of D-19: sketch-based distinct counts (no exact
+    global distinct over billions of keys)."""
+    return events.agg(
+        F.count(F.lit(1)).alias("total_records"),
+        F.approx_count_distinct("user_id").alias("approx_unique_users"),
+        F.approx_count_distinct("event_type").alias("approx_distinct_events"),
+    )
+
+
+# --------------------------------------------------------------------- D-21
+
+def event_type_counts(events: DataFrame) -> DataFrame:
+    """value_counts() of event_type, count desc (D-21;
+    src/stats_dashboard.py:47)."""
+    return (
+        events.groupBy(F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("event_type"))
+    )
+
+
+def entity_value_counts(events: DataFrame, k: int = 10) -> DataFrame:
+    """Top users by event count (D-21+D-39; src/stats_dashboard.py:50).
+    orderBy+limit plans as TakeOrderedAndProject (distributed top-k,
+    no global sort). Deterministic tiebreak on the key."""
+    return (
+        events.groupBy(F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("user_id"))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------- D-22/D-10/D-11
+
+def events_per_hour(events: DataFrame) -> DataFrame:
+    """Group-count by hour-of-day, zero-padded label (D-22+D-10+D-12;
+    src/stats_dashboard.py:61-64)."""
+    return (
+        events.groupBy(
+            F.format_string("%02d", F.hour("ts").cast("int")).alias("hour")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("hour")
+    )
+
+
+def events_per_day(events: DataFrame) -> DataFrame:
+    """Total events per calendar day (D-22+D-11;
+    src/stats_dashboard.py:76-78)."""
+    return (
+        events.groupBy(_date(F.col("ts")).alias("date"))
+        .agg(F.count(F.lit(1)).alias("total_events"))
+        .orderBy("date")
+    )
+
+
+def events_by_type_per_day(events: DataFrame) -> DataFrame:
+    """Multi-key group-count (D-23; src/stats_dashboard.py:92)."""
+    return (
+        events.groupBy(_date(F.col("ts")).alias("date"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("date", "event_type")
+    )
+
+
+# ---------------------------------------------------------- D-13/D-24
+
+def suspicious_vs_normal_per_day(events: DataFrame) -> DataFrame:
+    """Suspicious/Normal label then per-day pivot with 0-fill
+    (D-13+D-23+D-24; src/stats_dashboard.py:82-86). Explicit pivot
+    values -> single job, fixed schema."""
+    labeled = events.withColumn(
+        "event_class",
+        F.when(_suspicious(F.col("event_type")), F.lit("Suspicious")).otherwise(
+            F.lit("Normal")
+        ),
+    )
+    return (
+        labeled.groupBy(_date(F.col("ts")).alias("date"))
+        .pivot("event_class", ["Suspicious", "Normal"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["Suspicious", "Normal"])
+        .orderBy("date")
+    )
+
+
+# ----------------------------------------------------------------- D-25
+
+def entity_event_matrix(events: DataFrame) -> DataFrame:
+    """Per-entity × event-type count matrix (D-25;
+    src/stats_dashboard.py:103). Explicit value list = one shuffle."""
+    return (
+        events.groupBy(F.col("user_id"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(EVENT_TYPES))
+        .orderBy("user_id")
+    )
+
+
+# ------------------------------------------- D-26..D-31 + D-14 + D-43 fused
+
+def entity_profile(events: DataFrame) -> DataFrame:
+    """The flagship fused per-entity profile.
+
+    Replaces the reference's 14 sequential passes + 2 map-back joins
+    (src/stats_dashboard.py:103-144) with ONE groupBy().agg() — a
+    single shuffle on ``user_id`` — followed by narrow column
+    arithmetic for the suspicious score (D-14,
+    src/stats_dashboard.py:119-125) and the Attacker/Bot/Authorized
+    classifier (D-43, src/stats_dashboard.py:127-143), which needs no
+    UDF: it is pure arithmetic, expressed as native columns.
+    """
+    ev = _k(events)
+    susp = _suspicious(F.col("event_type"))
+    per_type = [
+        count_if(F.col("event_type") == t).alias(f"{t}_events") for t in EVENT_TYPES
+    ]
+    prof = ev.groupBy(F.col("user_id")).agg(
+        *per_type,
+        F.count(F.lit(1)).alias("total_events"),
+        F.countDistinct("k").alias("distinct_k"),
+        sorted_distinct_string(F.col("k").cast("string")).alias("k_list"),
+        _ts_str(F.min("ts")).alias("first_seen"),
+        _ts_str(F.max("ts")).alias("last_seen"),
+        count_if(susp).alias("failed_events"),
+        count_if(F.col("value") > F.lit(HIGH_VALUE_THRESHOLD)).alias(
+            "high_value_events"
+        ),
+        F.countDistinct("event_type").alias("event_diversity"),
+        _dsum(F.col("value")).alias("total_value"),
+    )
+    score = F.least(
+        F.lit(100.0),
+        2.0 * F.col("failed_events")
+        + 3.0 * F.col("distinct_k")
+        + 0.5 * F.col("total_events")
+        + 15.0 * (F.col("high_value_events") > 0).cast("int")
+        + 1.0 * F.col("event_diversity"),
+    )
+    prof = prof.withColumn("suspicious_score", score)
+    # Classifier (D-43): min/max clamps (D-16), normalized percentages
+    # (D-15). Operand order mirrors the oracle SQL exactly so the
+    # float64 results are bit-identical.
+    attacker = F.least(
+        F.lit(100.0),
+        0.6 * F.col("suspicious_score")
+        + 5.0 * F.col("high_value_events")
+        + 2.0 * F.col("failed_events"),
+    )
+    bot = F.least(
+        F.lit(100.0), 1.5 * F.col("event_diversity") + 2.0 * F.col("distinct_k")
+    )
+    prof = prof.withColumn("attacker_score", attacker).withColumn("bot_score", bot)
+    legit = F.greatest(
+        F.lit(0.0), F.lit(100.0) - F.col("attacker_score") - F.col("bot_score")
+    )
+    prof = prof.withColumn("legit_score", legit)
+    total = F.col("attacker_score") + F.col("bot_score") + F.col("legit_score")
+    return (
+        prof.withColumn("attacker_pct", F.round(F.col("attacker_score") * 100.0 / total, 1))
+        .withColumn("bot_pct", F.round(F.col("bot_score") * 100.0 / total, 1))
+        .withColumn("authorized_pct", F.round(F.col("legit_score") * 100.0 / total, 1))
+        .drop("attacker_score", "bot_score", "legit_score")
+    )
+
+
+def entity_profile_sorted(events: DataFrame) -> DataFrame:
+    """Profile ordered by suspicious_score desc (D-36;
+    src/stats_dashboard.py:144)."""
+    return entity_profile(events).orderBy(
+        F.desc("suspicious_score"), F.asc("user_id")
+    )
+
+
+# ----------------------------------------------------------------- D-32
+
+def profile_global_stats(profile: DataFrame) -> DataFrame:
+    """Second-level aggregation over the per-entity profile (D-32+D-8;
+    src/stats_dashboard.py:149-158)."""
+    return profile.agg(
+        F.count(F.lit(1)).alias("total_entities"),
+        count_if(F.col("failed_events") > 0).alias("entities_with_failures"),
+        count_if(F.col("high_value_events") > 0).alias("entities_high_value"),
+        count_if(F.col("total_events") > 100).alias("entities_over_100_events"),
+        F.max("total_events").alias("max_events_per_entity"),
+        F.round(F.sum("total_events") / F.count(F.lit(1)), 2).alias(
+            "avg_events_per_entity"
+        ),
+        F.round(F.sum("suspicious_score") / F.count(F.lit(1)), 2).alias(
+            "avg_suspicious_score"
+        ),
+        count_if(F.col("suspicious_score") > 80).alias("entities_score_over_80"),
+    )
+
+
+# ----------------------------------------------------------------- D-33
+
+def diversity_distribution(profile: DataFrame) -> DataFrame:
+    """Distribution of an aggregate: value_counts of event_diversity
+    over the profile table (D-33; src/stats_dashboard.py:174-181)."""
+    return (
+        profile.groupBy(F.col("event_diversity"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_diversity")
+    )
+
+
+# ----------------------------------------------------------------- D-34
+
+def score_histogram(profile: DataFrame, bin_width: float = 5.0) -> DataFrame:
+    """Deterministic fixed-width histogram of suspicious_score (D-34;
+    src/stats_dashboard.py:163 uses plotly nbins=20 -> we define bins
+    explicitly so the result is engine-independent)."""
+    return (
+        profile.groupBy(
+            (F.floor(F.col("suspicious_score") / F.lit(bin_width)) * F.lit(bin_width))
+            .cast("double")
+            .alias("score_bin")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("score_bin")
+    )
+
+
+# ----------------------------------------------------------------- D-35
+
+def distinct_event_types(events: DataFrame) -> DataFrame:
+    """Selector domain: sorted distinct event types (D-35;
+    src/stats_dashboard.py:56)."""
+    return (
+        events.select(F.col("event_type")).na.drop().distinct().orderBy("event_type")
+    )
+
+
+# ------------------------------------------------------------- D-3/D-6/D-7
+
+def events_for_entity(events: DataFrame, user_id: int) -> DataFrame:
+    """Point-lookup + sort desc by time (D-6+D-36+D-7;
+    src/stats_dashboard.py:213-214). At scale this is a partition-
+    prunable scan when the store is partitioned/bucketed by entity."""
+    return (
+        events.filter(F.col("user_id") == F.lit(user_id))
+        .select(
+            "event_id",
+            _ts_str(F.col("ts")).alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        .orderBy(F.desc("ts"), F.asc("event_id"))
+    )
+
+
+def events_of_type(events: DataFrame, event_type: str) -> DataFrame:
+    """Equality filter (D-3; src/stats_dashboard.py:58)."""
+    return events.filter(F.col("event_type") == F.lit(event_type)).select(
+        "event_id", _ts_str(F.col("ts")).alias("ts"), "user_id", "event_type", "value"
+    )
+
+
+def entity_hourly_activity(events: DataFrame, user_id: int) -> DataFrame:
+    """Per-entity access-by-hour with HH:00 labels (D-6+D-22+D-12;
+    src/stats_dashboard.py:228-229)."""
+    return (
+        events.filter(F.col("user_id") == F.lit(user_id))
+        .groupBy(
+            F.format_string("%02d:00", F.hour("ts").cast("int")).alias("hour_label")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("hour_label")
+    )
+
+
+# ----------------------------------------------------------------- D-45
+
+def profile_percentages_long(profile: DataFrame) -> DataFrame:
+    """Wide->long unpivot of the classifier percentages (D-45;
+    src/stats_dashboard.py:237-238): the only UDTF-shaped op, native
+    via stack()."""
+    return profile.select(
+        F.col("user_id"),
+        F.expr(
+            "stack(3, 'Attacker', attacker_pct, 'Bot', bot_pct, "
+            "'Authorized', authorized_pct) as (category, probability)"
+        ),
+    ).orderBy("user_id", "category")
+
+
+def row_wise_total(df: DataFrame, cols: list[str], alias: str = "row_total") -> DataFrame:
+    """Row-wise sum across pivoted columns (D-26;
+    src/stats_dashboard.py:104)."""
+    return df.withColumn(alias, reduce(add, [F.col(c) for c in cols]))

@@ -1,0 +1,383 @@
+"""Query registry: named (PySpark query, DuckDB oracle SQL) pairs.
+
+Each entry is one operator/query from SURVEY.md §2 (``tags`` carries
+the survey IDs). The driver runs the Spark callable and the oracle SQL
+side-by-side at sf0.01 and compares row-count + schema + an
+order-insensitive value hash, so both sides follow shared conventions:
+
+- identical aliases for every computed column;
+- dates/timestamps formatted to ISO strings on both sides;
+- double sums accumulate in DECIMAL (order-independent) then cast to
+  double once, so partition-parallel Spark sums hash-match DuckDB;
+- averages written explicitly as sum/count;
+- in DuckDB SQL every float literal is cast ``::DOUBLE`` (DuckDB
+  parses ``2.0`` as DECIMAL, which would change rounding semantics);
+- arithmetic operand order mirrored exactly (IEEE doubles are
+  deterministic given identical operation order);
+- every ORDER-sensitive result carries a total deterministic sort key
+  (ties broken by the group key) — top-k under ties is otherwise
+  engine-dependent.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from bigdata_logs_spark.operators import dashboard as D
+from bigdata_logs_spark.operators import topk as T
+from bigdata_logs_spark.sources import load_table
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # ANSI SQL for DuckDB; None -> rows-only check
+    tags: tuple[str, ...] = field(default_factory=tuple)
+    bench: bool = False  # include in bench.py beyond the headline set
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(
+    name: str,
+    oracle: str | None,
+    tags: tuple[str, ...] = (),
+    bench: bool = False,
+):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle, tags=tags, bench=bench)
+        return fn
+
+    return deco
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+# SQL fragments shared by several oracles (kept in one place so the
+# suspicious-event set / thresholds can't drift between queries).
+SUSP_SQL = "('error', 'signup')"
+SUSP_CASE = f"CASE WHEN event_type IN {SUSP_SQL} THEN 1 ELSE 0 END"
+HIGH_VALUE = "150.0"
+
+
+# --------------------------------------------------------------------------
+# Dashboard family over `events`
+# --------------------------------------------------------------------------
+
+@register(
+    "global_metrics",
+    f"""
+    SELECT
+      COUNT(*)::BIGINT AS total_records,
+      COUNT(DISTINCT user_id)::BIGINT AS unique_users,
+      COUNT(DISTINCT event_type)::BIGINT AS distinct_events,
+      SUM({SUSP_CASE})::BIGINT AS failed_events,
+      ROUND(SUM({SUSP_CASE})::DOUBLE * 100.0::DOUBLE / COUNT(*), 2) AS failed_rate_pct
+    FROM events
+    """,
+    tags=("D-18", "D-19", "D-20", "D-15"),
+)
+def q_global_metrics(spark, sf_dir):
+    return D.global_metrics(_events(spark, sf_dir))
+
+
+@register(
+    "event_type_counts",
+    """
+    SELECT event_type, COUNT(*)::BIGINT AS n
+    FROM events GROUP BY event_type
+    ORDER BY n DESC, event_type
+    """,
+    tags=("D-21",),
+)
+def q_event_type_counts(spark, sf_dir):
+    return D.event_type_counts(_events(spark, sf_dir))
+
+
+@register(
+    "top_entities",
+    """
+    SELECT user_id, COUNT(*)::BIGINT AS n
+    FROM events GROUP BY user_id
+    ORDER BY n DESC, user_id LIMIT 10
+    """,
+    tags=("D-21", "D-39"),
+)
+def q_top_entities(spark, sf_dir):
+    return D.entity_value_counts(_events(spark, sf_dir), k=10)
+
+
+@register(
+    "events_per_hour",
+    """
+    SELECT strftime(ts, '%H') AS hour, COUNT(*)::BIGINT AS n
+    FROM events GROUP BY 1 ORDER BY hour
+    """,
+    tags=("D-22", "D-10", "D-12"),
+)
+def q_events_per_hour(spark, sf_dir):
+    return D.events_per_hour(_events(spark, sf_dir))
+
+
+@register(
+    "events_per_day",
+    """
+    SELECT strftime(ts, '%Y-%m-%d') AS date, COUNT(*)::BIGINT AS total_events
+    FROM events GROUP BY 1 ORDER BY date
+    """,
+    tags=("D-22", "D-11"),
+)
+def q_events_per_day(spark, sf_dir):
+    return D.events_per_day(_events(spark, sf_dir))
+
+
+@register(
+    "events_by_type_per_day",
+    """
+    SELECT strftime(ts, '%Y-%m-%d') AS date, event_type, COUNT(*)::BIGINT AS n
+    FROM events GROUP BY 1, 2 ORDER BY date, event_type
+    """,
+    tags=("D-23",),
+)
+def q_events_by_type_per_day(spark, sf_dir):
+    return D.events_by_type_per_day(_events(spark, sf_dir))
+
+
+@register(
+    "suspicious_vs_normal_per_day",
+    f"""
+    SELECT strftime(ts, '%Y-%m-%d') AS date,
+           SUM({SUSP_CASE})::BIGINT AS "Suspicious",
+           SUM(CASE WHEN event_type IN {SUSP_SQL} THEN 0 ELSE 1 END)::BIGINT AS "Normal"
+    FROM events GROUP BY 1 ORDER BY date
+    """,
+    tags=("D-13", "D-23", "D-24"),
+)
+def q_suspicious_vs_normal_per_day(spark, sf_dir):
+    return D.suspicious_vs_normal_per_day(_events(spark, sf_dir))
+
+
+@register(
+    "entity_event_matrix",
+    """
+    SELECT user_id,
+           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS click,
+           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS error,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase,
+           SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup,
+           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("D-25", "D-26"),
+)
+def q_entity_event_matrix(spark, sf_dir):
+    return D.entity_event_matrix(_events(spark, sf_dir))
+
+
+# Shared CTE for the flagship profile oracle (D-25..D-31 + D-14 + D-43).
+PROFILE_ORACLE_CTE = f"""
+WITH base AS (
+  SELECT user_id, event_type, value, ts,
+         CAST(regexp_extract(props, '"k"\\s*:\\s*(\\d+)', 1) AS BIGINT) AS k
+  FROM events
+), agg AS (
+  SELECT user_id,
+    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS click_events,
+    SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS error_events,
+    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase_events,
+    SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup_events,
+    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view_events,
+    COUNT(*)::BIGINT AS total_events,
+    COUNT(DISTINCT k)::BIGINT AS distinct_k,
+    array_to_string(list_sort(list_distinct(list(k::VARCHAR) FILTER (WHERE k IS NOT NULL))), ',') AS k_list,
+    strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS first_seen,
+    strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_seen,
+    SUM({SUSP_CASE})::BIGINT AS failed_events,
+    SUM(CASE WHEN value > {HIGH_VALUE} THEN 1 ELSE 0 END)::BIGINT AS high_value_events,
+    COUNT(DISTINCT event_type)::BIGINT AS event_diversity,
+    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+  FROM base GROUP BY user_id
+), scored AS (
+  SELECT *,
+    LEAST(100.0::DOUBLE,
+          2.0::DOUBLE * failed_events + 3.0::DOUBLE * distinct_k
+          + 0.5::DOUBLE * total_events
+          + 15.0::DOUBLE * (CASE WHEN high_value_events > 0 THEN 1 ELSE 0 END)
+          + 1.0::DOUBLE * event_diversity) AS suspicious_score
+  FROM agg
+), classified AS (
+  SELECT *,
+    LEAST(100.0::DOUBLE,
+          0.6::DOUBLE * suspicious_score + 5.0::DOUBLE * high_value_events
+          + 2.0::DOUBLE * failed_events) AS attacker_score,
+    LEAST(100.0::DOUBLE,
+          1.5::DOUBLE * event_diversity + 2.0::DOUBLE * distinct_k) AS bot_score
+  FROM scored
+), legit AS (
+  SELECT *,
+    GREATEST(0.0::DOUBLE, 100.0::DOUBLE - attacker_score - bot_score) AS legit_score
+  FROM classified
+), profile AS (
+  SELECT user_id, click_events, error_events, purchase_events, signup_events,
+         view_events, total_events, distinct_k, k_list, first_seen, last_seen,
+         failed_events, high_value_events, event_diversity, total_value,
+         suspicious_score,
+         ROUND(attacker_score * 100.0::DOUBLE / (attacker_score + bot_score + legit_score), 1) AS attacker_pct,
+         ROUND(bot_score * 100.0::DOUBLE / (attacker_score + bot_score + legit_score), 1) AS bot_pct,
+         ROUND(legit_score * 100.0::DOUBLE / (attacker_score + bot_score + legit_score), 1) AS authorized_pct
+  FROM legit
+)
+"""
+
+
+@register(
+    "entity_profile",
+    PROFILE_ORACLE_CTE + "SELECT * FROM profile ORDER BY suspicious_score DESC, user_id",
+    tags=("D-25", "D-26", "D-27", "D-28", "D-29", "D-30", "D-31", "D-14",
+          "D-16", "D-17", "D-36", "D-41", "D-42", "D-43", "D-44"),
+)
+def q_entity_profile(spark, sf_dir):
+    return D.entity_profile_sorted(_events(spark, sf_dir))
+
+
+@register(
+    "profile_global_stats",
+    PROFILE_ORACLE_CTE
+    + """
+    SELECT
+      COUNT(*)::BIGINT AS total_entities,
+      SUM(CASE WHEN failed_events > 0 THEN 1 ELSE 0 END)::BIGINT AS entities_with_failures,
+      SUM(CASE WHEN high_value_events > 0 THEN 1 ELSE 0 END)::BIGINT AS entities_high_value,
+      SUM(CASE WHEN total_events > 100 THEN 1 ELSE 0 END)::BIGINT AS entities_over_100_events,
+      MAX(total_events)::BIGINT AS max_events_per_entity,
+      ROUND(SUM(total_events)::DOUBLE / COUNT(*), 2) AS avg_events_per_entity,
+      ROUND(SUM(suspicious_score)::DOUBLE / COUNT(*), 2) AS avg_suspicious_score,
+      SUM(CASE WHEN suspicious_score > 80 THEN 1 ELSE 0 END)::BIGINT AS entities_score_over_80
+    FROM profile
+    """,
+    tags=("D-32", "D-8"),
+)
+def q_profile_global_stats(spark, sf_dir):
+    return D.profile_global_stats(D.entity_profile(_events(spark, sf_dir)))
+
+
+@register(
+    "diversity_distribution",
+    PROFILE_ORACLE_CTE
+    + """
+    SELECT event_diversity, COUNT(*)::BIGINT AS n
+    FROM profile GROUP BY event_diversity ORDER BY event_diversity
+    """,
+    tags=("D-33", "D-37"),
+)
+def q_diversity_distribution(spark, sf_dir):
+    return D.diversity_distribution(D.entity_profile(_events(spark, sf_dir)))
+
+
+@register(
+    "score_histogram",
+    PROFILE_ORACLE_CTE
+    + """
+    SELECT CAST(FLOOR(suspicious_score / 5.0::DOUBLE) * 5.0::DOUBLE AS DOUBLE) AS score_bin,
+           COUNT(*)::BIGINT AS n
+    FROM profile GROUP BY 1 ORDER BY score_bin
+    """,
+    tags=("D-34",),
+)
+def q_score_histogram(spark, sf_dir):
+    return D.score_histogram(D.entity_profile(_events(spark, sf_dir)))
+
+
+@register(
+    "distinct_event_types",
+    "SELECT DISTINCT event_type FROM events WHERE event_type IS NOT NULL ORDER BY event_type",
+    tags=("D-35",),
+)
+def q_distinct_event_types(spark, sf_dir):
+    return D.distinct_event_types(_events(spark, sf_dir))
+
+
+@register(
+    "events_for_entity",
+    """
+    SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts, user_id,
+           event_type, value, props
+    FROM events WHERE user_id = 7
+    ORDER BY ts DESC, event_id
+    """,
+    tags=("D-6", "D-7", "D-36"),
+)
+def q_events_for_entity(spark, sf_dir):
+    return D.events_for_entity(_events(spark, sf_dir), user_id=7)
+
+
+@register(
+    "events_of_type",
+    """
+    SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts, user_id,
+           event_type, value
+    FROM events WHERE event_type = 'error'
+    """,
+    tags=("D-3", "D-2"),
+)
+def q_events_of_type(spark, sf_dir):
+    return D.events_of_type(_events(spark, sf_dir), event_type="error")
+
+
+@register(
+    "entity_hourly_activity",
+    """
+    SELECT strftime(ts, '%H') || ':00' AS hour_label, COUNT(*)::BIGINT AS n
+    FROM events WHERE user_id = 7 GROUP BY 1 ORDER BY hour_label
+    """,
+    tags=("D-6", "D-22", "D-12"),
+)
+def q_entity_hourly_activity(spark, sf_dir):
+    return D.entity_hourly_activity(_events(spark, sf_dir), user_id=7)
+
+
+@register(
+    "top_events_with_others",
+    """
+    WITH counts AS (
+      SELECT user_id::VARCHAR AS category, COUNT(*)::BIGINT AS n
+      FROM events GROUP BY user_id
+    ), ranked AS (
+      SELECT category, n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, category) AS rnk
+      FROM counts
+    )
+    SELECT CASE WHEN rnk <= 10 THEN category ELSE 'Others' END AS category,
+           SUM(n)::BIGINT AS n
+    FROM ranked GROUP BY 1 ORDER BY n DESC, category
+    """,
+    tags=("D-40",),
+)
+def q_top_events_with_others(spark, sf_dir):
+    return T.top_k_with_others(_events(spark, sf_dir), key="user_id", k=10)
+
+
+@register(
+    "profile_percentages_long",
+    PROFILE_ORACLE_CTE
+    + """
+    SELECT user_id, u.category, u.probability
+    FROM profile,
+         (VALUES ('Attacker'), ('Bot'), ('Authorized')) AS v(cname),
+         LATERAL (SELECT v.cname AS category,
+                         CASE v.cname
+                           WHEN 'Attacker' THEN attacker_pct
+                           WHEN 'Bot' THEN bot_pct
+                           ELSE authorized_pct END AS probability) u
+    ORDER BY user_id, category
+    """,
+    tags=("D-45",),
+)
+def q_profile_percentages_long(spark, sf_dir):
+    return D.profile_percentages_long(D.entity_profile(_events(spark, sf_dir)))

@@ -1,0 +1,9 @@
+from bigdata_logs_spark.sources.io import (
+    TABLES,
+    load_table,
+    load_tables,
+    read_ssh_log_text,
+    write_parquet,
+)
+
+__all__ = ["TABLES", "load_table", "load_tables", "read_ssh_log_text", "write_parquet"]

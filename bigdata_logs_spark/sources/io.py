@@ -1,0 +1,84 @@
+"""Batch sources and sinks.
+
+The reference moves data text -> CSV -> MongoDB, erasing and
+re-inferring types at each hop (reference ``src/parse_logs.py:110``,
+``src/insert_mongo.py:7,14-15``). Here the canonical store is Parquet
+with one explicit schema: columnar, splittable, predicate/projection
+pushdown for free (reference ops S-1..S-7 in SURVEY.md §2.1).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Driver-provided star schema + event stream + LLM-pipeline tables.
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one parquet table from a scale-factor directory.
+
+    The ``events`` table stores TIMESTAMP(NANOS) which Spark's vectorized
+    parquet reader rejects; we read nanos as long (runtime-settable legacy
+    conf, works on any caller-provided session) and convert once to a
+    microsecond TIMESTAMP — truncation, matching how nanosecond-aware
+    engines render to microseconds.
+    """
+    # Event-time semantics must not depend on the caller session's zone
+    # (naive parquet timestamps render in session tz): pin UTC here so
+    # results are identical under any driver-provided SparkSession.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for f in df.schema.fields:
+        if f.name == "ts" and f.dataType.simpleString() == "bigint":
+            from pyspark.sql import functions as F
+
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def read_ssh_log_text(spark: SparkSession, path: str) -> DataFrame:
+    """Raw syslog lines, one row per line in column ``value``.
+
+    Replaces the reference's whole-file ``readlines()``
+    (``src/parse_logs.py:5-6``) with a splittable, partitioned text
+    scan — on a cluster each file split parses in parallel with no
+    shuffle (narrow pipeline).
+    """
+    return spark.read.text(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    partition_by: tuple[str, ...] = (),
+) -> None:
+    """Canonical append sink (replaces the reference's Mongo
+    ``insert_many``, ``src/insert_mongo.py:9-15``).
+
+    ``partition_by`` (e.g. event date) enables partition pruning for
+    the time-ranged dashboard queries at scale.
+    """
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)

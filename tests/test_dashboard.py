@@ -1,0 +1,84 @@
+"""Dashboard operator family: invariants + partition-independence.
+
+The oracle harness (tools/oracle_check.py / the driver) covers exact
+value parity with DuckDB; these tests cover Spark-side semantics the
+oracle can't see: partition invariance, schema stability, score
+bounds.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_logs_spark.operators import dashboard as D
+
+
+def test_global_metrics_shape(events):
+    row = D.global_metrics(events).collect()[0]
+    assert row.total_records > 0
+    assert 0 <= row.failed_rate_pct <= 100
+    assert row.failed_events <= row.total_records
+
+
+def test_event_type_counts_sum_to_total(events):
+    counts = D.event_type_counts(events)
+    assert (
+        counts.agg(F.sum("n")).collect()[0][0] == events.count()
+    )
+
+
+def test_profile_is_partition_invariant(events):
+    """The fused per-entity profile must not depend on physical layout."""
+    p1 = D.entity_profile(events.repartition(1)).orderBy("user_id").collect()
+    p8 = D.entity_profile(events.repartition(8)).orderBy("user_id").collect()
+    assert p1 == p8
+
+
+def test_profile_score_bounds_and_consistency(events):
+    prof = D.entity_profile(events).collect()
+    total = sum(r.total_events for r in prof)
+    assert total == events.count()
+    for r in prof:
+        assert 0 <= r.suspicious_score <= 100
+        assert r.failed_events <= r.total_events
+        assert r.event_diversity <= 5
+        # classifier percentages sum to ~100
+        assert abs(r.attacker_pct + r.bot_pct + r.authorized_pct - 100.0) < 0.51
+        # pivot columns sum to the row total (D-26)
+        per_type = (
+            r.click_events
+            + r.error_events
+            + r.purchase_events
+            + r.signup_events
+            + r.view_events
+        )
+        assert per_type == r.total_events
+
+
+def test_pivot_matrix_matches_long_counts(events):
+    wide = D.entity_event_matrix(events)
+    long_total = events.groupBy("user_id").count()
+    joined = wide.withColumn(
+        "row_sum",
+        F.col("click") + F.col("error") + F.col("purchase") + F.col("signup") + F.col("view"),
+    ).join(long_total, "user_id")
+    bad = joined.filter(F.col("row_sum") != F.col("count")).count()
+    assert bad == 0
+
+
+def test_top_k_with_others_preserves_total(events):
+    from bigdata_logs_spark.operators.topk import top_k_with_others
+
+    rolled = top_k_with_others(events, "user_id", k=5)
+    assert rolled.agg(F.sum("n")).collect()[0][0] == events.count()
+    assert rolled.filter(F.col("category") == "Others").count() <= 1
+
+
+@pytest.mark.parametrize("k", [1, 3])
+def test_top_k_deterministic(events, k):
+    from bigdata_logs_spark.operators.topk import top_k_by_count
+
+    a = top_k_by_count(events, "user_id", k).collect()
+    b = top_k_by_count(events.repartition(7), "user_id", k).collect()
+    assert a == b
