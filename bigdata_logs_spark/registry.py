@@ -28,6 +28,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 from bigdata_logs_spark.operators import dashboard as D
 from bigdata_logs_spark.operators import topk as T
+from bigdata_logs_spark.operators.enrich import with_event_time
+from bigdata_logs_spark.operators.parse import parse_ssh_lines
+from bigdata_logs_spark.operators.ssh_synth import synthesize_ssh_lines
+from bigdata_logs_spark.functions import count_if as count_if_expr
 from bigdata_logs_spark.sources import load_table
 
 
@@ -381,3 +385,186 @@ def q_top_events_with_others(spark, sf_dir):
 )
 def q_profile_percentages_long(spark, sf_dir):
     return D.profile_percentages_long(D.entity_profile(_events(spark, sf_dir)))
+
+
+# --------------------------------------------------------------------------
+# SSH parse family (P-1..P-15) over lines synthesized from `events`
+# --------------------------------------------------------------------------
+# The generator below is mirrored column-for-column by the Spark
+# implementation in operators/ssh_synth.py; the parse SQL is an
+# independently-written twin of operators/parse.py, so a hash match
+# proves Java-regex vs RE2 parity over the full volume.
+
+SSH_GEN_CTE = r"""
+WITH gen AS (
+  SELECT
+    CASE WHEN event_id % 47 = 0 THEN
+      printf('%s %d %s srv%d CRON[%d]: session opened',
+             strftime(ts, '%b'), EXTRACT(day FROM ts)::INT,
+             strftime(ts, '%H:%M:%S'), (user_id % 5)::INT,
+             (event_id % 30000 + 1)::INT)
+    ELSE
+      printf('%s %d %s srv%d sshd[%d]: %s',
+             strftime(ts, '%b'), EXTRACT(day FROM ts)::INT,
+             strftime(ts, '%H:%M:%S'), (user_id % 5)::INT,
+             (event_id % 30000 + 1)::INT,
+             CASE event_type
+               WHEN 'click' THEN printf(
+                 'Accepted password for u%d from 10.0.%d.%d port %d ssh2',
+                 user_id::INT, (user_id % 200)::INT, (event_id % 250)::INT,
+                 (1024 + event_id % 9999)::INT)
+               WHEN 'error' THEN printf(
+                 'Failed password for root from 203.0.113.%d port %d ssh2',
+                 (user_id % 200)::INT, (1024 + event_id % 9999)::INT)
+               WHEN 'purchase' THEN printf(
+                 'pam_unix(sshd:auth): authentication failure; logname= uid=%d euid=0 tty=ssh ruser= rhost=198.51.100.%d  user=root',
+                 (user_id % 3)::INT, (user_id % 200)::INT)
+               WHEN 'signup' THEN printf(
+                 'Invalid user guest%d from 192.0.2.%d',
+                 user_id::INT, (user_id % 200)::INT)
+               ELSE printf(
+                 'Received disconnect from 172.16.%d.%d: 11: Bye Bye [preauth]',
+                 (user_id % 200)::INT, (event_id % 250)::INT)
+             END)
+    END AS value
+  FROM events
+)"""
+
+SSH_MASTER = r'^(\w+)\s+(\d+)\s+([\d:]+)\s+(\S+)\s+sshd\[(\d+)\]:\s+(.*)'
+SSH_IP_RE = r'from ([\d\.]+)|\[(\d+\.\d+\.\d+\.\d+)\]'
+
+SSH_PARSE_CTE = (
+    SSH_GEN_CTE
+    + f"""
+, fields AS (
+  SELECT
+    regexp_extract(value, '{SSH_MASTER}', 1) AS month,
+    CAST(regexp_extract(value, '{SSH_MASTER}', 2) AS INT) AS day,
+    regexp_extract(value, '{SSH_MASTER}', 3) AS time,
+    regexp_extract(value, '{SSH_MASTER}', 4) AS host,
+    CAST(regexp_extract(value, '{SSH_MASTER}', 5) AS INT) AS pid,
+    regexp_extract(value, '{SSH_MASTER}', 6) AS message
+  FROM gen
+  WHERE regexp_matches(value, '{SSH_MASTER}')
+), parsed AS (
+  SELECT month, day, time, host, pid, message,
+    COALESCE(NULLIF(regexp_extract(message, '{SSH_IP_RE}', 1), ''),
+             NULLIF(regexp_extract(message, '{SSH_IP_RE}', 2), '')) AS ip,
+    COALESCE(NULLIF(regexp_extract(message, 'Invalid user (\\S+)', 1), ''),
+             NULLIF(regexp_extract(message, 'user=(\\S+)', 1), ''),
+             NULLIF(regexp_extract(message, 'for (\\w+) from', 1), '')) AS user,
+    CAST(NULLIF(regexp_extract(message, 'port (\\d+)', 1), '') AS INT) AS port,
+    CASE
+      WHEN contains(message, 'Invalid user') THEN 'invalid_user'
+      WHEN contains(message, 'Failed password') THEN 'failed_password'
+      WHEN contains(message, 'authentication failure') THEN 'auth_failure'
+      WHEN contains(message, 'reverse mapping') THEN 'reverse_mapping_check'
+      WHEN contains(message, 'Connection closed') THEN 'connection_closed'
+      WHEN contains(message, 'Received disconnect') THEN 'disconnect'
+      WHEN contains(message, 'Did not receive identification string') THEN 'no_identification'
+      WHEN contains(message, 'Too many authentication failures') THEN 'too_many_failures'
+      WHEN contains(message, 'ignoring max retries') THEN 'ignoring_max_retries'
+      WHEN contains(message, 'Failed none') THEN 'failed_none'
+      ELSE 'other'
+    END AS event,
+    NULLIF(regexp_extract(message, 'rhost=([^\\s]+)', 1), '') AS rhost,
+    NULLIF(regexp_extract(message, 'tty=([^\\s]+)', 1), '') AS tty,
+    CASE WHEN contains(message, 'logname=')
+         THEN regexp_extract(message, 'logname=([^\\s]*)', 1) END AS logname,
+    CAST(NULLIF(regexp_extract(message, 'uid=(\\d+)', 1), '') AS INT) AS uid,
+    CAST(NULLIF(regexp_extract(message, 'euid=(\\d+)', 1), '') AS INT) AS euid,
+    CASE WHEN contains(message, 'ruser=')
+         THEN regexp_extract(message, 'ruser=([^\\s]*)', 1) END AS ruser,
+    NULLIF(regexp_extract(message, 'pam_(\\w+)\\(sshd:(\\w+)\\)', 1), '') AS method,
+    CASE WHEN regexp_matches(message, 'ssh\\d')
+         THEN 'ssh' || regexp_extract(message, 'ssh(\\d)', 1) END AS protocol_version,
+    CASE
+      WHEN contains(message, 'Received disconnect') THEN 'received_disconnect'
+      WHEN contains(message, 'Connection closed') THEN 'connection_closed'
+      WHEN contains(message, 'Disconnected from') THEN 'disconnected'
+      WHEN contains(lower(message), 'timeout') THEN 'timeout'
+    END AS disconnect_reason
+  FROM fields
+)"""
+)
+
+
+def _ssh_lines(spark, sf_dir):
+    return synthesize_ssh_lines(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "ssh_parse_full",
+    SSH_PARSE_CTE + "\nSELECT * FROM parsed",
+    tags=("P-1", "P-2", "P-3", "P-4", "P-5", "P-6", "P-7", "P-8", "P-9",
+          "P-10", "P-11", "P-12", "P-13", "P-14", "P-15", "S-1"),
+    bench=True,
+)
+def q_ssh_parse_full(spark, sf_dir):
+    return parse_ssh_lines(_ssh_lines(spark, sf_dir))
+
+
+@register(
+    "ssh_event_counts",
+    SSH_PARSE_CTE
+    + """
+    SELECT event, COUNT(*)::BIGINT AS n FROM parsed
+    GROUP BY event ORDER BY n DESC, event
+    """,
+    tags=("P-13", "D-21"),
+)
+def q_ssh_event_counts(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    return (
+        parse_ssh_lines(_ssh_lines(spark, sf_dir))
+        .groupBy("event")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("event"))
+    )
+
+
+@register(
+    "ssh_parse_drop_stats",
+    SSH_GEN_CTE
+    + f"""
+    SELECT COUNT(*)::BIGINT AS total_lines,
+           SUM(CASE WHEN regexp_matches(value, '{SSH_MASTER}') THEN 1 ELSE 0 END)::BIGINT AS parsed_lines,
+           SUM(CASE WHEN regexp_matches(value, '{SSH_MASTER}') THEN 0 ELSE 1 END)::BIGINT AS dropped_lines
+    FROM gen
+    """,
+    tags=("P-1",),
+)
+def q_ssh_parse_drop_stats(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from bigdata_logs_spark.operators.parse import MASTER_RE
+
+    lines = _ssh_lines(spark, sf_dir)
+    return lines.agg(
+        F.count(F.lit(1)).alias("total_lines"),
+        count_if_expr(F.col("value").rlike(MASTER_RE)).alias("parsed_lines"),
+        count_if_expr(~F.col("value").rlike(MASTER_RE)).alias("dropped_lines"),
+    )
+
+
+@register(
+    "ssh_events_per_day",
+    SSH_PARSE_CTE
+    + """
+    SELECT strftime(strptime('2024 ' || month || ' ' || day || ' ' || time,
+                             '%Y %b %d %H:%M:%S'), '%Y-%m-%d') AS date,
+           COUNT(*)::BIGINT AS n
+    FROM parsed GROUP BY 1 ORDER BY date
+    """,
+    tags=("D-9", "D-11", "D-22"),
+)
+def q_ssh_events_per_day(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    parsed = with_event_time(parse_ssh_lines(_ssh_lines(spark, sf_dir)))
+    return (
+        parsed.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("date"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("date")
+    )
