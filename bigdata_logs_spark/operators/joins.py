@@ -1,0 +1,219 @@
+"""Star-schema join queries (SURVEY.md §2.6).
+
+The reference has no explicit joins (its two map-back alignments,
+D-41/D-42, are fused into the profile agg); the engine exposes
+first-class joins proven against the TPC-H-ish fixture tables.
+
+Scale strategy:
+- TRUE dimensions (region, nation, part, supplier — bounded
+  cardinality at any SF) get explicit ``broadcast()`` hints:
+  replicated hash joins, no shuffle of the fact side.
+- fact-fact joins (customer/orders/lineitem) are left to
+  sort-merge/shuffled-hash under AQE, which also handles skew
+  splitting; we do NOT broadcast customer/orders (unbounded).
+- money aggregations accumulate in DECIMAL (exact, order-independent)
+  and cast to double once at the end, so results are identical under
+  any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _money(c: Column) -> Column:
+    return c.cast("decimal(18,2)")
+
+
+def _rev() -> Column:
+    """Per-row revenue term extendedprice*(1-discount) in exact decimal."""
+    return _money(F.col("l_extendedprice")) * (
+        (F.lit(1.0) - F.col("l_discount")).cast("decimal(8,2)")
+    )
+
+
+def pricing_summary(lineitem: DataFrame, ship_upto: str = "1998-09-02") -> DataFrame:
+    """TPC-H Q1-style pricing summary: filter pushdown + single
+    hash-aggregate over (returnflag, linestatus)."""
+    li = lineitem.filter(F.col("l_shipdate") <= F.lit(ship_upto))
+    charge = _rev() * ((F.lit(1.0) + F.col("l_tax")).cast("decimal(8,2)"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_money(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+            F.sum(_money(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
+            F.sum(_rev()).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.round(
+                F.sum(_money(F.col("l_quantity"))).cast("double") / F.count(F.lit(1)), 2
+            ).alias("avg_qty"),
+            F.round(
+                F.sum(_money(F.col("l_extendedprice"))).cast("double")
+                / F.count(F.lit(1)),
+                2,
+            ).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def top_revenue_customers(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame, k: int = 10
+) -> DataFrame:
+    """customer ⋈ orders ⋈ lineitem, top-k by revenue.
+
+    Aggregate lineitem to order grain BEFORE joining (pushes the heavy
+    reduction below the join — far less shuffle than join-then-agg),
+    then join orders, re-aggregate per customer, top-k via
+    TakeOrderedAndProject.
+    """
+    order_rev = lineitem.groupBy("l_orderkey").agg(F.sum(_rev()).alias("order_rev"))
+    cust_rev = (
+        orders.join(order_rev, orders.o_orderkey == order_rev.l_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum("order_rev").alias("rev_dec"), F.count(F.lit(1)).alias("order_count"))
+    )
+    return (
+        customer.join(cust_rev, customer.c_custkey == cust_rev.o_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("rev_dec").cast("double").alias("revenue"),
+            "order_count",
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(k)
+    )
+
+
+def regional_revenue(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+) -> DataFrame:
+    """TPC-H Q5-flavoured 5-way join: revenue by region/nation of the
+    ordering customer. Dims broadcast; facts pre-aggregated to order
+    grain before joining."""
+    order_rev = lineitem.groupBy("l_orderkey").agg(F.sum(_rev()).alias("order_rev"))
+    enriched = (
+        orders.join(order_rev, orders.o_orderkey == order_rev.l_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        enriched.groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum("order_rev").cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("order_count"),
+        )
+        .orderBy("region", "nation")
+    )
+
+
+def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Left-anti join (the exclusion side of the reference's
+    top-k+Others pattern, generalized)."""
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+def customers_with_open_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Left-semi join: customers having at least one open order."""
+    open_orders = orders.filter(F.col("o_orderstatus") == "O")
+    return (
+        customer.join(
+            open_orders, customer.c_custkey == open_orders.o_custkey, "left_semi"
+        )
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+def part_type_revenue(part: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Broadcast dim join: revenue by part type. The part side is the
+    broadcast build; lineitem never shuffles."""
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_type"))
+        .agg(
+            F.sum(_rev()).cast("double").alias("revenue"),
+            F.sum(_money(F.col("l_quantity"))).cast("double").alias("total_qty"),
+        )
+        .orderBy("p_type")
+    )
+
+
+def top_order_per_customer(orders: DataFrame) -> DataFrame:
+    """Grouped top-1 via row_number window (SURVEY.md §2.8) — the
+    general form of the reference's per-selected-IP top lists."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+def customer_order_stats(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Left join preserving order-less customers (the reference's
+    .map().fillna(0) alignment, D-41, as a real join)."""
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_money(F.col("o_totalprice"))).alias("spend_dec"),
+    )
+    return (
+        customer.join(per_cust, customer.c_custkey == per_cust.o_custkey, "left")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+            F.coalesce(F.col("spend_dec").cast("double"), F.lit(0.0)).alias(
+                "total_spend"
+            ),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+def order_priority_counts(orders: DataFrame) -> DataFrame:
+    """Simple dimension histogram over orders."""
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def segment_nation_sales(
+    customer: DataFrame, nation: DataFrame, orders: DataFrame
+) -> DataFrame:
+    """Grouping-sets-flavoured two-level rollup: sales by market
+    segment × nation with explicit dims broadcast."""
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_mktsegment", F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_money(F.col("o_totalprice"))).cast("double").alias("sales"),
+        )
+        .orderBy("c_mktsegment", "nation")
+    )

@@ -568,3 +568,216 @@ def q_ssh_events_per_day(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("date")
     )
+
+
+# --------------------------------------------------------------------------
+# Star-schema join family (§2.6, §2.8)
+# --------------------------------------------------------------------------
+
+from bigdata_logs_spark.operators import joins as J  # noqa: E402
+
+# Shared money-revenue SQL term (exact decimal accumulation).
+REV_SQL = "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,2))"
+
+
+@register(
+    "pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM({REV_SQL}) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM({REV_SQL} * CAST(1 + l_tax AS DECIMAL(8,2))) AS DOUBLE) AS sum_charge,
+      ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 2) AS avg_qty,
+      ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 2) AS avg_price,
+      COUNT(*)::BIGINT AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("J-1",),
+    bench=True,
+)
+def q_pricing_summary(spark, sf_dir):
+    return J.pricing_summary(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "top_revenue_customers",
+    f"""
+    WITH order_rev AS (
+      SELECT l_orderkey, SUM({REV_SQL}) AS order_rev
+      FROM lineitem GROUP BY l_orderkey
+    ), cust_rev AS (
+      SELECT o_custkey, SUM(order_rev) AS rev_dec, COUNT(*)::BIGINT AS order_count
+      FROM orders JOIN order_rev ON o_orderkey = l_orderkey
+      GROUP BY o_custkey
+    )
+    SELECT c_custkey, c_name, CAST(rev_dec AS DOUBLE) AS revenue, order_count
+    FROM customer JOIN cust_rev ON c_custkey = o_custkey
+    ORDER BY revenue DESC, c_custkey LIMIT 10
+    """,
+    tags=("J-2", "D-39"),
+    bench=True,
+)
+def q_top_revenue_customers(spark, sf_dir):
+    return J.top_revenue_customers(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+@register(
+    "regional_revenue",
+    f"""
+    WITH order_rev AS (
+      SELECT l_orderkey, SUM({REV_SQL}) AS order_rev
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT r_name AS region, n_name AS nation,
+           CAST(SUM(order_rev) AS DOUBLE) AS revenue,
+           COUNT(*)::BIGINT AS order_count
+    FROM orders
+      JOIN order_rev ON o_orderkey = l_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    ORDER BY region, nation
+    """,
+    tags=("J-3",),
+    bench=True,
+)
+def q_regional_revenue(spark, sf_dir):
+    return J.regional_revenue(
+        load_table(spark, sf_dir, "region"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+@register(
+    "customers_without_orders",
+    """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey
+    """,
+    tags=("J-4",),
+)
+def q_customers_without_orders(spark, sf_dir):
+    return J.customers_without_orders(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+@register(
+    "customers_with_open_orders",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+    ORDER BY c_custkey
+    """,
+    tags=("J-5",),
+)
+def q_customers_with_open_orders(spark, sf_dir):
+    return J.customers_with_open_orders(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+@register(
+    "part_type_revenue",
+    f"""
+    SELECT p_type,
+           CAST(SUM({REV_SQL}) AS DOUBLE) AS revenue,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_type ORDER BY p_type
+    """,
+    tags=("J-6",),
+)
+def q_part_type_revenue(spark, sf_dir):
+    return J.part_type_revenue(
+        load_table(spark, sf_dir, "part"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+@register(
+    "top_order_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    ORDER BY o_custkey
+    """,
+    tags=("W-1",),
+)
+def q_top_order_per_customer(spark, sf_dir):
+    return J.top_order_per_customer(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "customer_order_stats",
+    """
+    WITH per_cust AS (
+      SELECT o_custkey, COUNT(*)::BIGINT AS n_orders,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend_dec
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT c_custkey, c_mktsegment,
+           COALESCE(n_orders, 0)::BIGINT AS n_orders,
+           COALESCE(CAST(spend_dec AS DOUBLE), 0.0::DOUBLE) AS total_spend
+    FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
+    ORDER BY c_custkey
+    """,
+    tags=("J-7", "D-41", "D-42"),
+)
+def q_customer_order_stats(spark, sf_dir):
+    return J.customer_order_stats(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+@register(
+    "order_priority_counts",
+    """
+    SELECT o_orderpriority, COUNT(*)::BIGINT AS n
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("D-21",),
+)
+def q_order_priority_counts(spark, sf_dir):
+    return J.order_priority_counts(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "segment_nation_sales",
+    """
+    SELECT c_mktsegment, n_name AS nation, COUNT(*)::BIGINT AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sales
+    FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY c_mktsegment, n_name
+    ORDER BY c_mktsegment, nation
+    """,
+    tags=("J-8",),
+)
+def q_segment_nation_sales(spark, sf_dir):
+    return J.segment_nation_sales(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "orders"),
+    )
