@@ -1,0 +1,147 @@
+"""Deduplication operators (SURVEY.md §2.11 north-star).
+
+Four tiers, each a different cost/recall point at 100 TB:
+
+- exact:   hash-groupBy on content (one shuffle on a 32-byte key —
+           never shuffle the documents themselves, only (key, id)).
+- minhash: shingle -> banded min-hash signatures -> bucket join;
+           candidate pairs come from signature buckets, so the
+           all-pairs O(n²) never materializes.
+- simhash: 32-bit majority-vote fingerprint; near-dups differ in few
+           bit positions (Hamming).
+- n-gram Jaccard: exact verification on candidate (or bounded)
+           pairs.
+
+Everything is native Spark array/lambda expressions — signatures are
+computed in a narrow projection; only the tiny (doc_id, band, sig)
+triples shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SHINGLE_K = 3
+N_BANDS = 8
+
+
+def _tokens(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def _shingles() -> Column:
+    """k-word shingles as strings (requires `tokens` column)."""
+    return F.expr(
+        f"""
+        CASE WHEN size(tokens) < {SHINGLE_K} THEN array(concat_ws(' ', tokens))
+        ELSE transform(sequence(1, size(tokens) - {SHINGLE_K - 1}),
+               i -> concat_ws(' ', element_at(tokens, i),
+                              element_at(tokens, i + 1),
+                              element_at(tokens, i + 2)))
+        END
+        """
+    )
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact content dedup: md5-group, keep the smallest doc_id.
+
+    At scale: shuffles only (md5, doc_id) pairs; the winner set is
+    then a semi-join back to the full rows (column-pruned scan x2
+    beats shuffling full documents once).
+    """
+    keys = docs.select(F.col("doc_id"), F.md5(F.col("text")).alias("content_key"))
+    winners = keys.groupBy("content_key").agg(
+        F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("dup_count")
+    )
+    return winners.select("doc_id", "content_key", "dup_count").orderBy("doc_id")
+
+
+def minhash_signatures(docs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
+    """Banded min-hash: signature for band j = min over shingles of
+    md5(j || '|' || shingle). Narrow projection -> explode to
+    (doc_id, band, sig)."""
+    bands = F.expr(
+        f"""
+        transform(sequence(0, {n_bands - 1}),
+          j -> array_min(transform(shingles,
+                 s -> md5(concat(cast(j AS STRING), '|', s)))))
+        """
+    )
+    return (
+        docs.withColumn("tokens", _tokens(F.col("text")))
+        .withColumn("shingles", _shingles())
+        .withColumn("band_sigs", bands)
+        .select(F.col("doc_id"), F.posexplode("band_sigs").alias("band", "sig"))
+        .orderBy("doc_id", "band")
+    )
+
+
+def minhash_buckets(docs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
+    """LSH buckets with >1 member: these are the candidate-pair
+    generators. Output stays aggregate (band, sig, n_docs, members) —
+    pairs themselves are only expanded downstream when needed."""
+    sigs = minhash_signatures(docs, n_bands)
+    return (
+        sigs.groupBy("band", "sig")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.array_join(F.sort_array(F.collect_set(F.col("doc_id").cast("string"))), ",").alias("members"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy("band", "sig")
+    )
+
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """32-bit simhash as a bitstring: bit i = majority vote over
+    tokens of (i-th md5 hex nibble >= 8). Near-duplicate docs have
+    small Hamming distance between bitstrings."""
+    bits = F.expr(
+        """
+        concat_ws('', transform(sequence(1, 32),
+          i -> CASE WHEN aggregate(tokens,
+                 0L,
+                 (acc, t) -> acc + (CASE WHEN substr(md5(t), i, 1) IN
+                   ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END))
+               > 0 THEN '1' ELSE '0' END))
+        """
+    )
+    return (
+        docs.withColumn("tokens", _tokens(F.col("text")))
+        .select("doc_id", bits.alias("simhash"))
+        .orderBy("doc_id")
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame, max_doc_id: int = 40, threshold: float = 0.05
+) -> DataFrame:
+    """Exact shingle-set Jaccard for a bounded pair set (the verify
+    step after LSH candidate generation; bounded here by doc_id so the
+    oracle result is small and deterministic)."""
+    base = (
+        docs.filter(F.col("doc_id") < max_doc_id)
+        .withColumn("tokens", _tokens(F.col("text")))
+        .withColumn("shingles", F.array_distinct(_shingles()))
+        .select("doc_id", "shingles")
+    )
+    a = base.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    b = base.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
+    pairs = a.join(F.broadcast(b), F.col("doc_a") < F.col("doc_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    return (
+        pairs.select(
+            "doc_a",
+            "doc_b",
+            F.round(inter * 1.0 / union, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1,0 +1,151 @@
+"""Text analysis operators over the ``documents`` table
+(SURVEY.md §2.11 north-star: token counting, quality scoring,
+language-ID, fingerprinting).
+
+All token-level work uses native Spark array/lambda functions
+(``split`` / ``transform`` / ``filter`` / ``aggregate``) — JVM-side,
+no Python UDFs, so the hot path scales with executors, not with the
+Python interpreter. Tokenization contract (shared with the DuckDB
+oracles): tokens = regex-split of trimmed text on ``\\s+``; empty
+text -> 0 tokens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Marker stopwords for the quality/lang heuristics (present in the
+# synthetic corpus vocabulary).
+STOPWORDS = ("a", "the")
+
+
+def _tokens(text: Column) -> Column:
+    return F.when(F.trim(text) == "", F.array().cast("array<string>")).otherwise(
+        F.split(F.trim(text), r"\s+")
+    )
+
+
+def with_tokens(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    return docs.withColumn("tokens", _tokens(F.col(text_col)))
+
+
+def doc_stats_by_lang(docs: DataFrame) -> DataFrame:
+    """Per-language corpus stats; decimal-exact averages."""
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.sum("n_chars") / F.count(F.lit(1)), 2).alias("avg_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Whitespace token count per document (the BPE-ish regex variant
+    would swap the split pattern; the plumbing is identical)."""
+    toks = _tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+    ).orderBy("doc_id")
+
+
+def word_frequencies(docs: DataFrame, k: int = 50) -> DataFrame:
+    """Corpus-wide word top-k: explode -> count -> TakeOrdered."""
+    return (
+        with_tokens(docs)
+        .select(F.explode("tokens").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(k)
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Per-document quality heuristics: length, type-token ratio,
+    stopword ratio, mean token length — the classic cheap filters of
+    an LLM-data pipeline, all as native column arithmetic."""
+    toks = F.col("tokens")
+    n = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    total_tok_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    return (
+        with_tokens(docs)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_chars"),
+            n.alias("n_tokens"),
+            F.when(n > 0, F.round(F.size(F.array_distinct(toks)) * 1.0 / n, 4))
+            .otherwise(F.lit(0.0))
+            .alias("type_token_ratio"),
+            F.when(n > 0, F.round(n_stop * 1.0 / n, 4))
+            .otherwise(F.lit(0.0))
+            .alias("stopword_ratio"),
+            F.when(n > 0, F.round(total_tok_chars * 1.0 / n, 4))
+            .otherwise(F.lit(0.0))
+            .alias("mean_token_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-marker language ID. On real corpora the marker sets
+    would be per-language char n-gram profiles; the synthetic corpus
+    shares one vocabulary, so this demonstrates the mechanism (marker
+    count -> argmax with deterministic tiebreak) rather than accuracy.
+    """
+    toks = F.col("tokens")
+    en_markers = F.array(F.lit("the"), F.lit("a"), F.lit("is"), F.lit("of"))
+    en_score = F.size(F.filter(toks, lambda t: F.array_contains(en_markers, t)))
+    return (
+        with_tokens(docs)
+        .select(
+            "doc_id",
+            "lang",
+            en_score.alias("en_marker_count"),
+            F.when(en_score > 0, F.lit("en")).otherwise(F.lit("unknown")).alias(
+                "predicted_lang"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """Document fingerprints: md5 of the full text plus a positional
+    polynomial token hash (order-sensitive, unlike a bag-of-words
+    hash — reordered words change it). Pure integer arithmetic in
+    BIGINT, identical across engines."""
+    toks = _tokens(F.col("text"))
+    poly = F.expr(
+        """
+        aggregate(
+          transform(sequence(1, size(tokens)),
+                    i -> ((ascii(substr(element_at(tokens, i), 1, 1)) * 31
+                           + length(element_at(tokens, i)))
+                          * ((i * 2654435761) % 2147483647)) % 2147483647),
+          0L, (acc, x) -> (acc + x) % 2147483647)
+        """
+    )
+    return (
+        docs.withColumn("tokens", toks)
+        .select(
+            "doc_id",
+            F.md5(F.col("text")).alias("md5_fingerprint"),
+            poly.alias("poly_fingerprint"),
+        )
+        .orderBy("doc_id")
+    )

@@ -781,3 +781,219 @@ def q_segment_nation_sales(spark, sf_dir):
         load_table(spark, sf_dir, "nation"),
         load_table(spark, sf_dir, "orders"),
     )
+
+
+# --------------------------------------------------------------------------
+# Text analysis + dedup family over `documents` (§2.11)
+# --------------------------------------------------------------------------
+
+from bigdata_logs_spark.operators import dedup as DD  # noqa: E402
+from bigdata_logs_spark.operators import textops as TX  # noqa: E402
+
+# Tokenization contract shared by all text oracles.
+TOKS_CTE = r"""
+WITH toks AS (
+  SELECT *, CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                 ELSE string_split_regex(trim(text), '\s+') END AS tokens
+  FROM documents
+)"""
+
+SHINGLES_EXPR = (
+    "CASE WHEN len(tokens) < 3 THEN [array_to_string(tokens, ' ')] "
+    "ELSE list_transform(range(1, len(tokens) - 1), "
+    "i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]) END"
+)
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+@register(
+    "doc_stats_by_lang",
+    """
+    SELECT lang, COUNT(*)::BIGINT AS n_docs, SUM(n_chars)::BIGINT AS total_chars,
+           ROUND(SUM(n_chars)::DOUBLE / COUNT(*), 2) AS avg_chars,
+           MIN(n_chars)::BIGINT AS min_chars, MAX(n_chars)::BIGINT AS max_chars
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    tags=("T-1",),
+)
+def q_doc_stats_by_lang(spark, sf_dir):
+    return TX.doc_stats_by_lang(_docs(spark, sf_dir))
+
+
+@register(
+    "token_counts",
+    TOKS_CTE
+    + """
+    SELECT doc_id, lang, len(tokens)::INT AS n_tokens,
+           len(list_distinct(tokens))::INT AS n_distinct_tokens
+    FROM toks ORDER BY doc_id
+    """,
+    tags=("T-2",),
+)
+def q_token_counts(spark, sf_dir):
+    return TX.token_counts(_docs(spark, sf_dir))
+
+
+@register(
+    "word_frequencies",
+    TOKS_CTE
+    + """
+    SELECT word, COUNT(*)::BIGINT AS n
+    FROM (SELECT unnest(tokens) AS word FROM toks)
+    GROUP BY word ORDER BY n DESC, word LIMIT 50
+    """,
+    tags=("T-3",),
+)
+def q_word_frequencies(spark, sf_dir):
+    return TX.word_frequencies(_docs(spark, sf_dir), k=50)
+
+
+@register(
+    "quality_scores",
+    TOKS_CTE
+    + """
+    SELECT doc_id, lang, n_chars, len(tokens)::INT AS n_tokens,
+      CASE WHEN len(tokens) > 0
+           THEN ROUND(len(list_distinct(tokens))::DOUBLE / len(tokens), 4)
+           ELSE 0.0::DOUBLE END AS type_token_ratio,
+      CASE WHEN len(tokens) > 0
+           THEN ROUND(len(list_filter(tokens, t -> t IN ('a','the')))::DOUBLE / len(tokens), 4)
+           ELSE 0.0::DOUBLE END AS stopword_ratio,
+      CASE WHEN len(tokens) > 0
+           THEN ROUND(list_sum(list_transform(tokens, t -> length(t)))::DOUBLE / len(tokens), 4)
+           ELSE 0.0::DOUBLE END AS mean_token_len
+    FROM toks ORDER BY doc_id
+    """,
+    tags=("T-4",),
+)
+def q_quality_scores(spark, sf_dir):
+    return TX.quality_scores(_docs(spark, sf_dir))
+
+
+@register(
+    "lang_id",
+    TOKS_CTE
+    + """
+    SELECT doc_id, lang,
+      len(list_filter(tokens, t -> t IN ('the','a','is','of')))::INT AS en_marker_count,
+      CASE WHEN len(list_filter(tokens, t -> t IN ('the','a','is','of'))) > 0
+           THEN 'en' ELSE 'unknown' END AS predicted_lang
+    FROM toks ORDER BY doc_id
+    """,
+    tags=("T-5",),
+)
+def q_lang_id(spark, sf_dir):
+    return TX.lang_id(_docs(spark, sf_dir))
+
+
+@register(
+    "fingerprints",
+    TOKS_CTE
+    + """
+    SELECT doc_id, md5(text) AS md5_fingerprint,
+      list_sum(list_transform(range(1, len(tokens) + 1),
+        i -> ((ascii(substr(tokens[i], 1, 1)) * 31 + length(tokens[i]))
+              * ((i * 2654435761) % 2147483647)) % 2147483647)) % 2147483647
+        AS poly_fingerprint
+    FROM toks ORDER BY doc_id
+    """,
+    tags=("T-6",),
+)
+def q_fingerprints(spark, sf_dir):
+    return TX.fingerprints(_docs(spark, sf_dir))
+
+
+@register(
+    "exact_dedup",
+    """
+    SELECT MIN(doc_id)::BIGINT AS doc_id, md5(text) AS content_key,
+           COUNT(*)::BIGINT AS dup_count
+    FROM documents GROUP BY md5(text) ORDER BY doc_id
+    """,
+    tags=("DD-1",),
+)
+def q_exact_dedup(spark, sf_dir):
+    return DD.exact_dedup(_docs(spark, sf_dir))
+
+
+@register(
+    "minhash_signatures",
+    TOKS_CTE
+    + f"""
+    , sh AS (SELECT doc_id, {SHINGLES_EXPR} AS shingles FROM toks)
+    SELECT doc_id, r.band::INT AS band,
+           list_min(list_transform(shingles,
+             s -> md5(r.band::VARCHAR || '|' || s))) AS sig
+    FROM sh CROSS JOIN range(0, 8) AS r(band)
+    ORDER BY doc_id, band
+    """,
+    tags=("DD-2",),
+    bench=True,
+)
+def q_minhash_signatures(spark, sf_dir):
+    return DD.minhash_signatures(_docs(spark, sf_dir))
+
+
+@register(
+    "minhash_buckets",
+    TOKS_CTE
+    + f"""
+    , sh AS (SELECT doc_id, {SHINGLES_EXPR} AS shingles FROM toks)
+    , sigs AS (
+      SELECT doc_id, r.band::INT AS band,
+             list_min(list_transform(shingles,
+               s -> md5(r.band::VARCHAR || '|' || s))) AS sig
+      FROM sh CROSS JOIN range(0, 8) AS r(band)
+    )
+    SELECT band, sig, COUNT(*)::BIGINT AS n_docs,
+           array_to_string(list_sort(list_distinct(list(doc_id::VARCHAR))), ',') AS members
+    FROM sigs GROUP BY band, sig HAVING COUNT(*) > 1
+    ORDER BY band, sig
+    """,
+    tags=("DD-2",),
+)
+def q_minhash_buckets(spark, sf_dir):
+    return DD.minhash_buckets(_docs(spark, sf_dir))
+
+
+@register(
+    "simhash",
+    TOKS_CTE
+    + """
+    SELECT doc_id,
+      array_to_string(list_transform(range(1, 33),
+        i -> CASE WHEN list_sum(list_transform(tokens,
+               t -> CASE WHEN substr(md5(t), i, 1) IN
+                 ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) > 0
+             THEN '1' ELSE '0' END), '') AS simhash
+    FROM toks ORDER BY doc_id
+    """,
+    tags=("DD-3",),
+)
+def q_simhash(spark, sf_dir):
+    return DD.simhash(_docs(spark, sf_dir))
+
+
+@register(
+    "jaccard_pairs",
+    TOKS_CTE
+    + f"""
+    , base AS (
+      SELECT doc_id, list_distinct({SHINGLES_EXPR}) AS sh
+      FROM toks WHERE doc_id < 40
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+    FROM base a JOIN base b ON a.doc_id < b.doc_id
+    WHERE ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+                / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.05
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("DD-4",),
+)
+def q_jaccard_pairs(spark, sf_dir):
+    return DD.jaccard_pairs(_docs(spark, sf_dir))
