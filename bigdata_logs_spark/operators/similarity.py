@@ -1,0 +1,145 @@
+"""Embedding similarity search (SURVEY.md §2.11 north-star).
+
+Brute-force cosine top-k is the exact baseline: broadcast the (small)
+query set against the corpus — a map-side nested loop, no shuffle of
+the corpus — then per-query top-k via a window over the tiny
+(query × corpus) score set. The scale path is sign-random-projection
+LSH bucketing: corpus scored only against bucket-mates.
+
+All arithmetic is native Spark SQL lambda expressions over
+``array<float>`` cast to double with a left-fold sum — identical
+evaluation order to the DuckDB oracles, so scores are bit-identical
+before the final round(6).
+
+At 100 TB: the corpus never collects; queries broadcast; top-k is
+TakeOrdered per query partition. For billion-vector corpora swap the
+brute-force stage for the LSH buckets (same scoring expression).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+N_PLANES = 8
+
+
+def _dot(a: str, b: str) -> Column:
+    """Sequential left-fold dot product in double (order mirrored by
+    the oracle SQL)."""
+    return F.expr(
+        f"""
+        aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
+        """
+    )
+
+
+def embedding_norms(emb: DataFrame) -> DataFrame:
+    """L2 norm per vector."""
+    return emb.select(
+        "vec_id",
+        "label",
+        F.round(F.sqrt(_dot("embedding", "embedding")), 6).alias("l2_norm"),
+    ).orderBy("vec_id")
+
+
+def knn_brute_force(
+    emb: DataFrame, n_queries: int = 5, k: int = 5
+) -> DataFrame:
+    """Exact cosine top-k: queries (vec_id < n_queries) broadcast
+    against the corpus; per-query top-k by (rounded cosine desc,
+    neighbor id) — the deterministic tiebreak keeps ranking
+    engine-independent."""
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("embedding").alias("c_emb"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot("q_emb", "c_emb")
+                / (F.sqrt(_dot("q_emb", "q_emb")) * F.sqrt(_dot("c_emb", "c_emb"))),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "neighbor_label", "cosine")
+        .orderBy("query_id", "rank")
+    )
+
+
+def label_centroids(emb: DataFrame) -> DataFrame:
+    """Per-label centroid, long format (label, dim, value).
+
+    Components accumulate in DECIMAL (exact, order-independent) so the
+    shuffled Spark sum hash-matches the oracle; one cast to double at
+    the end."""
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "label",
+        "dim",
+        F.col("x").cast("double").cast("decimal(28,12)").alias("xd"),
+    )
+    return (
+        exploded.groupBy("label", "dim")
+        .agg(
+            F.round(
+                (F.sum("xd").cast("double") / F.count(F.lit(1))), 6
+            ).alias("centroid")
+        )
+        .orderBy("label", "dim")
+    )
+
+
+def lsh_sign_buckets(emb: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
+    """Sign-random-projection LSH: hyperplanes are the first
+    ``n_planes`` corpus vectors (deterministic, engine-independent —
+    no RNG needed); bucket = bitstring of dot-product signs. Returns
+    bucket occupancy (the candidate-generation structure for
+    approximate search)."""
+    planes = emb.filter(F.col("vec_id") < n_planes).select(
+        F.col("vec_id").alias("plane_id"), F.col("embedding").alias("p_emb")
+    )
+    bits = (
+        emb.crossJoin(F.broadcast(planes))
+        .withColumn(
+            "bit",
+            F.when(_dot("embedding", "p_emb") > 0, F.lit("1")).otherwise(F.lit("0")),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("plane_id", "bit"))
+                    ),
+                    lambda s: s.bit,
+                ),
+            ).alias("bucket")
+        )
+    )
+    return (
+        bits.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("vec_id").alias("min_vec_id"),
+        )
+        .orderBy("bucket")
+    )

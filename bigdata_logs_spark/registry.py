@@ -997,3 +997,105 @@ def q_simhash(spark, sf_dir):
 )
 def q_jaccard_pairs(spark, sf_dir):
     return DD.jaccard_pairs(_docs(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Similarity search over `embeddings` (§2.11)
+# --------------------------------------------------------------------------
+
+from bigdata_logs_spark.operators import similarity as SIM  # noqa: E402
+
+# Sequential-fold dot product (mirrors similarity._dot's evaluation
+# order exactly: left-to-right over dimensions).
+DOT_SQL = (
+    "list_sum(list_transform(range(1, len({a}) + 1), "
+    "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+)
+
+
+def _emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+@register(
+    "embedding_norms",
+    f"""
+    SELECT vec_id, label,
+           ROUND(SQRT({DOT_SQL.format(a='embedding', b='embedding')}), 6) AS l2_norm
+    FROM embeddings ORDER BY vec_id
+    """,
+    tags=("E-1",),
+)
+def q_embedding_norms(spark, sf_dir):
+    return SIM.embedding_norms(_emb(spark, sf_dir))
+
+
+@register(
+    "knn_brute_force",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS q_emb
+      FROM embeddings WHERE vec_id < 5
+    ), scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
+             ROUND({DOT_SQL.format(a='q.q_emb', b='c.embedding')}
+                   / (SQRT({DOT_SQL.format(a='q.q_emb', b='q.q_emb')})
+                      * SQRT({DOT_SQL.format(a='c.embedding', b='c.embedding')})), 6)
+               AS cosine
+      FROM q CROSS JOIN embeddings c
+      WHERE q.query_id != c.vec_id
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, rank::INT AS rank, neighbor_id, neighbor_label, cosine
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+    tags=("E-2",),
+    bench=True,
+)
+def q_knn_brute_force(spark, sf_dir):
+    return SIM.knn_brute_force(_emb(spark, sf_dir))
+
+
+@register(
+    "label_centroids",
+    """
+    WITH exploded AS (
+      SELECT label, i - 1 AS dim,
+             CAST(embedding[i]::DOUBLE AS DECIMAL(28,12)) AS xd
+      FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i)
+    )
+    SELECT label, dim::INT AS dim,
+           ROUND(CAST(SUM(xd) AS DOUBLE) / COUNT(*), 6) AS centroid
+    FROM exploded GROUP BY label, dim ORDER BY label, dim
+    """,
+    tags=("E-3",),
+)
+def q_label_centroids(spark, sf_dir):
+    return SIM.label_centroids(_emb(spark, sf_dir))
+
+
+@register(
+    "lsh_sign_buckets",
+    f"""
+    WITH planes AS (
+      SELECT vec_id AS plane_id, embedding AS p_emb
+      FROM embeddings WHERE vec_id < 8
+    ), bits AS (
+      SELECT e.vec_id,
+             array_to_string(list(
+               CASE WHEN {DOT_SQL.format(a='e.embedding', b='p.p_emb')} > 0
+                    THEN '1' ELSE '0' END ORDER BY p.plane_id), '') AS bucket
+      FROM embeddings e CROSS JOIN planes p
+      GROUP BY e.vec_id
+    )
+    SELECT bucket, COUNT(*)::BIGINT AS n_vecs, MIN(vec_id)::BIGINT AS min_vec_id
+    FROM bits GROUP BY bucket ORDER BY bucket
+    """,
+    tags=("E-4",),
+)
+def q_lsh_sign_buckets(spark, sf_dir):
+    return SIM.lsh_sign_buckets(_emb(spark, sf_dir))
