@@ -1,0 +1,145 @@
+"""Multimodal column plumbing (SURVEY.md §2.11 north-star).
+
+Images/audio/video are opaque ``binary`` columns with typed metadata
+structs. The Spark-side plumbing — schema, partition-parallel Arrow
+batches via ``mapInPandas``, UDF signatures, batch shapes — is real
+and tested; the actual codec work is STUBBED (``decoder="fake"`` is a
+deterministic byte-derived decode; ``decoder="real"`` raises
+``NotImplementedError`` because image/audio libraries are not
+available in this environment — plug Pillow/librosa there on a real
+cluster).
+
+Design for 100 TB of media:
+- binary payloads never shuffle: decode/feature steps are narrow
+  ``mapInPandas`` stages over the scan;
+- metadata-only queries never touch ``content`` (column pruning —
+  keep metadata in separate parquet columns, payload in its own);
+- Arrow batch size is bounded by ``spark.sql.execution.arrow
+  .maxRecordsPerBatch`` so a batch of large blobs fits in memory.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),  # image | audio | video
+        StructField("content", BinaryType()),
+        StructField("declared_width", IntegerType()),
+        StructField("declared_height", IntegerType()),
+    ]
+)
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("checksum", StringType()),
+    ]
+)
+
+
+def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
+    """Deterministic fake media corpus: blob bytes derived from
+    sha256(media_id) — no RNG, reproducible across engines/runs."""
+    def gen():
+        for i in range(n):
+            seed = hashlib.sha256(str(i).encode()).digest()
+            blob = (seed * ((i % 7) + 1))[: 32 + (i % 5) * 16]
+            kind = ("image", "audio", "video")[i % 3]
+            yield (i, kind, bytearray(blob), 16 + i % 8, 16 + i % 4)
+
+    return spark.createDataFrame(gen(), MEDIA_SCHEMA)
+
+
+def decode_media(media: DataFrame, decoder: str = "fake") -> DataFrame:
+    """Decode step as a narrow Arrow-batched mapInPandas stage.
+
+    ``fake``: deterministic pseudo-decode (dims from the first bytes,
+    checksum over the payload) — exercises the full batch path.
+    ``real``: where Pillow/soundfile/ffmpeg would plug in.
+    """
+    if decoder == "real":
+        raise NotImplementedError(
+            "real codecs are not available in this environment; "
+            "plug Pillow/soundfile here and keep the same schema"
+        )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["content"].map(len).astype("int64"),
+                    "width": pdf["content"].map(
+                        lambda b: struct.unpack(">H", bytes(b[:2]))[0] % 4096
+                    ),
+                    "height": pdf["content"].map(
+                        lambda b: struct.unpack(">H", bytes(b[2:4]))[0] % 4096
+                    ),
+                    "checksum": pdf["content"].map(
+                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                    ),
+                }
+            )
+            yield out
+
+    return media.mapInPandas(decode, DECODED_SCHEMA)
+
+
+def frame_sample_offsets(
+    media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8
+) -> DataFrame:
+    """Video frame-sampling plumbing: per video, the byte offsets a
+    real demuxer would seek to — native array expression, bounded
+    output (``max_frames``)."""
+    return (
+        media.filter(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.slice(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.length("content").cast("int") - 1, F.lit(0)),
+                    F.lit(every_n_bytes),
+                ),
+                1,
+                max_frames,
+            ).alias("frame_offsets"),
+        )
+        .orderBy("media_id")
+    )
+
+
+def media_stats(decoded: DataFrame) -> DataFrame:
+    """Metadata-only aggregate (never reads payload bytes when the
+    store splits metadata/payload columns)."""
+    return (
+        decoded.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.countDistinct("checksum").alias("distinct_payloads"),
+        )
+        .orderBy("kind")
+    )

@@ -1099,3 +1099,110 @@ def q_label_centroids(spark, sf_dir):
 )
 def q_lsh_sign_buckets(spark, sf_dir):
     return SIM.lsh_sign_buckets(_emb(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Structured Streaming family (§2.9) — run with availableNow to a
+# memory sink, so the *streaming* execution path produces the result
+# the driver compares against a plain-SQL oracle.
+# --------------------------------------------------------------------------
+
+import os as _os  # noqa: E402
+import tempfile as _tempfile  # noqa: E402
+
+from bigdata_logs_spark.streaming import (  # noqa: E402
+    brute_force_detector,
+    read_ssh_stream,
+    run_stream_to_memory,
+    windowed_event_counts,
+)
+
+
+def _stream_source_dir(spark, sf_dir) -> str:
+    """Materialize the synthesized syslog lines as a text-file
+    directory (the file-tail source)."""
+    tag = _os.path.basename(sf_dir.rstrip("/")) or "sf"
+    out = _os.path.join(_tempfile.gettempdir(), f"bls_stream_src_{tag}")
+    synthesize_ssh_lines(load_table(spark, sf_dir, "events")).coalesce(
+        4
+    ).write.mode("overwrite").text(out)
+    return out
+
+
+@register(
+    "streaming_hourly_counts",
+    SSH_PARSE_CTE
+    + """
+    SELECT strftime(date_trunc('hour',
+             strptime('2024 ' || month || ' ' || day || ' ' || time,
+                      '%Y %b %d %H:%M:%S')), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event, COUNT(*)::BIGINT AS n
+    FROM parsed GROUP BY 1, 2 ORDER BY window_start, event
+    """,
+    tags=("ST-1", "ST-2"),
+)
+def q_streaming_hourly_counts(spark, sf_dir):
+    """Tumbling-hour counts computed BY THE STREAMING ENGINE (file
+    stream -> parse -> window agg -> memory sink, availableNow)."""
+    from pyspark.sql import functions as F
+
+    src = _stream_source_dir(spark, sf_dir)
+    parsed = read_ssh_stream(spark, src)
+    counts = windowed_event_counts(parsed, window="1 hour", watermark=None)
+    name = "bls_hourly_" + _os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    run_stream_to_memory(counts, name, output_mode="complete")
+    return (
+        spark.table(name)
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event",
+            "n",
+        )
+        .orderBy("window_start", "event")
+    )
+
+
+@register(
+    "streaming_brute_force_detector",
+    SSH_PARSE_CTE
+    + """
+    , ts_parsed AS (
+      SELECT ip, strptime('2024 ' || month || ' ' || day || ' ' || time,
+                          '%Y %b %d %H:%M:%S') AS ts
+      FROM parsed
+      WHERE event IN ('failed_password', 'invalid_user', 'auth_failure')
+    )
+    SELECT strftime(date_trunc('minute', ts) - TO_MINUTES(r.i::INT),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           ip, COUNT(*)::BIGINT AS failed_count
+    FROM ts_parsed CROSS JOIN range(0, 10) AS r(i)
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ORDER BY window_start, ip
+    """,
+    tags=("ST-3",),
+)
+def q_streaming_brute_force_detector(spark, sf_dir):
+    """Sliding-window (10 min / 1 min) failed-login detector run on
+    the streaming engine; threshold 2 at test scale."""
+    from pyspark.sql import functions as F
+
+    src = _stream_source_dir(spark, sf_dir)
+    parsed = read_ssh_stream(spark, src)
+    hits = brute_force_detector(
+        parsed, window="10 minutes", slide="1 minute", threshold=2, watermark=None
+    )
+    name = "bls_bforce_" + _os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    run_stream_to_memory(hits, name, output_mode="complete")
+    return (
+        spark.table(name)
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "ip",
+            "failed_count",
+        )
+        .orderBy("window_start", "ip")
+    )

@@ -1,0 +1,15 @@
+from bigdata_logs_spark.streaming.ingest import (
+    brute_force_detector,
+    read_ssh_stream,
+    run_stream_to_memory,
+    stream_dedup,
+    windowed_event_counts,
+)
+
+__all__ = [
+    "brute_force_detector",
+    "read_ssh_stream",
+    "run_stream_to_memory",
+    "stream_dedup",
+    "windowed_event_counts",
+]

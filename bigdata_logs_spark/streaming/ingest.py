@@ -1,0 +1,114 @@
+"""Structured Streaming ingestion (SURVEY.md §2.9).
+
+The reference fakes streaming: Streamlit re-runs a full MongoDB
+collection scan per interaction (``src/stats_dashboard.py:13-18,33``).
+Here the ingestion path is a real incremental pipeline:
+
+    readStream.text(dir) -> parse_ssh_lines -> with_event_time
+        -> watermarked windowed aggregations -> sink
+
+The parse/enrich transforms are the SAME functions the batch path
+uses — DataFrame transforms are source-agnostic, so batch/stream
+parity is by construction, and the batch-equivalence tests assert it.
+
+Semantics upgrade over the reference (documented contract):
+- late rows beyond the watermark are dropped (the reference's
+  full-recompute model has no lateness concept);
+- re-delivered input lines can be deduplicated within the watermark
+  (``stream_dedup``) — the reference blindly appends duplicates on
+  re-run (``src/insert_mongo.py:15``).
+
+State stores: windowed counts and dedup state live in the state
+store (RocksDB on a real cluster); watermarks bound state size, which
+is what makes these operators viable on an unbounded 100 TB/day feed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata_logs_spark.operators.enrich import with_event_time
+from bigdata_logs_spark.operators.parse import parse_ssh_lines
+
+# The reference's suspicious set (src/stats_dashboard.py:82).
+FAILED_EVENTS = ("failed_password", "invalid_user", "auth_failure")
+
+
+def read_ssh_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-tail source: new files in ``path`` picked up per
+    micro-batch (replaces the reference's one-shot readlines)."""
+    raw = spark.readStream.format("text").load(path)
+    return with_event_time(parse_ssh_lines(raw))
+
+
+def windowed_event_counts(
+    parsed: DataFrame, window: str = "1 hour", watermark: str | None = "1 hour"
+) -> DataFrame:
+    """Event-time tumbling window counts per event tag (the streaming
+    form of the reference's per-hour/per-day charts)."""
+    df = parsed
+    if watermark:
+        df = df.withWatermark("ts", watermark)
+    return df.groupBy(F.window("ts", window), F.col("event")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def brute_force_detector(
+    parsed: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "1 minute",
+    threshold: int = 5,
+    watermark: str | None = "30 minutes",
+) -> DataFrame:
+    """Sliding-window brute-force detector: IPs whose failed-login
+    count within any window reaches the threshold. The reference can
+    only compute all-time per-IP totals (src/stats_dashboard.py:109);
+    this is the real-time generalization."""
+    df = parsed.filter(F.col("event").isin(*FAILED_EVENTS))
+    if watermark:
+        df = df.withWatermark("ts", watermark)
+    return (
+        df.groupBy(F.window("ts", window, slide), F.col("ip"))
+        .agg(F.count(F.lit(1)).alias("failed_count"))
+        .filter(F.col("failed_count") >= threshold)
+    )
+
+
+def stream_dedup(parsed: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Exactly-once-per-line within the watermark horizon: fixes the
+    reference's duplicate-on-rerun bug with bounded state."""
+    keyed = parsed.withColumn(
+        "line_key",
+        F.sha2(
+            F.concat_ws(
+                "|", "month", "day", "time", "host", F.col("pid").cast("string"), "message"
+            ),
+            256,
+        ),
+    )
+    return keyed.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["line_key"]
+    )
+
+
+def run_stream_to_memory(
+    df: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+    timeout_sec: int = 120,
+) -> None:
+    """Run a streaming query to a memory sink until all currently
+    available input is processed (availableNow), then stop. The result
+    is readable as ``spark.table(name)``."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:
+        q.stop()

@@ -1,0 +1,90 @@
+"""Streaming semantics: batch-equivalence, micro-batch splits, dedup.
+
+SURVEY.md §5.2(4): feed fixtures in micro-batches through the file
+stream; the final stateful result must equal the batch answer over
+the same rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_logs_spark.operators.enrich import with_event_time
+from bigdata_logs_spark.operators.parse import parse_ssh_lines
+from bigdata_logs_spark.operators.ssh_synth import synthesize_ssh_lines
+from bigdata_logs_spark.streaming import (
+    read_ssh_stream,
+    run_stream_to_memory,
+    stream_dedup,
+    windowed_event_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, events, tmp_path_factory):
+    """Synthesized syslog lines written as TWO file batches (the file
+    source picks them up as separate input splits)."""
+    d = str(tmp_path_factory.mktemp("sshstream"))
+    lines = synthesize_ssh_lines(events)
+    a, b = lines.randomSplit([0.5, 0.5], seed=7)
+    a.coalesce(1).write.mode("append").text(d)
+    b.coalesce(1).write.mode("append").text(d)
+    return d
+
+
+def test_stream_equals_batch_windowed_counts(spark, stream_dir):
+    streamed = windowed_event_counts(
+        read_ssh_stream(spark, stream_dir), window="1 hour", watermark=None
+    )
+    run_stream_to_memory(streamed, "t_hourly", output_mode="complete")
+    got = {
+        (str(r["window"]["start"]), r["event"]): r["n"]
+        for r in spark.table("t_hourly").collect()
+    }
+
+    batch = with_event_time(parse_ssh_lines(spark.read.text(stream_dir)))
+    want = {
+        (str(r["wstart"]), r["event"]): r["n"]
+        for r in batch.groupBy(
+            F.date_trunc("hour", "ts").alias("wstart"), "event"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_stream_dedup_removes_redelivered_lines(spark, stream_dir, tmp_path):
+    # Duplicate the whole input: same lines delivered twice.
+    dup_dir = str(tmp_path / "dup")
+    raw = spark.read.text(stream_dir)
+    raw.coalesce(1).write.mode("append").text(dup_dir)
+    raw.coalesce(1).write.mode("append").text(dup_dir)
+
+    deduped = stream_dedup(read_ssh_stream(spark, dup_dir), watermark="10 hours")
+    run_stream_to_memory(deduped, "t_dedup", output_mode="append")
+    got = spark.table("t_dedup").count()
+    want = (
+        parse_ssh_lines(raw)
+        .select("month", "day", "time", "host", "pid", "message")
+        .distinct()
+        .count()
+    )
+    assert got == want
+
+
+def test_detector_threshold_monotone(spark, stream_dir):
+    from bigdata_logs_spark.streaming import brute_force_detector
+
+    parsed = read_ssh_stream(spark, stream_dir)
+    hits = brute_force_detector(parsed, threshold=2, watermark=None)
+    run_stream_to_memory(hits, "t_det2", output_mode="complete")
+    n2 = spark.table("t_det2").count()
+    hits3 = brute_force_detector(parsed, threshold=3, watermark=None)
+    run_stream_to_memory(hits3, "t_det3", output_mode="complete")
+    n3 = spark.table("t_det3").count()
+    assert n3 <= n2
+    assert spark.table("t_det2").filter(F.col("failed_count") < 2).count() == 0
