@@ -60,20 +60,28 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 
 def minhash_signatures(docs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
     """Banded min-hash: signature for band j = min over shingles of
-    md5(j || '|' || shingle). Narrow projection -> explode to
-    (doc_id, band, sig)."""
-    bands = F.expr(
-        f"""
-        transform(sequence(0, {n_bands - 1}),
-          j -> array_min(transform(shingles,
-                 s -> md5(concat(cast(j AS STRING), '|', s)))))
-        """
-    )
-    return (
+    md5(j || '|' || shingle).
+
+    Shape: explode (doc_id, band, shingle), hash in a codegen'd
+    projection, then hash-aggregate min per (doc_id, band). Hashing
+    inside `transform` lambdas runs on Spark's interpreted expression
+    path (~40x slower here); exploding keeps md5 inside whole-stage
+    codegen, and the map-side partial min compresses the shuffle to
+    n_bands rows per doc regardless of document length.
+    """
+    exploded = (
         docs.withColumn("tokens", _tokens(F.col("text")))
-        .withColumn("shingles", _shingles())
-        .withColumn("band_sigs", bands)
-        .select(F.col("doc_id"), F.posexplode("band_sigs").alias("band", "sig"))
+        .select(F.col("doc_id"), F.explode(_shingles()).alias("shingle"))
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(0, {n_bands - 1})")).alias("band"),
+            "shingle",
+        )
+    )
+    sig = F.md5(F.concat(F.col("band").cast("string"), F.lit("|"), F.col("shingle")))
+    return (
+        exploded.groupBy("doc_id", "band")
+        .agg(F.min(sig).alias("sig"))
         .orderBy("doc_id", "band")
     )
 
