@@ -71,6 +71,29 @@ def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
     return spark.createDataFrame(gen(), MEDIA_SCHEMA)
 
 
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Opaque-binary media table derived deterministically from the
+    ``documents`` fixture (utf-8 text bytes as the payload blob).
+
+    Exists so the multimodal decode path can be ORACLE-CHECKED
+    cross-engine: the payload derivation is expressible in plain SQL,
+    so DuckDB can reproduce the fake decode byte-for-byte (the
+    documents fixture is pure ASCII; verified octet_length == length).
+    """
+    kind = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.lit(None).cast(IntegerType()).alias("declared_width"),
+        F.lit(None).cast(IntegerType()).alias("declared_height"),
+    )
+
+
 def decode_media(media: DataFrame, decoder: str = "fake") -> DataFrame:
     """Decode step as a narrow Arrow-batched mapInPandas stage.
 

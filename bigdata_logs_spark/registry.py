@@ -1102,6 +1102,85 @@ def q_lsh_sign_buckets(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Multimodal columns (§2.11 north-star, M-1..M-3) — opaque binary
+# payloads with typed metadata. Payloads derive deterministically from
+# `documents` (ASCII text -> utf-8 bytes), so even the Arrow-batched
+# mapInPandas fake-decode is fully oracle-checkable: DuckDB reproduces
+# the byte arithmetic with ascii()/length()/md5() on the same rows.
+# --------------------------------------------------------------------------
+
+from bigdata_logs_spark.operators import multimodal as MM  # noqa: E402
+
+MEDIA_CTE = """
+WITH media AS (
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         text
+  FROM documents)
+"""
+
+
+@register(
+    "media_decode",
+    MEDIA_CTE
+    + """
+    SELECT media_id, kind,
+           length(text)::BIGINT AS n_bytes,
+           ((ascii(substr(text, 1, 1)) * 256 + ascii(substr(text, 2, 1)))
+             % 4096)::INT AS width,
+           ((ascii(substr(text, 3, 1)) * 256 + ascii(substr(text, 4, 1)))
+             % 4096)::INT AS height,
+           md5(text) AS checksum
+    FROM media ORDER BY media_id
+    """,
+    tags=("M-1",),
+)
+def q_media_decode(spark, sf_dir):
+    """Arrow-batched mapInPandas decode over binary payloads; the
+    'fake' decoder (dims from leading bytes, md5 checksum) runs the
+    full batch path the real codecs would plug into."""
+    media = MM.media_from_documents(_docs(spark, sf_dir))
+    return MM.decode_media(media).orderBy("media_id")
+
+
+@register(
+    "media_stats",
+    MEDIA_CTE
+    + """
+    SELECT kind, COUNT(*)::BIGINT AS n,
+           SUM(length(text))::BIGINT AS total_bytes,
+           COUNT(DISTINCT md5(text))::BIGINT AS distinct_payloads
+    FROM media GROUP BY kind ORDER BY kind
+    """,
+    tags=("M-2",),
+)
+def q_media_stats(spark, sf_dir):
+    """Metadata-only aggregate over the decoded view (payload column
+    pruned away before the shuffle)."""
+    media = MM.media_from_documents(_docs(spark, sf_dir))
+    return MM.media_stats(MM.decode_media(media))
+
+
+@register(
+    "media_frame_offsets",
+    MEDIA_CTE
+    + """
+    SELECT media_id,
+           list_slice(range(0, length(text), 64), 1, 8) AS frame_offsets
+    FROM media WHERE kind = 'video' ORDER BY media_id
+    """,
+    tags=("M-3",),
+)
+def q_media_frame_offsets(spark, sf_dir):
+    """Video frame-sampling plumbing: bounded per-video list of byte
+    offsets a demuxer would seek to (native array expression)."""
+    media = MM.media_from_documents(_docs(spark, sf_dir))
+    return MM.frame_sample_offsets(media, every_n_bytes=64, max_frames=8)
+
+
+# --------------------------------------------------------------------------
 # Structured Streaming family (§2.9) — run with availableNow to a
 # memory sink, so the *streaming* execution path produces the result
 # the driver compares against a plain-SQL oracle.
