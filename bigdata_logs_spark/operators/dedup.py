@@ -124,31 +124,69 @@ def simhash(docs: DataFrame) -> DataFrame:
 
 
 def jaccard_pairs(
-    docs: DataFrame, max_doc_id: int = 40, threshold: float = 0.05
+    docs: DataFrame, max_doc_id: int = 40, threshold: float = 0.5
 ) -> DataFrame:
-    """Exact shingle-set Jaccard for a bounded pair set (the verify
-    step after LSH candidate generation; bounded here by doc_id so the
-    oracle result is small and deterministic)."""
+    """Exact unigram (token-set) Jaccard for a bounded pair set —
+    the all-pairs exact baseline at test scale (shingle-level verify
+    of LSH candidates is ``near_dup_pairs``)."""
     base = (
         docs.filter(F.col("doc_id") < max_doc_id)
-        .withColumn("tokens", _tokens(F.col("text")))
-        .withColumn("shingles", F.array_distinct(_shingles()))
-        .select("doc_id", "shingles")
+        .select("doc_id", F.array_distinct(_tokens(F.col("text"))).alias("grams"))
     )
-    a = base.select(
-        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
-    )
-    b = base.select(
-        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
-    )
+    a = base.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("g_a"))
+    b = base.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("g_b"))
     pairs = a.join(F.broadcast(b), F.col("doc_a") < F.col("doc_b"))
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    inter = F.size(F.array_intersect(F.col("g_a"), F.col("g_b")))
+    union = F.size(F.array_union(F.col("g_a"), F.col("g_b")))
     return (
         pairs.select(
             "doc_a",
             "doc_b",
-            F.round(inter * 1.0 / union, 4).alias("jaccard"),
+            F.round(inter.cast("double") / union, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def near_dup_pairs(
+    docs: DataFrame, n_bands: int = N_BANDS, threshold: float = 0.05
+) -> DataFrame:
+    """Full near-dup pipeline: MinHash-LSH candidate generation
+    followed by exact shingle-set Jaccard verification.
+
+    Candidates = doc pairs sharing any (band, sig) bucket — by
+    construction they share at least one shingle, so the all-pairs
+    O(n²) never materializes. At scale only the tiny (band, sig,
+    doc_id) triples shuffle for the bucket self-join; production
+    would additionally cap pathological bucket occupancy before the
+    pair expansion."""
+    sigs = minhash_signatures(docs, n_bands)
+    left = sigs.select("band", "sig", F.col("doc_id").alias("doc_a"))
+    right = sigs.select("band", "sig", F.col("doc_id").alias("doc_b"))
+    cand = (
+        left.join(right, ["band", "sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sh = docs.withColumn("tokens", _tokens(F.col("text"))).select(
+        "doc_id", F.array_distinct(_shingles()).alias("shingles")
+    )
+    joined = cand.join(
+        sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
+        "doc_a",
+    ).join(
+        sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")),
+        "doc_b",
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    return (
+        joined.select(
+            "doc_a",
+            "doc_b",
+            F.round(inter.cast("double") / union, 4).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
         .orderBy("doc_a", "doc_b")

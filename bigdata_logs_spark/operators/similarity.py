@@ -107,6 +107,43 @@ def label_centroids(emb: DataFrame) -> DataFrame:
     )
 
 
+def embedding_near_dup(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the exact verify
+    baseline (norms precomputed per side, one dot per pair).
+
+    At test scale the pair set is the full cross product (broadcast
+    nested loop, no shuffle of the corpus). At billion-vector scale
+    the candidate set comes from ``lsh_sign_buckets`` bucket-mates
+    instead — the scoring expression is identical."""
+    n = emb.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(_dot("embedding", "embedding")).alias("nrm"),
+    )
+    a = n.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("e_a"),
+        F.col("nrm").alias("n_a"),
+    )
+    b = n.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("e_b"),
+        F.col("nrm").alias("n_b"),
+    )
+    return (
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(_dot("e_a", "e_b") / (F.col("n_a") * F.col("n_b")), 6).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 def lsh_sign_buckets(emb: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
     """Sign-random-projection LSH: hyperplanes are the first
     ``n_planes`` corpus vectors (deterministic, engine-independent —

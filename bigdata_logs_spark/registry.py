@@ -980,23 +980,58 @@ def q_simhash(spark, sf_dir):
 @register(
     "jaccard_pairs",
     TOKS_CTE
-    + f"""
+    + """
     , base AS (
-      SELECT doc_id, list_distinct({SHINGLES_EXPR}) AS sh
+      SELECT doc_id, list_distinct(tokens) AS g
       FROM toks WHERE doc_id < 40
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
-                 / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+           ROUND(len(list_intersect(a.g, b.g))::DOUBLE
+                 / len(list_distinct(list_concat(a.g, b.g))), 4) AS jaccard
     FROM base a JOIN base b ON a.doc_id < b.doc_id
-    WHERE ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
-                / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.05
+    WHERE ROUND(len(list_intersect(a.g, b.g))::DOUBLE
+                / len(list_distinct(list_concat(a.g, b.g))), 4) >= 0.5
     ORDER BY doc_a, doc_b
     """,
     tags=("DD-4",),
 )
 def q_jaccard_pairs(spark, sf_dir):
     return DD.jaccard_pairs(_docs(spark, sf_dir))
+
+
+@register(
+    "near_dup_pairs",
+    TOKS_CTE
+    + f"""
+    , sh AS (SELECT doc_id, list_distinct({SHINGLES_EXPR}) AS shingles FROM toks)
+    , sigs AS (
+      SELECT doc_id, r.band::INT AS band,
+             list_min(list_transform(shingles,
+               s -> md5(r.band::VARCHAR || '|' || s))) AS sig
+      FROM sh CROSS JOIN range(0, 8) AS r(band)
+    )
+    , cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(len(list_intersect(x.shingles, y.shingles))::DOUBLE
+                 / len(list_distinct(list_concat(x.shingles, y.shingles))), 4)
+             AS jaccard
+    FROM cand JOIN sh x ON cand.doc_a = x.doc_id
+              JOIN sh y ON cand.doc_b = y.doc_id
+    WHERE ROUND(len(list_intersect(x.shingles, y.shingles))::DOUBLE
+                / len(list_distinct(list_concat(x.shingles, y.shingles))), 4)
+          >= 0.05
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("DD-2", "DD-4"),
+)
+def q_near_dup_pairs(spark, sf_dir):
+    """Full near-dup pipeline: MinHash-LSH bucket candidates ->
+    exact shingle-Jaccard verification (no O(n²) pair expansion)."""
+    return DD.near_dup_pairs(_docs(spark, sf_dir))
 
 
 # --------------------------------------------------------------------------
@@ -1099,6 +1134,30 @@ def q_label_centroids(spark, sf_dir):
 )
 def q_lsh_sign_buckets(spark, sf_dir):
     return SIM.lsh_sign_buckets(_emb(spark, sf_dir))
+
+
+@register(
+    "embedding_near_dup",
+    f"""
+    WITH n AS (
+      SELECT vec_id, embedding,
+             SQRT({DOT_SQL.format(a='embedding', b='embedding')}) AS nrm
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND({DOT_SQL.format(a='a.embedding', b='b.embedding')}
+                 / (a.nrm * b.nrm), 6) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE ROUND({DOT_SQL.format(a='a.embedding', b='b.embedding')}
+                / (a.nrm * b.nrm), 6) >= 0.4
+    ORDER BY vec_a, vec_b
+    """,
+    tags=("DD-5", "E-2"),
+)
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (exact verify baseline;
+    LSH sign-buckets supply candidates at billion-vector scale)."""
+    return SIM.embedding_near_dup(_emb(spark, sf_dir))
 
 
 # --------------------------------------------------------------------------

@@ -68,9 +68,11 @@ def main() -> int:
         )
 
     failures, skipped = [], []
+    checked = 0
     for name, spec in REGISTRY.items():
         if only and name not in only:
             continue
+        checked += 1
         try:
             sdf = spec.fn(spark, sf_dir)
             s_cols = sdf.columns
@@ -115,7 +117,7 @@ def main() -> int:
             print(f"  ✓ {name} ({len(s_rows)} rows)")
 
     print(
-        f"\n{len(REGISTRY) - len(failures) - len(skipped)} ok, "
+        f"\n{checked - len(failures) - len(skipped)} ok, "
         f"{len(skipped)} rows-only, {len(failures)} FAILED"
     )
     for name, why in failures:
