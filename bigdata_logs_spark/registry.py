@@ -387,6 +387,40 @@ def q_profile_percentages_long(spark, sf_dir):
     return D.profile_percentages_long(D.entity_profile(_events(spark, sf_dir)))
 
 
+@register(
+    "props_key_distribution",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k_value,
+           COUNT(*)::BIGINT AS n,
+           ROUND(SUM(CAST(value AS DECIMAL(28, 6)))::DOUBLE, 2) AS total_value
+    FROM events
+    GROUP BY 1 ORDER BY k_value
+    """,
+    tags=("F-1",),
+)
+def q_props_key_distribution(spark, sf_dir):
+    """Semi-structured scalar path: JSON field extraction from the
+    `props` column (get_json_object) feeding a grouped aggregate —
+    stays inside whole-stage codegen, no UDF."""
+    from pyspark.sql import functions as F
+
+    return (
+        _events(spark, sf_dir)
+        .select(
+            F.get_json_object("props", "$.k").cast("int").alias("k_value"),
+            "value",
+        )
+        .groupBy("k_value")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(28,6)")).cast("double"), 2
+            ).alias("total_value"),
+        )
+        .orderBy("k_value")
+    )
+
+
 # --------------------------------------------------------------------------
 # SSH parse family (P-1..P-15) over lines synthesized from `events`
 # --------------------------------------------------------------------------
@@ -567,6 +601,154 @@ def q_ssh_events_per_day(spark, sf_dir):
         parsed.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("date"))
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("date")
+    )
+
+
+@register(
+    "ssh_root_admin_attempts",
+    SSH_PARSE_CTE
+    + """
+    SELECT ip, COUNT(*)::BIGINT AS attempts FROM parsed
+    WHERE event IN ('failed_password', 'invalid_user', 'auth_failure')
+      AND lower(COALESCE(user, '')) IN ('root', 'admin')
+    GROUP BY ip ORDER BY attempts DESC, ip
+    """,
+    tags=("D-1", "D-4", "D-5"),
+)
+def q_ssh_root_admin_attempts(spark, sf_dir):
+    """Per-source root/admin attack attempts: null-replace (D-1),
+    suspicious-event IN-list (D-4), case-insensitive user IN (D-5) —
+    the filter trio from stats_dashboard.py:23,112,114."""
+    from pyspark.sql import functions as F
+
+    parsed = parse_ssh_lines(_ssh_lines(spark, sf_dir))
+    return (
+        parsed.withColumn("user", F.coalesce(F.col("user"), F.lit("")))
+        .filter(F.col("event").isin("failed_password", "invalid_user", "auth_failure"))
+        .filter(F.lower(F.col("user")).isin("root", "admin"))
+        .groupBy("ip")
+        .agg(F.count(F.lit(1)).alias("attempts"))
+        .orderBy(F.desc("attempts"), F.asc("ip"))
+    )
+
+
+@register(
+    "ssh_latest_events",
+    SSH_PARSE_CTE
+    + """
+    SELECT strftime(strptime('2024 ' || month || ' ' || day || ' ' || time,
+                             '%Y %b %d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS ts,
+           host, pid, event, message
+    FROM parsed
+    ORDER BY ts DESC, host, pid, event, message LIMIT 10
+    """,
+    tags=("D-36", "D-38"),
+)
+def q_ssh_latest_events(spark, sf_dir):
+    """Most-recent-events preview (sort desc + limit, D-36/D-38).
+    The sort key is the full output row, so ties at the limit
+    boundary are identical rows and the result stays deterministic.
+    Catalyst plans this as TakeOrderedAndProject (distributed top-k,
+    no global sort)."""
+    from pyspark.sql import functions as F
+
+    parsed = with_event_time(parse_ssh_lines(_ssh_lines(spark, sf_dir)))
+    return (
+        parsed.select(
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+            "host",
+            "pid",
+            "event",
+            "message",
+        )
+        .orderBy(
+            F.desc("ts"), F.asc("host"), F.asc("pid"), F.asc("event"), F.asc("message")
+        )
+        .limit(10)
+    )
+
+
+@register(
+    "store_roundtrip",
+    SSH_PARSE_CTE
+    + """
+    SELECT strftime(strptime('2024 ' || month || ' ' || day || ' ' || time,
+                             '%Y %b %d %H:%M:%S'), '%Y-%m-%d') AS date,
+           COUNT(*)::BIGINT AS n,
+           COUNT(DISTINCT ip)::BIGINT AS distinct_ips,
+           COUNT(port)::BIGINT AS with_port
+    FROM parsed GROUP BY 1 ORDER BY date
+    """,
+    tags=("S-4", "S-5"),
+)
+def q_store_roundtrip(spark, sf_dir):
+    """Canonical-store fidelity: parse -> write date-partitioned
+    parquet (append-mode sink standing in for the reference's Mongo
+    insert_many) -> re-read -> aggregate. Partitioning by date gives
+    the time-ranged dashboard queries partition pruning at scale;
+    the oracle checks the hop was lossless."""
+    import os as _o
+    import tempfile as _t
+
+    from pyspark.sql import functions as F
+
+    from bigdata_logs_spark.sources import write_parquet
+
+    parsed = with_event_time(parse_ssh_lines(_ssh_lines(spark, sf_dir))).withColumn(
+        "date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    tag = _o.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    store = _o.path.join(_t.gettempdir(), f"bls_store_{tag}")
+    write_parquet(parsed, store, mode="overwrite", partition_by=("date",))
+    back = spark.read.parquet(store)
+    return (
+        back.groupBy("date")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("ip").alias("distinct_ips"),
+            F.count("port").alias("with_port"),
+        )
+        .orderBy("date")
+    )
+
+
+@register(
+    "csv_roundtrip",
+    SSH_PARSE_CTE
+    + """
+    SELECT event, COUNT(*)::BIGINT AS n,
+           COUNT(port)::BIGINT AS with_port,
+           COUNT(user)::BIGINT AS with_user
+    FROM parsed GROUP BY event ORDER BY event
+    """,
+    tags=("S-2", "S-3"),
+)
+def q_csv_roundtrip(spark, sf_dir):
+    """CSV interchange fidelity: write header CSV with a null
+    sentinel, re-read with the EXPLICIT parse schema (the reference
+    re-infers types at this hop and corrupts null/int columns,
+    src/insert_mongo.py:7) -> aggregate; the oracle computed from the
+    pre-CSV rows proves the hop was lossless."""
+    import os as _o
+    import tempfile as _t
+
+    from pyspark.sql import functions as F
+
+    from bigdata_logs_spark.sources import read_csv, write_csv
+
+    parsed = parse_ssh_lines(_ssh_lines(spark, sf_dir))
+    tag = _o.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    out = _o.path.join(_t.gettempdir(), f"bls_csv_{tag}")
+    write_csv(parsed, out)
+    back = read_csv(spark, out, parsed.schema)
+    return (
+        back.groupBy("event")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("port").alias("with_port"),
+            F.count("user").alias("with_user"),
+        )
+        .orderBy("event")
     )
 
 

@@ -2,8 +2,18 @@ from bigdata_logs_spark.sources.io import (
     TABLES,
     load_table,
     load_tables,
+    read_csv,
     read_ssh_log_text,
+    write_csv,
     write_parquet,
 )
 
-__all__ = ["TABLES", "load_table", "load_tables", "read_ssh_log_text", "write_parquet"]
+__all__ = [
+    "TABLES",
+    "load_table",
+    "load_tables",
+    "read_csv",
+    "read_ssh_log_text",
+    "write_csv",
+    "write_parquet",
+]

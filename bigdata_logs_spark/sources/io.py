@@ -66,6 +66,36 @@ def read_ssh_log_text(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.text(path)
 
 
+# Sentinel distinguishing NULL from empty string across the CSV hop —
+# the reference loses exactly this distinction (its CSV round-trip turns
+# None into NaN/'', ``src/insert_mongo.py:7``); an explicit sentinel +
+# explicit schema make the hop lossless.
+CSV_NULL = "\\N"
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Header CSV sink (reference S-2, ``src/parse_logs.py:110``) —
+    kept for interchange; the canonical store is Parquet."""
+    (
+        df.write.mode(mode)
+        .option("header", True)
+        .option("nullValue", CSV_NULL)
+        .csv(path)
+    )
+
+
+def read_csv(spark: SparkSession, path: str, schema) -> DataFrame:
+    """CSV source with EXPLICIT schema (reference S-3,
+    ``src/insert_mongo.py:6-7`` re-infers types on every read — the
+    drift point this engine eliminates)."""
+    return (
+        spark.read.option("header", True)
+        .option("nullValue", CSV_NULL)
+        .schema(schema)
+        .csv(path)
+    )
+
+
 def write_parquet(
     df: DataFrame,
     path: str,
