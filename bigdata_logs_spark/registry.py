@@ -1526,3 +1526,99 @@ def q_streaming_brute_force_detector(spark, sf_dir):
         )
         .orderBy("window_start", "ip")
     )
+
+
+@register(
+    "attack_sessions",
+    SSH_PARSE_CTE
+    + """
+    , t AS (
+      SELECT ip, strptime('2024 ' || month || ' ' || day || ' ' || time,
+                          '%Y %b %d %H:%M:%S') AS ts
+      FROM parsed
+      WHERE event IN ('failed_password', 'invalid_user', 'auth_failure')
+        AND ip IS NOT NULL
+    ), flagged AS (
+      SELECT ip, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY ip ORDER BY ts)
+                       <= INTERVAL 5 MINUTE
+                  THEN 0 ELSE 1 END AS new_session
+      FROM t
+    ), sess AS (
+      SELECT ip, ts,
+             SUM(new_session) OVER (PARTITION BY ip ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT ip,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts) + INTERVAL 5 MINUTE, '%Y-%m-%d %H:%M:%S')
+             AS session_end,
+           COUNT(*)::BIGINT AS n_failed
+    FROM sess GROUP BY ip, session_id
+    ORDER BY ip, session_start
+    """,
+    tags=("ST-4",),
+)
+def q_attack_sessions(spark, sf_dir):
+    """Idle-gap attack sessions per source IP via session_window
+    (5-minute gap): the stretch-goal operator from SURVEY.md §2.9.
+    Native session_window (batch here; the same expression runs under
+    Structured Streaming with a watermark); the oracle proves the
+    semantics against a gaps-and-islands SQL formulation."""
+    from pyspark.sql import functions as F
+
+    parsed = with_event_time(parse_ssh_lines(_ssh_lines(spark, sf_dir)))
+    return (
+        parsed.filter(
+            F.col("event").isin("failed_password", "invalid_user", "auth_failure")
+            & F.col("ip").isNotNull()
+        )
+        .groupBy(F.session_window("ts", "5 minutes"), F.col("ip"))
+        .agg(F.count(F.lit(1)).alias("n_failed"))
+        .select(
+            "ip",
+            F.date_format(F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format(F.col("session_window.end"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"
+            ),
+            "n_failed",
+        )
+        .orderBy("ip", "session_start")
+    )
+
+
+@register(
+    "streaming_dedup_counts",
+    SSH_PARSE_CTE
+    + """
+    SELECT event, COUNT(DISTINCT month || '|' || day::VARCHAR || '|' || time
+             || '|' || host || '|' || pid::VARCHAR || '|' || message)::BIGINT
+             AS distinct_lines
+    FROM parsed GROUP BY event ORDER BY event
+    """,
+    tags=("ST-5",),
+)
+def q_streaming_dedup_counts(spark, sf_dir):
+    """Stateful streaming dedup (dropDuplicatesWithinWatermark on a
+    line hash, bounded state): fixes the reference's
+    duplicate-on-rerun append (src/insert_mongo.py:15). Runs on the
+    streaming engine; the oracle is the distinct-line count per
+    event."""
+    from pyspark.sql import functions as F
+
+    from bigdata_logs_spark.streaming import stream_dedup
+
+    src = _stream_source_dir(spark, sf_dir)
+    parsed = read_ssh_stream(spark, src)
+    deduped = stream_dedup(parsed, watermark="1 hour")
+    name = "bls_dedup_" + _os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    run_stream_to_memory(deduped, name, output_mode="append")
+    return (
+        spark.table(name)
+        .groupBy("event")
+        .agg(F.count(F.lit(1)).alias("distinct_lines"))
+        .orderBy("event")
+    )
