@@ -92,6 +92,19 @@ def q_global_metrics(spark, sf_dir):
 
 
 @register(
+    "global_metrics_approx",
+    None,  # HLL sketches differ across engines — rows-only check.
+    tags=("D-19",),
+)
+def q_global_metrics_approx(spark, sf_dir):
+    """100 TB variant of D-19: approx_count_distinct (HLL++) replaces
+    the exact global distinct — no exact distinct over billions of
+    keys. Deterministic for fixed input but engine-specific, so no
+    cross-engine oracle."""
+    return D.global_metrics_approx(_events(spark, sf_dir))
+
+
+@register(
     "event_type_counts",
     """
     SELECT event_type, COUNT(*)::BIGINT AS n
