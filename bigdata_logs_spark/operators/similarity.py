@@ -107,6 +107,100 @@ def label_centroids(emb: DataFrame) -> DataFrame:
     )
 
 
+def _l2(a: str, b: str) -> Column:
+    """Squared L2 distance, sequential left fold (oracle-mirrored)."""
+    return F.expr(
+        f"""
+        aggregate(zip_with({a}, {b},
+                    (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),
+                  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
+        """
+    )
+
+
+def centroid_vectors(emb: DataFrame) -> DataFrame:
+    """Per-label centroid as a dense double array (cell, cvec) — the
+    coarse quantizer for IVF. DECIMAL-accumulated means rounded at 6,
+    so both engines derive bit-identical centroids."""
+    exploded = emb.select("label", F.posexplode("embedding").alias("dim", "x")).select(
+        "label", "dim", F.col("x").cast("double").cast("decimal(28,12)").alias("xd")
+    )
+    cent_long = exploded.groupBy("label", "dim").agg(
+        F.round(F.sum("xd").cast("double") / F.count(F.lit(1)), 6).alias("c")
+    )
+    return (
+        cent_long.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("dim"), F.col("c")))),
+                lambda s: s.c,
+            ).alias("cvec")
+        )
+        .select(F.col("label").alias("cell"), "cvec")
+    )
+
+
+def ann_ivf_topk(
+    emb: DataFrame, n_queries: int = 5, k: int = 5, nprobe: int = 2
+) -> DataFrame:
+    """IVF-Flat approximate nearest neighbor: assign every vector to
+    its nearest coarse centroid (inverted lists), probe the query's
+    ``nprobe`` nearest cells, exact cosine top-k within the probed
+    lists only.
+
+    At scale the centroid table is tiny and broadcast; the corpus
+    never shuffles for assignment (narrow crossJoin against the
+    broadcast quantizer), and search touches ~nprobe/n_cells of the
+    corpus instead of all of it. Rounded distances + label tiebreaks
+    keep cell assignment engine-independent."""
+    cent = centroid_vectors(emb)
+    ranked = (
+        emb.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "embedding",
+            "cell",
+            F.round(_l2("embedding", "cvec"), 6).alias("dist"),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cell"))
+            ),
+        )
+    )
+    assign = ranked.filter(F.col("rnk") == 1).select(
+        F.col("vec_id").alias("neighbor_id"),
+        "cell",
+        F.col("embedding").alias("n_emb"),
+    )
+    probes = ranked.filter(
+        (F.col("vec_id") < n_queries) & (F.col("rnk") <= nprobe)
+    ).select(F.col("vec_id").alias("query_id"), "cell", F.col("embedding").alias("q_emb"))
+    scored = (
+        F.broadcast(probes)
+        .join(assign, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cell",
+            F.round(
+                _dot("q_emb", "n_emb")
+                / (F.sqrt(_dot("q_emb", "q_emb")) * F.sqrt(_dot("n_emb", "n_emb"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cell", "cosine")
+        .orderBy("query_id", "rank")
+    )
+
+
 def embedding_near_dup(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — the exact verify
     baseline (norms precomputed per side, one dot per pair).

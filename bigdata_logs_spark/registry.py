@@ -1355,6 +1355,62 @@ def q_embedding_near_dup(spark, sf_dir):
     return SIM.embedding_near_dup(_emb(spark, sf_dir))
 
 
+L2_SQL = (
+    "list_sum(list_transform(range(1, len({a}) + 1), "
+    "i -> ({a}[i]::DOUBLE - {b}[i]) * ({a}[i]::DOUBLE - {b}[i])))"
+)
+
+
+@register(
+    "ann_ivf_topk",
+    f"""
+    WITH exploded AS (
+      SELECT label, i - 1 AS dim,
+             CAST(embedding[i]::DOUBLE AS DECIMAL(28,12)) AS xd
+      FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i)
+    ), cent AS (
+      SELECT label AS cell, list(c ORDER BY dim) AS cvec FROM (
+        SELECT label, dim, ROUND(CAST(SUM(xd) AS DOUBLE) / COUNT(*), 6) AS c
+        FROM exploded GROUP BY label, dim)
+      GROUP BY label
+    ), ranked AS (
+      SELECT e.vec_id, e.embedding, c.cell,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+               ROUND({L2_SQL.format(a='e.embedding', b='c.cvec')}, 6), c.cell)
+               AS rnk
+      FROM embeddings e CROSS JOIN cent c
+    ), assign AS (
+      SELECT vec_id AS neighbor_id, cell, embedding AS n_emb
+      FROM ranked WHERE rnk = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, cell, embedding AS q_emb
+      FROM ranked WHERE vec_id < 5 AND rnk <= 2
+    ), scored AS (
+      SELECT p.query_id, a.neighbor_id, a.cell,
+             ROUND({DOT_SQL.format(a='p.q_emb', b='a.n_emb')}
+                   / (SQRT({DOT_SQL.format(a='p.q_emb', b='p.q_emb')})
+                      * SQRT({DOT_SQL.format(a='a.n_emb', b='a.n_emb')})), 6)
+               AS cosine
+      FROM probes p JOIN assign a USING (cell)
+      WHERE p.query_id != a.neighbor_id
+    ), topk AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, rank::INT AS rank, neighbor_id, cell, cosine
+    FROM topk WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+    tags=("E-5",),
+)
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-Flat ANN: label-centroid coarse quantizer, nprobe=2 cell
+    probing, exact cosine re-rank within the probed inverted lists
+    (the scale path beside the sign-LSH buckets)."""
+    return SIM.ann_ivf_topk(_emb(spark, sf_dir))
+
+
 # --------------------------------------------------------------------------
 # Multimodal columns (§2.11 north-star, M-1..M-3) — opaque binary
 # payloads with typed metadata. Payloads derive deterministically from

@@ -1,0 +1,111 @@
+"""Dedup + similarity invariants: partition independence, candidate
+containment, IVF recall sanity (SURVEY.md §5.2 property strategy)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_logs_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_signatures,
+    near_dup_pairs,
+)
+from bigdata_logs_spark.operators.similarity import (
+    ann_ivf_topk,
+    centroid_vectors,
+    embedding_near_dup,
+    knn_brute_force,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    from bigdata_logs_spark.sources import load_table
+
+    return load_table(spark, sf_dir, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    from bigdata_logs_spark.sources import load_table
+
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+def test_minhash_partition_invariant(docs):
+    one = sorted(map(str, minhash_signatures(docs.repartition(1)).collect()))
+    many = sorted(map(str, minhash_signatures(docs.repartition(7)).collect()))
+    assert one == many
+
+
+def test_minhash_covers_every_doc_every_band(docs):
+    sigs = minhash_signatures(docs)
+    n_docs = docs.count()
+    assert sigs.count() == n_docs * 8
+    per_doc = sigs.groupBy("doc_id").count().select(F.min("count"), F.max("count"))
+    lo, hi = per_doc.first()
+    assert lo == hi == 8
+
+
+def test_exact_dedup_partition_sums(docs):
+    dd = exact_dedup(docs)
+    # every source row is accounted for by exactly one winner
+    assert dd.agg(F.sum("dup_count")).first()[0] == docs.count()
+
+
+def test_near_dup_pairs_share_a_shingle(docs):
+    # candidate pairs come from shared minhash buckets => jaccard > 0
+    pairs = near_dup_pairs(docs, threshold=0.0)
+    assert pairs.filter(F.col("jaccard") <= 0).count() == 0
+    assert pairs.filter(F.col("doc_a") >= F.col("doc_b")).count() == 0
+
+
+def test_jaccard_pairs_bounded(docs):
+    pairs = jaccard_pairs(docs, max_doc_id=40, threshold=0.5)
+    bad = pairs.filter((F.col("jaccard") < 0.5) | (F.col("jaccard") > 1.0))
+    assert bad.count() == 0
+
+
+def test_embedding_near_dup_symmetric_free(emb):
+    pairs = embedding_near_dup(emb, threshold=-1.0)
+    n = emb.count()
+    assert pairs.count() == n * (n - 1) // 2  # each unordered pair once
+
+
+def test_ivf_assignment_partitions_corpus(emb):
+    cent = centroid_vectors(emb)
+    assert cent.count() == emb.select("label").distinct().count()
+    dims = cent.select(F.size("cvec").alias("d")).distinct().collect()
+    assert len(dims) == 1
+
+
+def test_ivf_results_subset_of_brute_force_corpus(emb):
+    ivf = ann_ivf_topk(emb, n_queries=3, k=5, nprobe=2)
+    rows = ivf.collect()
+    assert all(r.query_id != r.neighbor_id for r in rows)
+    # per-query ranks are 1..n without gaps
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_ivf_agrees_with_brute_force_on_probed_cells(emb):
+    """IVF cosine scores must equal brute-force scores for the same
+    (query, neighbor) pairs — probing changes the candidate set, never
+    the metric."""
+    ivf = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in ann_ivf_topk(emb, n_queries=3, k=5, nprobe=2).collect()
+    }
+    bf = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in knn_brute_force(emb, n_queries=3, k=200).collect()
+    }
+    overlap = set(ivf) & set(bf)
+    assert overlap, "IVF found pairs brute force never scored"
+    for pair in overlap:
+        assert ivf[pair] == bf[pair]
