@@ -12,6 +12,7 @@ text -> 0 tokens.
 
 from __future__ import annotations
 
+import pandas  # noqa: F401  (resolves stringified pandas_udf type hints)
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -149,3 +150,79 @@ def fingerprints(docs: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def doc_length_zscores(docs: DataFrame) -> DataFrame:
+    """Per-language z-score of document length via grouped-map
+    ``applyInPandas`` — the engine's sanctioned Python extension point
+    (Arrow-batched, one pandas frame per group; SURVEY.md §2.10).
+
+    Group moments use integer sums (exact regardless of row order
+    inside the pandas frame), then a fixed float expression — so the
+    result is deterministic and cross-engine checkable even though a
+    Python worker computes it. At scale: one shuffle on ``lang``;
+    each group must fit one worker (fine for a bounded language set —
+    use the native-expression path for unbounded keys).
+    """
+    import math
+
+    import pandas as pd
+
+    def zscores(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["n_chars"].astype("int64")
+        n = len(x)
+        sx = int(x.sum())
+        sxx = int((x * x).sum())
+        mean = sx / n
+        var = sxx / n - (sx / n) * (sx / n)
+        if var > 0:
+            std = math.sqrt(var)
+            z = ((x - mean) / std).round(4)
+        else:
+            z = pd.Series([None] * n, dtype="float64")
+        return pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "lang": pdf["lang"], "n_chars": x, "z": z}
+        )
+
+    return (
+        docs.select("doc_id", "lang", "n_chars")
+        .groupBy("lang")
+        .applyInPandas(zscores, "doc_id bigint, lang string, n_chars bigint, z double")
+        .orderBy("doc_id")
+    )
+
+
+def token_counts_pandas_udf(docs: DataFrame) -> DataFrame:
+    """Scalar ``@pandas_udf`` variant of ``token_counts`` — the
+    vectorized series->series extension point (SURVEY.md §2.10 U-2).
+
+    Same tokenization contract as the native path, so both produce
+    hash-identical results; the native expression remains the hot
+    path (JVM codegen beats Arrow round-trips when built-ins can
+    express the op — this exists to prove the escape hatch).
+    """
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    ws = re.compile(r"\s+")
+
+    # NB: this module uses `from __future__ import annotations`, which
+    # stringifies type hints; pandas must be resolvable in module
+    # globals for Spark's signature inspection.
+    @pandas_udf("int")
+    def n_tokens(text: "pandas.Series") -> "pandas.Series":  # noqa: F821
+        return text.map(lambda t: len(ws.split(t.strip())) if t.strip() else 0)
+
+    @pandas_udf("int")
+    def n_distinct(text: "pandas.Series") -> "pandas.Series":  # noqa: F821
+        return text.map(
+            lambda t: len(set(ws.split(t.strip()))) if t.strip() else 0
+        )
+
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_tokens(F.col("text")).alias("n_tokens"),
+        n_distinct(F.col("text")).alias("n_distinct_tokens"),
+    ).orderBy("doc_id")

@@ -1085,6 +1085,47 @@ def q_lang_id(spark, sf_dir):
 
 
 @register(
+    "token_counts_pandas_udf",
+    TOKS_CTE
+    + """
+    SELECT doc_id, lang, len(tokens)::INT AS n_tokens,
+           len(list_distinct(tokens))::INT AS n_distinct_tokens
+    FROM toks ORDER BY doc_id
+    """,
+    tags=("U-2",),
+)
+def q_token_counts_pandas_udf(spark, sf_dir):
+    """Scalar @pandas_udf (Arrow series->series) twin of the native
+    token_counts — proves the vectorized Python escape hatch yields
+    hash-identical results to the JVM expression path."""
+    return TX.token_counts_pandas_udf(_docs(spark, sf_dir))
+
+
+@register(
+    "doc_length_zscores",
+    """
+    SELECT doc_id, lang, n_chars::BIGINT AS n_chars,
+           CASE WHEN var > 0
+                THEN ROUND((n_chars - mean) / SQRT(var), 4) END AS z
+    FROM (
+      SELECT doc_id, lang, n_chars,
+             (SUM(n_chars) OVER w)::DOUBLE / (COUNT(*) OVER w) AS mean,
+             (SUM(n_chars * n_chars) OVER w)::DOUBLE / (COUNT(*) OVER w)
+               - ((SUM(n_chars) OVER w)::DOUBLE / (COUNT(*) OVER w))
+                 * ((SUM(n_chars) OVER w)::DOUBLE / (COUNT(*) OVER w)) AS var
+      FROM documents WINDOW w AS (PARTITION BY lang)
+    ) ORDER BY doc_id
+    """,
+    tags=("U-1",),
+)
+def q_doc_length_zscores(spark, sf_dir):
+    """Grouped-map applyInPandas (Arrow-batched pandas per lang
+    group): per-language length z-scores with integer-exact moments,
+    so the Python-worker path is still oracle-checkable."""
+    return TX.doc_length_zscores(_docs(spark, sf_dir))
+
+
+@register(
     "fingerprints",
     TOKS_CTE
     + """
