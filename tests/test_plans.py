@@ -1,0 +1,75 @@
+"""Physical-plan regression tests: the scale properties SURVEY.md §4
+promises must be visible in the plans Catalyst actually produces —
+pushdown, column pruning, broadcast joins, distributed top-k,
+whole-stage codegen. A correctness-preserving edit that silently
+degrades one of these (e.g. a lost filter pushdown) fails here, not
+in a 100 TB incident."""
+
+from __future__ import annotations
+
+import pytest
+
+from bigdata_logs_spark.registry import REGISTRY
+
+
+def _plan(spark, name, sf_dir) -> str:
+    df = REGISTRY[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_star_join_broadcasts_dimensions(spark, sf_dir):
+    plan = _plan(spark, "top_revenue_customers", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_is_distributed_not_global_sort(spark, sf_dir):
+    plan = _plan(spark, "ssh_latest_events", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_equality_filter_pushes_down_to_scan(spark, sf_dir):
+    plan = _plan(spark, "events_of_type", sf_dir)
+    assert "PushedFilters: [" in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("event_type" in l for l in pushed)
+
+
+def test_lang_stats_prunes_text_column(spark, sf_dir):
+    plan = _plan(spark, "doc_stats_by_lang", sf_dir)
+    read = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read and all("text" not in l for l in read)
+
+
+def test_parse_path_is_codegenned(spark, sf_dir):
+    plan = _plan(spark, "ssh_parse_full", sf_dir)
+    # formatted mode marks whole-stage-codegen membership per node
+    assert "[codegen id :" in plan
+
+
+def test_minhash_has_partial_aggregation(spark, sf_dir):
+    # map-side partial min before the (doc_id, band) exchange —
+    # min(string) uses SortAggregate (string agg buffers aren't
+    # mutable-row types), but the partial/final split is what bounds
+    # the shuffle to n_bands rows per doc
+    plan = _plan(spark, "minhash_signatures", sf_dir)
+    assert plan.count("HashAggregate") + plan.count("SortAggregate") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_knn_broadcasts_queries(spark, sf_dir):
+    # the intended nested loop: tiny query set broadcast, corpus never
+    # shuffles
+    plan = _plan(spark, "knn_brute_force", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["entity_profile", "event_type_counts", "regional_revenue"],
+)
+def test_no_cartesian_products_anywhere(spark, sf_dir, name):
+    assert "CartesianProduct" not in _plan(spark, name, sf_dir)
