@@ -1,0 +1,89 @@
+"""Property-based tests (SURVEY.md §5.2): the parser totals always
+account for every input line and never throw, on adversarial
+generated syslog; aggregates are invariant to row order and
+partitioning. Each hypothesis example is a whole batch of lines so
+one Spark job covers it."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from bigdata_logs_spark.operators.parse import MASTER_RE, parse_ssh_lines
+
+MONTHS = ["Jan", "Feb", "Mar", "Jun", "Dec"]
+MESSAGES = [
+    "Invalid user {w} from 192.0.2.{n}",
+    "Failed password for {w} from 10.0.0.{n} port {p} ssh2",
+    "pam_unix(sshd:auth): authentication failure; logname= uid={n} "
+    "euid=0 tty=ssh ruser= rhost=198.51.100.{n}",
+    "Connection closed by 172.16.0.{n} [preauth]",
+    "Received disconnect from 10.1.{n}.{n}: 11: Bye Bye",
+    "Did not receive identification string from 203.0.113.{n}",
+    "{w}",  # arbitrary junk message
+]
+
+words = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz0123456789", min_size=1, max_size=10
+)
+
+
+@st.composite
+def syslog_line(draw):
+    shape = draw(st.integers(0, len(MESSAGES)))
+    if shape == len(MESSAGES):
+        # totally arbitrary printable line (must be dropped, not crash)
+        return draw(
+            st.text(
+                alphabet=st.characters(
+                    codec="ascii", exclude_categories=("Cc", "Cs")
+                ),
+                max_size=80,
+            )
+        )
+    msg = MESSAGES[shape].format(
+        w=draw(words), n=draw(st.integers(0, 255)), p=draw(st.integers(1, 65535))
+    )
+    return (
+        f"{draw(st.sampled_from(MONTHS))} {draw(st.integers(1, 31))} "
+        f"{draw(st.integers(0, 23)):02d}:{draw(st.integers(0, 59)):02d}:"
+        f"{draw(st.integers(0, 59)):02d} host{draw(st.integers(0, 9))} "
+        f"sshd[{draw(st.integers(1, 99999))}]: {msg}"
+    )
+
+
+SCHEMA = StructType([StructField("value", StringType())])
+
+
+@given(st.lists(syslog_line(), min_size=1, max_size=60))
+@settings(max_examples=12, deadline=None)
+def test_parser_never_throws_and_accounts_for_every_line(spark, lines):
+    df = spark.createDataFrame([(l,) for l in lines], SCHEMA)
+    parsed = parse_ssh_lines(df)
+    n_parsed = parsed.count()
+    n_match = df.filter(F.col("value").rlike(MASTER_RE)).count()
+    assert n_parsed == n_match  # parse-or-drop, nothing else
+    # every parsed row keeps the non-null master fields
+    assert parsed.filter(F.col("month").isNull() | F.col("message").isNull()).count() == 0
+    # the event classifier is total: no nulls, unknown shapes -> other
+    assert parsed.filter(F.col("event").isNull()).count() == 0
+
+
+def test_profile_invariant_under_partitioning(spark, events):
+    from bigdata_logs_spark.operators.dashboard import entity_profile
+
+    base = sorted(map(str, entity_profile(events.repartition(1)).collect()))
+    for k in (3, 16):
+        alt = sorted(map(str, entity_profile(events.repartition(k)).collect()))
+        assert alt == base
+
+
+def test_profile_invariant_under_row_order(spark, events):
+    from bigdata_logs_spark.operators.dashboard import entity_profile
+
+    shuffled = events.orderBy(F.rand(seed=7))
+    a = sorted(map(str, entity_profile(events).collect()))
+    b = sorted(map(str, entity_profile(shuffled).collect()))
+    assert a == b
