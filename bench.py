@@ -41,10 +41,12 @@ def main() -> None:
     spark = get_spark("bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # JVM/codegen warmup on a cheap query so q1 isn't charged for it.
-    from bigdata_logs_spark.sources import load_table
+    # JVM/codegen warmup + parquet footer reads for every input table,
+    # so each timed query measures the query, not first-touch costs.
+    from bigdata_logs_spark.sources import TABLES, load_table
 
-    load_table(spark, sf_dir, "events").limit(10).count()
+    for t in TABLES:
+        load_table(spark, sf_dir, t).limit(10).count()
 
     names = [n for n in HEADLINE if n in REGISTRY]
     names += [n for n in REGISTRY if n not in names and REGISTRY[n].bench]
