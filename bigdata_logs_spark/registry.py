@@ -401,6 +401,49 @@ def q_profile_percentages_long(spark, sf_dir):
 
 
 @register(
+    "returning_users",
+    """
+    SELECT user_id FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+    INTERSECT
+    SELECT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+    ORDER BY user_id
+    """,
+    tags=("SET-1",),
+)
+def q_returning_users(spark, sf_dir):
+    """INTERSECT (§2.7): users active in both halves of the window.
+    Plans as a left-semi hash join on the distinct sets."""
+    from pyspark.sql import functions as F
+
+    ev = _events(spark, sf_dir)
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    first = ev.filter(F.col("ts") < cut).select("user_id")
+    second = ev.filter(F.col("ts") >= cut).select("user_id")
+    return first.intersect(second).orderBy("user_id")
+
+
+@register(
+    "users_never_high_value",
+    f"""
+    SELECT DISTINCT user_id FROM events
+    EXCEPT
+    SELECT DISTINCT user_id FROM events WHERE value > {HIGH_VALUE}
+    ORDER BY user_id
+    """,
+    tags=("SET-2",),
+)
+def q_users_never_high_value(spark, sf_dir):
+    """EXCEPT (§2.7): users with no high-value events — the
+    exclusion pattern as a set op (plans as left-anti join)."""
+    from pyspark.sql import functions as F
+
+    ev = _events(spark, sf_dir)
+    all_users = ev.select("user_id").distinct()
+    high = ev.filter(F.col("value") > float(HIGH_VALUE)).select("user_id").distinct()
+    return all_users.exceptAll(high).orderBy("user_id")
+
+
+@register(
     "props_key_distribution",
     """
     SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k_value,
@@ -1548,14 +1591,24 @@ from bigdata_logs_spark.streaming import (  # noqa: E402
 )
 
 
+# Bump when synthesize_ssh_lines changes shape, so cached stream-source
+# dirs from an older construction are never reused.
+_STREAM_SRC_VERSION = "v1"
+
+
 def _stream_source_dir(spark, sf_dir) -> str:
     """Materialize the synthesized syslog lines as a text-file
-    directory (the file-tail source)."""
+    directory (the file-tail source). The rendering is deterministic,
+    so a completed dir (Spark's _SUCCESS marker) is reused instead of
+    re-writing ~1M lines for every streaming query."""
     tag = _os.path.basename(sf_dir.rstrip("/")) or "sf"
-    out = _os.path.join(_tempfile.gettempdir(), f"bls_stream_src_{tag}")
-    synthesize_ssh_lines(load_table(spark, sf_dir, "events")).coalesce(
-        4
-    ).write.mode("overwrite").text(out)
+    out = _os.path.join(
+        _tempfile.gettempdir(), f"bls_stream_src_{_STREAM_SRC_VERSION}_{tag}"
+    )
+    if not _os.path.exists(_os.path.join(out, "_SUCCESS")):
+        synthesize_ssh_lines(load_table(spark, sf_dir, "events")).coalesce(
+            4
+        ).write.mode("overwrite").text(out)
     return out
 
 

@@ -12,6 +12,14 @@ import pytest
 from bigdata_logs_spark.registry import REGISTRY
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _uncached(spark):
+    # other modules cache input tables; a cached relation replaces the
+    # parquet scan (InMemoryRelation) and hides pushdown/pruning nodes
+    spark.catalog.clearCache()
+    yield
+
+
 def _plan(spark, name, sf_dir) -> str:
     df = REGISTRY[name].fn(spark, sf_dir)
     return df._jdf.queryExecution().explainString(
