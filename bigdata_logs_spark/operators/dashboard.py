@@ -206,19 +206,29 @@ def entity_profile(events: DataFrame) -> DataFrame:
     per_type = [
         count_if(F.col("event_type") == t).alias(f"{t}_events") for t in EVENT_TYPES
     ]
-    prof = ev.groupBy(F.col("user_id")).agg(
-        *per_type,
-        F.count(F.lit(1)).alias("total_events"),
-        F.countDistinct("k").alias("distinct_k"),
-        sorted_distinct_string(F.col("k").cast("string")).alias("k_list"),
-        _ts_str(F.min("ts")).alias("first_seen"),
-        _ts_str(F.max("ts")).alias("last_seen"),
-        count_if(susp).alias("failed_events"),
-        count_if(F.col("value") > F.lit(HIGH_VALUE_THRESHOLD)).alias(
-            "high_value_events"
-        ),
-        F.countDistinct("event_type").alias("event_diversity"),
-        _dsum(F.col("value")).alias("total_value"),
+    # Distinct counts derive from collected sets rather than
+    # countDistinct: k_list needs the set anyway, and two countDistinct
+    # columns would force Catalyst's Expand (x3 rows) multi-distinct
+    # plan with an extra exchange — this form is one shuffle, period.
+    prof = (
+        ev.groupBy(F.col("user_id"))
+        .agg(
+            *per_type,
+            F.count(F.lit(1)).alias("total_events"),
+            F.sort_array(F.collect_set(F.col("k").cast("string"))).alias("k_set"),
+            F.collect_set("event_type").alias("et_set"),
+            _ts_str(F.min("ts")).alias("first_seen"),
+            _ts_str(F.max("ts")).alias("last_seen"),
+            count_if(susp).alias("failed_events"),
+            count_if(F.col("value") > F.lit(HIGH_VALUE_THRESHOLD)).alias(
+                "high_value_events"
+            ),
+            _dsum(F.col("value")).alias("total_value"),
+        )
+        .withColumn("distinct_k", F.size("k_set").cast("long"))
+        .withColumn("k_list", F.array_join(F.col("k_set"), ","))
+        .withColumn("event_diversity", F.size("et_set").cast("long"))
+        .drop("k_set", "et_set")
     )
     score = F.least(
         F.lit(100.0),
