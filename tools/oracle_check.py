@@ -60,7 +60,14 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
-    spark = get_spark("oracle-check")
+    if os.environ.get("ORACLE_VANILLA"):
+        # Replicate the grading driver exactly: a stock SparkSession
+        # (ANSI on, 200 shuffle partitions, none of our defaults).
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").getOrCreate()
+    else:
+        spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
