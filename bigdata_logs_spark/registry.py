@@ -401,6 +401,91 @@ def q_profile_percentages_long(spark, sf_dir):
 
 
 @register(
+    "daily_event_rollup",
+    """
+    SELECT strftime(ts, '%Y-%m-%d') AS date, event_type,
+           COUNT(*)::BIGINT AS n
+    FROM events GROUP BY ROLLUP(1, event_type)
+    ORDER BY date ASC NULLS FIRST, event_type ASC NULLS FIRST
+    """,
+    tags=("AGG-1",),
+)
+def q_daily_event_rollup(spark, sf_dir):
+    """ROLLUP hierarchy (day, event_type) -> day subtotal -> grand
+    total in one pass — the grouping-sets capability the reference
+    computes as three separate dashboard group-bys."""
+    from pyspark.sql import functions as F
+
+    return (
+        _events(spark, sf_dir)
+        .withColumn("date", F.date_format("ts", "yyyy-MM-dd"))
+        .rollup("date", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.asc_nulls_first("date"), F.asc_nulls_first("event_type"))
+    )
+
+
+@register(
+    "value_percentiles",
+    """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50,
+           ROUND(quantile_cont(value, 0.95), 6) AS p95,
+           ROUND(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("AGG-2",),
+)
+def q_value_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per event type (both engines
+    use linear interpolation on the sorted set). At 100 TB swap for
+    approx_percentile — same call shape, sketch-based."""
+    from pyspark.sql import functions as F
+
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "salted_event_counts",
+    """
+    SELECT event_type, COUNT(*)::BIGINT AS n
+    FROM events GROUP BY event_type ORDER BY n DESC, event_type
+    """,
+    tags=("AGG-3",),
+)
+def q_salted_event_counts(spark, sf_dir):
+    """Explicit two-phase salted aggregation for pathologically hot
+    keys: count per (key, salt) first, merge per key second — no
+    single reducer ever sees a whole hot key. Result is provably
+    identical to the direct groupBy (same oracle). Spark's map-side
+    partial aggregation makes this unnecessary for counts; the
+    pattern exists for agg functions without partial pushdown
+    (exact distincts, collect_list) at 100 TB."""
+    from pyspark.sql import functions as F
+
+    salted = _events(spark, sf_dir).withColumn(
+        "salt", F.pmod(F.col("event_id"), F.lit(8))
+    )
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count(F.lit(1)).alias("pn")
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(F.sum("pn").alias("n"))
+        .orderBy(F.desc("n"), F.asc("event_type"))
+    )
+
+
+@register(
     "returning_users",
     """
     SELECT user_id FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
