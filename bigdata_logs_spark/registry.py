@@ -401,6 +401,76 @@ def q_profile_percentages_long(spark, sf_dir):
 
 
 @register(
+    "cumulative_daily_events",
+    """
+    WITH daily AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS date, COUNT(*)::BIGINT AS n
+      FROM events GROUP BY 1
+    )
+    SELECT date, n,
+           SUM(n) OVER (ORDER BY date
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+             AS running_total
+    FROM daily ORDER BY date
+    """,
+    tags=("W-2",),
+)
+def q_cumulative_daily_events(spark, sf_dir):
+    """Running total over the daily series (unbounded-preceding frame)
+    — the windowed running aggregate the reference lacks. The window
+    partitions globally but runs over the ALREADY-AGGREGATED daily
+    rows (30 rows, not 100k events), so the single-partition window
+    is safe at any scale."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("date"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy("date").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.withColumn("running_total", F.sum("n").over(w)).orderBy("date")
+
+
+@register(
+    "latest_event_per_user",
+    """
+    SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+           event_type
+    FROM (
+      SELECT user_id, event_id, ts, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1 ORDER BY user_id
+    """,
+    tags=("W-3",),
+)
+def q_latest_event_per_user(spark, sf_dir):
+    """Distinct-on / keep-latest per key via row_number (deterministic
+    event_id tiebreak) — the dedup-keep-first building block."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        _events(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+            "event_type",
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
     "daily_event_rollup",
     """
     SELECT strftime(ts, '%Y-%m-%d') AS date, event_type,
