@@ -191,3 +191,74 @@ def near_dup_pairs(
         .filter(F.col("jaccard") >= threshold)
         .orderBy("doc_a", "doc_b")
     )
+
+
+def simhash_near_dup(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """SimHash near-duplicate pairs: docs whose 32-bit fingerprints
+    differ in at most ``max_hamming`` positions.
+
+    Candidate generation bands the fingerprint into 4 8-bit chunks;
+    by pigeonhole, any pair within Hamming distance 3 shares at least
+    one identical band, so recall is exact for the default threshold
+    while the all-pairs O(n²) never materializes — only (band, chunk,
+    doc_id) triples shuffle for the bucket self-join, exactly the
+    MinHash-LSH shape. Verification recomputes the exact Hamming
+    distance on the candidate pairs only.
+    """
+    sh = simhash(docs)  # (doc_id, simhash bitstring)
+    chunks = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), b -> "
+                "struct(b AS band, substr(simhash, b * 8 + 1, 8) AS chunk))"
+            )
+        ).alias("bc"),
+    ).select("doc_id", "simhash", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))
+    left = chunks.select(
+        "band", "chunk", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a")
+    )
+    right = chunks.select(
+        "band", "chunk", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b")
+    )
+    cand = (
+        left.join(right, ["band", "chunk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "sh_a", "doc_b", "sh_b")
+        .distinct()
+    )
+    hamming = F.expr(
+        """
+        aggregate(sequence(1, 32), 0,
+          (acc, i) -> acc + CASE WHEN substr(sh_a, i, 1) <> substr(sh_b, i, 1)
+                            THEN 1 ELSE 0 END)
+        """
+    )
+    return (
+        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def near_dup_survivors(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Greedy near-dup removal: drop every doc that is a verified
+    near-duplicate (shingle Jaccard >= threshold) of some lower-id
+    doc; keep the rest. One left-anti join against the pair list's
+    higher-id side — the standard "keep first seen" dedup policy,
+    deterministic because ids totally order the corpus.
+
+    At scale the pair list is tiny relative to the corpus (it's the
+    LSH-verified near-dup set), so the anti-join broadcasts.
+    """
+    losers = (
+        near_dup_pairs(docs, threshold=threshold)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        docs.join(losers, "doc_id", "left_anti")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )

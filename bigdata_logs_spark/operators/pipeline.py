@@ -1,0 +1,133 @@
+"""Training-data pipeline operators (SURVEY.md §2.11 north-star).
+
+Dataset-preparation primitives a large-scale training pipeline needs
+on top of dedup/similarity/text-analysis: deterministic splits,
+stratified sampling, and benchmark-contamination checks. The
+reference (`/root/reference/src/`) has no analogue — its pipeline
+stops at dashboard aggregation — so these generalize its
+hash-free, full-recompute model to content-addressed set operations.
+
+Scale posture:
+- Split/sample assignment is a pure narrow projection (one md5 per
+  row, no shuffle): runs at scan speed on 100 TB and is stable under
+  repartition, re-runs, and incremental arrival — membership depends
+  only on the id, never on row order or partition layout.
+- Hash buckets come from the first 8 hex chars of md5 over a
+  purpose-salted key ("split:<id>", "strat:<id>"), so the two
+  assignments are statistically independent; both engines parse the
+  hex identically (verified: Spark ``conv(...,16,10)`` ==
+  DuckDB ``('0x'||...)::BIGINT``).
+- Contamination explodes only (doc_id, ngram-hash) pairs — documents
+  themselves never shuffle — and the benchmark side collapses to a
+  distinct hash set that AQE broadcasts when small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+NGRAM_K = 8
+
+
+def hash_bucket(id_col: Column, salt: str, n_buckets: int = 100) -> Column:
+    """Deterministic bucket in [0, n_buckets) from md5(salt || id).
+
+    First 8 hex chars -> 32-bit int -> mod. Content-independent,
+    engine-independent, and stable forever — the property that makes
+    train/val/test membership reproducible across pipeline runs.
+    """
+    h = F.md5(F.concat(F.lit(salt), id_col.cast("string")))
+    return F.pmod(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint"), F.lit(n_buckets)
+    )
+
+
+def train_val_test_split(
+    docs: DataFrame, val_pct: int = 10, test_pct: int = 10
+) -> DataFrame:
+    """Assign every document to train/val/test by id-hash bucket.
+
+    bucket < test_pct            -> test
+    bucket < test_pct + val_pct  -> val
+    else                         -> train
+    """
+    bucket = hash_bucket(F.col("doc_id"), "split:")
+    split = (
+        F.when(bucket < test_pct, F.lit("test"))
+        .when(bucket < test_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return (
+        docs.select(
+            "doc_id", "lang", bucket.alias("bucket"), split.alias("split")
+        )
+        .orderBy("doc_id")
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, int] | None = None,
+    default_rate: int = 50,
+) -> DataFrame:
+    """Deterministic per-language downsampling (training-mix shaping):
+    keep a doc iff its hash bucket < the rate for its language.
+
+    Unlike ``df.sample`` this is reproducible row-by-row (no RNG, no
+    partition sensitivity) and composes with incremental ingestion —
+    a re-run over 100 TB + one new file keeps exactly the same rows.
+    """
+    rates = {"en": 25} if rates is None else rates
+    bucket = hash_bucket(F.col("doc_id"), "strat:")
+    rate: Column = F.lit(default_rate)
+    for lang, pct in sorted(rates.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(pct)).otherwise(rate)
+    return (
+        docs.filter(bucket < rate)
+        .select("doc_id", "lang", bucket.alias("bucket"))
+        .orderBy("doc_id")
+    )
+
+
+def _ngram_hashes(k: int = NGRAM_K) -> Column:
+    """Distinct md5 hashes of k-token ngrams (requires `tokens` col);
+    docs shorter than k tokens yield none."""
+    return F.expr(
+        f"""
+        CASE WHEN size(tokens) < {k} THEN array()
+        ELSE array_distinct(transform(sequence(1, size(tokens) - {k - 1}),
+               i -> md5(concat_ws(' ', slice(tokens, i, {k})))))
+        END
+        """
+    )
+
+
+def contamination_check(
+    docs: DataFrame, benchmark_source: str = "src9", k: int = NGRAM_K
+) -> DataFrame:
+    """Benchmark-contamination scan: for each candidate training doc,
+    count distinct k-gram hashes it shares with any benchmark doc
+    (here: docs from ``benchmark_source`` stand in for the eval set).
+
+    Only (doc_id, hash) pairs shuffle; the benchmark hash set is
+    distinct-collapsed and broadcast-joined when small. At 100 TB the
+    train side stays a narrow explode feeding one semi-join-shaped
+    aggregation — no document text ever crosses the wire.
+    """
+    toks = docs.withColumn("tokens", F.split(F.trim(F.col("text")), r"\s+"))
+    grams = toks.select(
+        "doc_id", "source", F.explode(_ngram_hashes(k)).alias("gram")
+    )
+    bench = (
+        grams.filter(F.col("source") == benchmark_source)
+        .select("gram")
+        .distinct()
+    )
+    train = grams.filter(F.col("source") != benchmark_source)
+    return (
+        train.join(bench, "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_contaminated_ngrams"))
+        .orderBy("doc_id")
+    )

@@ -1940,3 +1940,198 @@ def q_streaming_dedup_counts(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("distinct_lines"))
         .orderBy("event")
     )
+
+
+# --------------------------------------------------------------------------
+# Training-data pipeline ops: splits, sampling, contamination,
+# simhash near-dup completion, tf-idf (§2.11)
+# --------------------------------------------------------------------------
+
+from bigdata_logs_spark.operators import pipeline as PL  # noqa: E402
+
+# Shared hex-bucket fragment: DuckDB parses the first 8 md5 hex chars
+# exactly like Spark's conv(substring(md5, 1, 8), 16, 10) (verified
+# bit-identical), so split membership is cross-engine stable.
+def _bucket_sql(salt: str) -> str:
+    return (
+        "CAST(('0x' || substring(md5('" + salt + "' || CAST(doc_id AS VARCHAR)), "
+        "1, 8)) AS BIGINT) % 100"
+    )
+
+
+@register(
+    "train_val_test_split",
+    f"""
+    WITH b AS (
+      SELECT doc_id, lang, {_bucket_sql('split:')} AS bucket FROM documents
+    )
+    SELECT doc_id, lang, bucket,
+           CASE WHEN bucket < 10 THEN 'test'
+                WHEN bucket < 20 THEN 'val'
+                ELSE 'train' END AS split
+    FROM b ORDER BY doc_id
+    """,
+    tags=("PL-1",),
+)
+def q_train_val_test_split(spark, sf_dir):
+    """Deterministic id-hash train/val/test assignment — narrow
+    projection, no shuffle, reproducible under any partitioning."""
+    return PL.train_val_test_split(_docs(spark, sf_dir))
+
+
+@register(
+    "stratified_sample",
+    f"""
+    WITH b AS (
+      SELECT doc_id, lang, {_bucket_sql('strat:')} AS bucket FROM documents
+    )
+    SELECT doc_id, lang, bucket FROM b
+    WHERE bucket < CASE WHEN lang = 'en' THEN 25 ELSE 50 END
+    ORDER BY doc_id
+    """,
+    tags=("PL-2",),
+)
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language downsampling (training-mix
+    shaping); independent hash salt from the split assignment."""
+    return PL.stratified_sample(_docs(spark, sf_dir))
+
+
+@register(
+    "contamination_check",
+    TOKS_CTE
+    + """
+    , grams AS (
+      SELECT doc_id, source,
+             unnest(CASE WHEN len(tokens) < 4 THEN []::VARCHAR[]
+               ELSE list_distinct(list_transform(range(1, len(tokens) - 2),
+                      i -> md5(array_to_string(tokens[i:i+3], ' ')))) END) AS gram
+      FROM toks
+    )
+    , bench AS (SELECT DISTINCT gram FROM grams WHERE source = 'src9')
+    , train AS (SELECT doc_id, gram FROM grams WHERE source <> 'src9')
+    SELECT doc_id, COUNT(DISTINCT gram)::BIGINT AS n_contaminated_ngrams
+    FROM train JOIN bench USING (gram)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("PL-3",),
+)
+def q_contamination_check(spark, sf_dir):
+    """Benchmark-contamination scan: k-gram hash overlap between
+    candidate training docs and the benchmark stand-in (source
+    'src9'); only (doc_id, hash) pairs shuffle. k=4 here so the
+    sf0.01 corpus yields a non-trivial overlap set; production
+    default is 8 (GPT-3-style 13-gram is a parameter change)."""
+    return PL.contamination_check(_docs(spark, sf_dir), k=4)
+
+
+SIMHASH_SQL = """
+    , sh2 AS (
+      SELECT doc_id,
+        array_to_string(list_transform(range(1, 33),
+          i -> CASE WHEN list_sum(list_transform(tokens,
+                 t -> CASE WHEN substr(md5(t), i, 1) IN
+                   ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) > 0
+               THEN '1' ELSE '0' END), '') AS simhash
+      FROM toks
+    )
+"""
+
+
+@register(
+    "simhash_near_dup",
+    TOKS_CTE
+    + SIMHASH_SQL
+    + """
+    SELECT doc_a, doc_b, hamming FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             list_sum(list_transform(range(1, 33),
+               i -> CASE WHEN substr(a.simhash, i, 1) <> substr(b.simhash, i, 1)
+                    THEN 1 ELSE 0 END))::INT AS hamming
+      FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
+    ) WHERE hamming <= 3
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("DD-3",),
+)
+def q_simhash_near_dup(spark, sf_dir):
+    """SimHash near-dup pairs: 4x8-bit band buckets supply candidates
+    (pigeonhole-exact for Hamming <= 3), exact Hamming verifies. The
+    oracle does the O(n^2) comparison the banding avoids."""
+    return DD.simhash_near_dup(_docs(spark, sf_dir))
+
+
+ND_PAIRS_CTE = (
+    TOKS_CTE
+    + f"""
+    , sh AS (SELECT doc_id, list_distinct({SHINGLES_EXPR}) AS shingles FROM toks)
+    , sigs AS (
+      SELECT doc_id, r.band::INT AS band,
+             list_min(list_transform(shingles,
+               s -> md5(r.band::VARCHAR || '|' || s))) AS sig
+      FROM sh CROSS JOIN range(0, 8) AS r(band)
+    )
+    , cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+      WHERE a.doc_id < b.doc_id
+    )
+    , pairs AS (
+      SELECT doc_a, doc_b,
+             ROUND(len(list_intersect(x.shingles, y.shingles))::DOUBLE
+                   / len(list_distinct(list_concat(x.shingles, y.shingles))), 4)
+               AS jaccard
+      FROM cand JOIN sh x ON cand.doc_a = x.doc_id
+                JOIN sh y ON cand.doc_b = y.doc_id
+    )
+"""
+)
+
+
+@register(
+    "near_dup_survivors",
+    ND_PAIRS_CTE
+    + """
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_b FROM pairs WHERE jaccard >= 0.5)
+    ORDER BY d.doc_id
+    """,
+    tags=("DD-2", "DD-4"),
+)
+def q_near_dup_survivors(spark, sf_dir):
+    """End-to-end dedup policy: drop every doc that is a verified
+    near-duplicate (shingle Jaccard >= 0.5) of a lower-id doc —
+    keep-first-seen via one left-anti join against the LSH-verified
+    pair list."""
+    return DD.near_dup_survivors(_docs(spark, sf_dir), threshold=0.5)
+
+
+@register(
+    "tfidf_top_terms",
+    TOKS_CTE
+    + """
+    , tok AS (SELECT doc_id, unnest(tokens) AS term FROM toks)
+    , tf AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM tok GROUP BY 1, 2)
+    , df AS (SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY 1)
+    , n AS (SELECT COUNT(*)::DOUBLE AS n FROM documents)
+    , scored AS (
+      SELECT doc_id, term, tf, df,
+             ROUND(tf::DOUBLE * ln(n.n / df::DOUBLE), 6) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    , ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, term, tf, df, tfidf, rnk
+    FROM ranked WHERE rnk <= 5 ORDER BY doc_id, rnk
+    """,
+    tags=("T-7",),
+)
+def q_tfidf_top_terms(spark, sf_dir):
+    """Per-document top-5 terms by tf-idf (ln verified bit-identical
+    across engines; 6-decimal round + term tiebreak makes the top-k
+    deterministic)."""
+    return TX.tfidf_top_terms(_docs(spark, sf_dir), k=5)

@@ -1,0 +1,111 @@
+"""Training-pipeline operator invariants: deterministic splits,
+stratified sampling, contamination, simhash banding recall, greedy
+dedup policy, tf-idf ranking (SURVEY.md §2.11 / §5.2)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdata_logs_spark.operators.dedup import (
+    near_dup_pairs,
+    near_dup_survivors,
+    simhash,
+    simhash_near_dup,
+)
+from bigdata_logs_spark.operators.pipeline import (
+    contamination_check,
+    stratified_sample,
+    train_val_test_split,
+)
+from bigdata_logs_spark.operators.textops import tfidf_top_terms
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    from bigdata_logs_spark.sources import load_table
+
+    return load_table(spark, sf_dir, "documents").cache()
+
+
+def test_split_is_total_and_partition_invariant(docs):
+    sp = train_val_test_split(docs)
+    assert sp.count() == docs.count()
+    one = sorted(map(str, train_val_test_split(docs.repartition(1)).collect()))
+    many = sorted(map(str, train_val_test_split(docs.repartition(7)).collect()))
+    assert one == many
+    # splits are disjoint by construction; buckets in range
+    lo, hi = sp.select(F.min("bucket"), F.max("bucket")).first()
+    assert 0 <= lo and hi <= 99
+
+
+def test_split_membership_independent_of_other_rows(docs):
+    """A doc's split never changes when the corpus grows — the
+    incremental-ingest property RNG-based sampling lacks."""
+    full = {r["doc_id"]: r["split"] for r in train_val_test_split(docs).collect()}
+    half = {
+        r["doc_id"]: r["split"]
+        for r in train_val_test_split(
+            docs.filter(F.col("doc_id") % 2 == 0)
+        ).collect()
+    }
+    assert all(full[d] == s for d, s in half.items())
+
+
+def test_stratified_sample_rates(docs):
+    samp = stratified_sample(docs, rates={"en": 25}, default_rate=50)
+    # every kept row obeys its language's bucket cutoff
+    bad = samp.filter(
+        (F.col("bucket") >= F.when(F.col("lang") == "en", 25).otherwise(50))
+    ).count()
+    assert bad == 0
+    # subset of the corpus
+    assert samp.count() <= docs.count()
+
+
+def test_simhash_banding_recall_exact_for_hamming_3(docs, spark):
+    """Pigeonhole: 4 bands x 8 bits — every pair within Hamming 3
+    must share a band, so the banded join finds exactly the pairs the
+    O(n^2) scan would."""
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    ids = sorted(sh)
+    brute = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if sum(x != y for x, y in zip(sh[a], sh[b])) <= 3
+    }
+    banded = {
+        (r["doc_a"], r["doc_b"]) for r in simhash_near_dup(docs).collect()
+    }
+    assert banded == brute
+
+
+def test_near_dup_survivors_policy(docs):
+    surv = {r["doc_id"] for r in near_dup_survivors(docs, threshold=0.5).collect()}
+    pairs = near_dup_pairs(docs, threshold=0.5).collect()
+    losers = {r["doc_b"] for r in pairs}
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert surv == all_ids - losers
+    # the smallest id in any near-dup pair always survives
+    assert all(r["doc_a"] in surv or r["doc_a"] in losers for r in pairs)
+
+
+def test_contamination_only_flags_train_side(docs):
+    cont = contamination_check(docs, benchmark_source="src9", k=4)
+    flagged = cont.join(
+        docs.select("doc_id", "source"), "doc_id"
+    ).filter(F.col("source") == "src9")
+    assert flagged.count() == 0
+    assert cont.filter(F.col("n_contaminated_ngrams") <= 0).count() == 0
+
+
+def test_tfidf_rank_and_bounds(docs):
+    t = tfidf_top_terms(docs, k=5)
+    # <= 5 terms per doc, ranks are 1..n with no gaps
+    per_doc = t.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"), F.max("rnk").alias("mx")
+    )
+    assert per_doc.filter((F.col("n") > 5) | (F.col("n") != F.col("mx"))).count() == 0
+    # a term appearing in every doc has idf 0 => tfidf 0; scores never negative
+    assert t.filter(F.col("tfidf") < 0).count() == 0
