@@ -262,3 +262,78 @@ def near_dup_survivors(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")
     )
+
+
+def near_dup_components(
+    docs: DataFrame, threshold: float = 0.5, max_iter: int = 20
+) -> DataFrame:
+    """Connected components over the near-duplicate graph: every doc
+    gets the min doc_id of its component as canonical representative
+    (docs in no near-dup pair are their own component).
+
+    Greedy pair-wise removal (``near_dup_survivors``) under-merges
+    chains (A~B, B~C but A!~C); component-level dedup is the policy
+    production pipelines actually want. Implemented as iterative
+    min-label propagation — label(v) = min(label(v), min label of
+    neighbors) — which converges in O(component diameter) rounds.
+    Each round is one join + one aggregation ON THE PAIR LIST ONLY
+    (tiny relative to the corpus: it's the LSH-verified near-dup
+    set), never on the documents; the full corpus is touched exactly
+    once, by the final left join attaching singleton labels. The
+    driver-side loop holds only a changed-row count per round — no
+    data is collected.
+    """
+    pairs = (
+        near_dup_pairs(docs, threshold=threshold)
+        .select("doc_a", "doc_b")
+        .cache()
+    )
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).cache()
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+        .cache()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("component").alias("nbr_component"),
+                ),
+                "doc_b",
+            )
+            .groupBy("doc_a")
+            .agg(F.min("nbr_component").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(
+                neighbor_min, labels.doc_id == neighbor_min.doc_a, "left"
+            )
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+                (F.col("nbr_min") < F.col("component")).alias("changed"),
+            )
+            .cache()
+        )
+        n_changed = updated.filter(F.col("changed")).count()
+        labels.unpersist()
+        labels = updated.select("doc_id", "component").cache()
+        if n_changed == 0:
+            break
+    out = (
+        docs.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+        )
+        .orderBy("doc_id")
+    )
+    return out

@@ -2135,3 +2135,34 @@ def q_tfidf_top_terms(spark, sf_dir):
     across engines; 6-decimal round + term tiebreak makes the top-k
     deterministic)."""
     return TX.tfidf_top_terms(_docs(spark, sf_dir), k=5)
+
+
+@register(
+    "near_dup_components",
+    ND_PAIRS_CTE.replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + """
+    , edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs WHERE jaccard >= 0.5
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs WHERE jaccard >= 0.5
+    )
+    , reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    )
+    , comp AS (
+      SELECT u AS doc_id, least(u, MIN(v)) AS component FROM reach GROUP BY u
+    )
+    SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+    tags=("DD-2", "DD-4"),
+)
+def q_near_dup_components(spark, sf_dir):
+    """Component-level dedup: iterative min-label propagation over
+    the LSH-verified near-dup graph (converges in O(diameter) rounds,
+    each a join on the tiny pair list). The oracle computes the same
+    components via a recursive transitive-closure CTE."""
+    return DD.near_dup_components(_docs(spark, sf_dir), threshold=0.5)

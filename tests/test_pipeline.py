@@ -109,3 +109,26 @@ def test_tfidf_rank_and_bounds(docs):
     assert per_doc.filter((F.col("n") > 5) | (F.col("n") != F.col("mx"))).count() == 0
     # a term appearing in every doc has idf 0 => tfidf 0; scores never negative
     assert t.filter(F.col("tfidf") < 0).count() == 0
+
+
+def test_components_merge_chains(docs):
+    from bigdata_logs_spark.operators.dedup import near_dup_components
+
+    comp = {r["doc_id"]: r["component"] for r in near_dup_components(docs).collect()}
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in near_dup_pairs(docs, threshold=0.5).collect()
+    ]
+    # both endpoints of every verified pair land in the same component,
+    # and the representative is the component's min id (fixpoint of
+    # min-label propagation == transitive closure min)
+    for a, b in pairs:
+        assert comp[a] == comp[b]
+    members: dict[int, list[int]] = {}
+    for d, c in comp.items():
+        members.setdefault(c, []).append(d)
+    for c, ds in members.items():
+        assert c == min(ds)
+    # singletons are their own component
+    paired = {x for p in pairs for x in p}
+    assert all(comp[d] == d for d in comp if d not in paired)
