@@ -274,3 +274,45 @@ def lsh_sign_buckets(emb: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+def embedding_quantize(emb: DataFrame) -> DataFrame:
+    """Scalar (per-dimension affine) int8-style quantization: each
+    dimension is mapped to 0..255 against the corpus-wide per-dim
+    min/max — the standard 4x memory cut before ANN indexing.
+
+    Plan shape for 100 TB: one map-side-combined aggregation reduces
+    the corpus to 64 (pos, min, max) rows, collapsed into two small
+    arrays and CROSS-JOIN-broadcast back; the quantization itself is
+    then a narrow per-row projection (``transform`` over the vector —
+    no second shuffle, no explode of the corpus on the code path).
+    """
+    dims = emb.select(F.posexplode("embedding").alias("pos", "val"))
+    stats = dims.groupBy("pos").agg(
+        F.min(F.col("val").cast("double")).alias("mn"),
+        F.max(F.col("val").cast("double")).alias("mx"),
+    )
+    arrs = stats.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, mn))), s -> s.mn)"
+        ).alias("mns"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, mx))), s -> s.mx)"
+        ).alias("mxs"),
+    )
+    codes = F.expr(
+        """
+        transform(sequence(1, size(embedding)), i ->
+          CASE WHEN element_at(mxs, i) = element_at(mns, i) THEN 0
+          ELSE CAST(round(
+            (CAST(element_at(embedding, i) AS DOUBLE) - element_at(mns, i))
+            * CAST(255.0 AS DOUBLE)
+            / (element_at(mxs, i) - element_at(mns, i)), 0) AS INT)
+          END)
+        """
+    )
+    return (
+        emb.crossJoin(F.broadcast(arrs))
+        .select("vec_id", "label", codes.alias("codes"))
+        .orderBy("vec_id")
+    )

@@ -2166,3 +2166,111 @@ def q_near_dup_components(spark, sf_dir):
     each a join on the tiny pair list). The oracle computes the same
     components via a recursive transitive-closure CTE."""
     return DD.near_dup_components(_docs(spark, sf_dir), threshold=0.5)
+
+
+@register(
+    "embedding_quantize",
+    """
+    WITH dims AS (
+      SELECT generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS val
+      FROM embeddings
+    )
+    , stats AS (
+      SELECT pos, MIN(val::DOUBLE) AS mn, MAX(val::DOUBLE) AS mx
+      FROM dims GROUP BY pos
+    )
+    , arrs AS (
+      SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs FROM stats
+    )
+    SELECT vec_id, label,
+           list_transform(range(1, len(embedding) + 1), i ->
+             CASE WHEN mxs[i] = mns[i] THEN 0
+             ELSE CAST(round((embedding[i]::DOUBLE - mns[i]) * 255.0::DOUBLE
+                             / (mxs[i] - mns[i])) AS INT) END) AS codes
+    FROM embeddings CROSS JOIN arrs
+    ORDER BY vec_id
+    """,
+    tags=("E-6",),
+)
+def q_embedding_quantize(spark, sf_dir):
+    """Per-dimension affine 0..255 quantization: 64-row stats agg
+    broadcast back, then a narrow transform — the corpus is never
+    exploded on the code path."""
+    return SIM.embedding_quantize(_emb(spark, sf_dir))
+
+
+@register(
+    "json_roundtrip",
+    SSH_PARSE_CTE
+    + """
+    SELECT event, COUNT(*)::BIGINT AS n,
+           COUNT(rhost)::BIGINT AS with_rhost,
+           COUNT(DISTINCT ip)::BIGINT AS distinct_ips
+    FROM parsed GROUP BY event ORDER BY event
+    """,
+    tags=("S-2", "S-3"),
+)
+def q_json_roundtrip(spark, sf_dir):
+    """JSON-lines interchange fidelity (the reference's Mongo
+    documents are JSON with drifted types, src/insert_mongo.py:14-15):
+    write JSON -> re-read with the EXPLICIT parse schema -> aggregate;
+    oracle computed from the pre-JSON rows proves losslessness."""
+    import os as _o
+    import tempfile as _t
+
+    from pyspark.sql import functions as F
+
+    from bigdata_logs_spark.sources import read_json, write_json
+
+    parsed = parse_ssh_lines(_ssh_lines(spark, sf_dir))
+    tag = _o.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    out = _o.path.join(_t.gettempdir(), f"bls_json_{tag}")
+    write_json(parsed, out)
+    back = read_json(spark, out, parsed.schema)
+    return (
+        back.groupBy("event")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("rhost").alias("with_rhost"),
+            F.countDistinct("ip").alias("distinct_ips"),
+        )
+        .orderBy("event")
+    )
+
+
+@register(
+    "orc_roundtrip",
+    SSH_PARSE_CTE
+    + """
+    SELECT event, COUNT(*)::BIGINT AS n,
+           COUNT(tty)::BIGINT AS with_tty,
+           COUNT(DISTINCT user)::BIGINT AS distinct_users
+    FROM parsed GROUP BY event ORDER BY event
+    """,
+    tags=("S-2", "S-3"),
+)
+def q_orc_roundtrip(spark, sf_dir):
+    """ORC interchange fidelity: second columnar format beside the
+    canonical Parquet store (schema in footer, pushdown + pruning
+    intact); oracle from the pre-ORC rows proves losslessness."""
+    import os as _o
+    import tempfile as _t
+
+    from pyspark.sql import functions as F
+
+    from bigdata_logs_spark.sources import read_orc, write_orc
+
+    parsed = parse_ssh_lines(_ssh_lines(spark, sf_dir))
+    tag = _o.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    out = _o.path.join(_t.gettempdir(), f"bls_orc_{tag}")
+    write_orc(parsed, out)
+    back = read_orc(spark, out)
+    return (
+        back.groupBy("event")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("tty").alias("with_tty"),
+            F.countDistinct("user").alias("distinct_users"),
+        )
+        .orderBy("event")
+    )

@@ -3,8 +3,12 @@ from bigdata_logs_spark.sources.io import (
     load_table,
     load_tables,
     read_csv,
+    read_json,
+    read_orc,
     read_ssh_log_text,
     write_csv,
+    write_json,
+    write_orc,
     write_parquet,
 )
 
@@ -13,7 +17,11 @@ __all__ = [
     "load_table",
     "load_tables",
     "read_csv",
+    "read_json",
+    "read_orc",
     "read_ssh_log_text",
     "write_csv",
+    "write_json",
+    "write_orc",
     "write_parquet",
 ]

@@ -112,3 +112,30 @@ def write_parquet(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines interchange sink. Unlike the reference's Mongo hop
+    (documents with whatever types arrived, ``src/insert_mongo.py:14-15``)
+    the pairing with :func:`read_json`'s explicit schema keeps the hop
+    lossless — absent keys round-trip to real NULLs."""
+    df.write.mode(mode).json(path)
+
+
+def read_json(spark: SparkSession, path: str, schema) -> DataFrame:
+    """JSON-lines source with EXPLICIT schema (no sampling-based
+    inference pass — at 100 TB schema inference is a full extra scan)."""
+    return spark.read.schema(schema).json(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC columnar sink — second columnar interchange format beside
+    the canonical Parquet store (predicate pushdown + column pruning
+    work identically)."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source; schema travels in the file footer, so no explicit
+    schema needed (unlike text formats)."""
+    return spark.read.orc(path)
