@@ -1,0 +1,121 @@
+"""CLI: the engine's operational surface.
+
+Replaces the reference's three entry points (`src/main.py` batch ETL,
+the per-stage `__main__` blocks, and the Streamlit dashboard's
+query layer, `src/stats_dashboard.py`) with one command:
+
+    python -m bigdata_logs_spark parse  --input SSH.log --output /store
+    python -m bigdata_logs_spark stream --input /logdir --name live
+    python -m bigdata_logs_spark query  events_per_day --sf-dir /data
+    python -m bigdata_logs_spark list
+
+`parse` is the reference's whole ETL (parse -> typed schema -> store)
+as ONE lazy plan — no CSV hop, no Mongo hop, no type re-inference.
+`query` runs any of the ~80 registry queries. `stream` runs the
+incremental ingestion the reference could only fake by polling.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _spark(app: str):
+    from bigdata_logs_spark.session import get_spark
+
+    s = get_spark(app)
+    s.sparkContext.setLogLevel("WARN")
+    return s
+
+
+def cmd_parse(args) -> int:
+    from pyspark.sql import functions as F
+
+    from bigdata_logs_spark.operators.enrich import with_event_time
+    from bigdata_logs_spark.operators.parse import parse_ssh_lines
+    from bigdata_logs_spark.sources import read_ssh_log_text, write_parquet
+
+    spark = _spark("parse")
+    lines = read_ssh_log_text(spark, args.input)
+    parsed = with_event_time(parse_ssh_lines(lines)).withColumn(
+        "date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    write_parquet(parsed, args.output, mode=args.mode, partition_by=("date",))
+    n = spark.read.parquet(args.output).count()
+    print(f"store now holds {n} events at {args.output}")
+    return 0
+
+
+def cmd_stream(args) -> int:
+    from bigdata_logs_spark.streaming import (
+        read_ssh_stream,
+        run_stream_to_memory,
+        windowed_event_counts,
+    )
+
+    spark = _spark("stream")
+    parsed = read_ssh_stream(spark, args.input)
+    counts = windowed_event_counts(parsed, window=args.window)
+    q = run_stream_to_memory(counts, args.name, output_mode="complete")
+    spark.table(args.name).orderBy("window", "event").show(
+        args.rows, truncate=False
+    )
+    q.stop()
+    return 0
+
+
+def cmd_query(args) -> int:
+    from bigdata_logs_spark.registry import REGISTRY
+
+    if args.name not in REGISTRY:
+        print(f"unknown query {args.name!r}; see `list`", file=sys.stderr)
+        return 2
+    spark = _spark(f"query:{args.name}")
+    df = REGISTRY[args.name].fn(spark, args.sf_dir)
+    df.show(args.rows, truncate=False)
+    return 0
+
+
+def cmd_list(_args) -> int:
+    from bigdata_logs_spark.registry import REGISTRY
+
+    for name, spec in sorted(REGISTRY.items()):
+        tags = ",".join(spec.tags) or "-"
+        oracle = "oracle" if spec.oracle else "rows-only"
+        print(f"{name:34s} [{tags}] ({oracle})")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="bigdata_logs_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pp = sub.add_parser("parse", help="batch ETL: raw syslog -> parquet store")
+    pp.add_argument("--input", required=True, help="SSH.log file or directory")
+    pp.add_argument("--output", required=True, help="parquet store path")
+    pp.add_argument("--mode", default="append", choices=["append", "overwrite"])
+    pp.set_defaults(fn=cmd_parse)
+
+    ps = sub.add_parser("stream", help="streaming ingest -> windowed counts")
+    ps.add_argument("--input", required=True, help="directory tailed for log files")
+    ps.add_argument("--name", default="live", help="in-memory sink table name")
+    ps.add_argument("--window", default="1 hour")
+    ps.add_argument("--rows", type=int, default=50)
+    ps.set_defaults(fn=cmd_stream)
+
+    pq = sub.add_parser("query", help="run a registry query")
+    pq.add_argument("name")
+    pq.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    pq.add_argument("--rows", type=int, default=20)
+    pq.set_defaults(fn=cmd_query)
+
+    pl = sub.add_parser("list", help="list registry queries")
+    pl.set_defaults(fn=cmd_list)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

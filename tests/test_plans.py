@@ -81,3 +81,40 @@ def test_knn_broadcasts_queries(spark, sf_dir):
 )
 def test_no_cartesian_products_anywhere(spark, sf_dir, name):
     assert "CartesianProduct" not in _plan(spark, name, sf_dir)
+
+
+def test_split_is_shuffle_free_narrow_projection(spark, sf_dir):
+    # deterministic split assignment must run at scan speed: no
+    # Exchange, no join, no aggregation anywhere in the plan (the
+    # final orderBy is presentation-only in the registry query, but
+    # even it must not introduce a hash/range shuffle of data before
+    # sort) — check the pre-sort subtree by asserting no hash exchange
+    plan = _plan(spark, "train_val_test_split", sf_dir)
+    assert "hashpartitioning" not in plan
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+
+
+def test_quantize_broadcasts_stats_never_explodes_code_path(spark, sf_dir):
+    # the per-dim stats (64 rows) come back via broadcast; the
+    # quantization itself must be a narrow transform over the corpus
+    # (no sort-merge join, no shuffle of the full vectors)
+    plan = _plan(spark, "embedding_quantize", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_contamination_joins_hashes_not_text(spark, sf_dir):
+    # only (doc_id, md5) pairs may shuffle; the text column must be
+    # pruned away before any exchange
+    plan = _plan(spark, "contamination_check", sf_dir)
+    assert "CartesianProduct" not in plan
+    # formatted mode: partition keys live on "Arguments: hashpartitioning(...)"
+    keys = [l for l in plan.splitlines() if "hashpartitioning(" in l]
+    assert keys, "expected hash exchanges for the gram join/agg"
+    assert all("text" not in l for l in keys)
+
+
+def test_survivors_use_anti_join(spark, sf_dir):
+    plan = _plan(spark, "near_dup_survivors", sf_dir)
+    assert "LeftAnti" in plan
