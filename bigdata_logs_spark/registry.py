@@ -2274,3 +2274,124 @@ def q_orc_roundtrip(spark, sf_dir):
         )
         .orderBy("event")
     )
+
+
+QUANT_CTE = """
+    WITH dims AS (
+      SELECT generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS val
+      FROM embeddings
+    )
+    , stats AS (
+      SELECT pos, MIN(val::DOUBLE) AS mn, MAX(val::DOUBLE) AS mx
+      FROM dims GROUP BY pos
+    )
+    , arrs AS (
+      SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs FROM stats
+    )
+    , codes AS (
+      SELECT vec_id,
+             list_transform(range(1, len(embedding) + 1), i ->
+               CASE WHEN mxs[i] = mns[i] THEN 0
+               ELSE CAST(round((embedding[i]::DOUBLE - mns[i]) * 255.0::DOUBLE
+                               / (mxs[i] - mns[i])) AS INT) END) AS q8
+      FROM embeddings CROSS JOIN arrs
+    )
+"""
+
+INT_DOT_SQL = (
+    "list_sum(list_transform(range(1, len({a}) + 1), "
+    "i -> {a}[i]::BIGINT * {b}[i]::BIGINT))"
+)
+
+
+@register(
+    "knn_quantized",
+    QUANT_CTE
+    + f"""
+    , q AS (
+      SELECT e.vec_id AS query_id, e.embedding AS q_emb, k.q8 AS q_codes
+      FROM embeddings e JOIN codes k USING (vec_id) WHERE e.vec_id < 5
+    )
+    , cscored AS (
+      SELECT q.query_id, q.q_emb, c.vec_id AS neighbor_id,
+             c.label AS neighbor_label, c.embedding AS c_emb,
+             {INT_DOT_SQL.format(a='q.q_codes', b='k2.q8')} AS int_score
+      FROM q CROSS JOIN embeddings c JOIN codes k2 ON c.vec_id = k2.vec_id
+      WHERE q.query_id != c.vec_id
+    )
+    , cand AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY int_score DESC, neighbor_id) AS cand_rank
+      FROM cscored
+    )
+    , rer AS (
+      SELECT query_id, neighbor_id, neighbor_label,
+             ROUND({DOT_SQL.format(a='q_emb', b='c_emb')}
+                   / (SQRT({DOT_SQL.format(a='q_emb', b='q_emb')})
+                      * SQRT({DOT_SQL.format(a='c_emb', b='c_emb')})), 6) AS cosine
+      FROM cand WHERE cand_rank <= 20
+    )
+    , ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM rer
+    )
+    SELECT query_id, rank::INT AS rank, neighbor_id, neighbor_label, cosine
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+    tags=("E-6", "E-7"),
+)
+def q_knn_quantized(spark, sf_dir):
+    """Two-stage ANN: BIGINT dot over int8 codes selects 20
+    candidates per query (bit-exact, order-immune), exact cosine
+    re-ranks to top-5 — the memory-bandwidth scale path."""
+    return SIM.knn_quantized(_emb(spark, sf_dir))
+
+
+@register(
+    "streaming_stateful_alerts",
+    SSH_PARSE_CTE
+    + """
+    SELECT ip, COUNT(*)::INT AS failed_count,
+           strftime(MAX(strptime('2024 ' || month || ' ' || day || ' ' || time,
+                                 '%Y %b %d %H:%M:%S')),
+                    '%Y-%m-%d %H:%M:%S') AS alert_ts
+    FROM parsed
+    WHERE event IN ('failed_password', 'invalid_user', 'auth_failure')
+      AND ip IS NOT NULL
+    GROUP BY ip HAVING COUNT(*) >= 5
+    ORDER BY ip
+    """,
+    tags=("ST-6", "U-3"),
+)
+def q_streaming_stateful_alerts(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-IP cumulative failed-login counter, edge-triggered alert at
+    threshold crossing, processing-time state TTL. The registry
+    source dir holds 4 files (< the 1000-file trigger limit), so
+    availableNow runs ONE micro-batch and the alert set is provably
+    the HAVING-threshold aggregate the oracle computes; multi-batch
+    edge semantics are exercised in tests/test_streaming.py."""
+    from pyspark.sql import functions as F
+
+    from bigdata_logs_spark.streaming import (
+        read_ssh_stream,
+        run_stream_to_memory,
+        stateful_alerts,
+    )
+
+    src = _stream_source_dir(spark, sf_dir)
+    parsed = read_ssh_stream(spark, src)
+    alerts = stateful_alerts(parsed, threshold=5)
+    name = "bls_alerts_" + _os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    run_stream_to_memory(alerts, name, output_mode="append")
+    return (
+        spark.table(name)
+        .select(
+            "ip",
+            "failed_count",
+            F.date_format("alert_ts", "yyyy-MM-dd HH:mm:ss").alias("alert_ts"),
+        )
+        .orderBy("ip")
+    )

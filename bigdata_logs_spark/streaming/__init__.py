@@ -1,6 +1,7 @@
 from bigdata_logs_spark.streaming.ingest import (
     brute_force_detector,
     read_ssh_stream,
+    stateful_alerts,
     run_stream_to_memory,
     stream_dedup,
     windowed_event_counts,
@@ -9,6 +10,7 @@ from bigdata_logs_spark.streaming.ingest import (
 __all__ = [
     "brute_force_detector",
     "read_ssh_stream",
+    "stateful_alerts",
     "run_stream_to_memory",
     "stream_dedup",
     "windowed_event_counts",

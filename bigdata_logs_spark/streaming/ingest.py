@@ -112,3 +112,75 @@ def run_stream_to_memory(
     q.awaitTermination(timeout_sec)
     if q.isActive:
         q.stop()
+
+
+def stateful_alerts(
+    parsed: DataFrame, threshold: int = 5, timeout_minutes: int = 30
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: a
+    per-IP running failed-login counter that emits ONE alert row the
+    moment an IP's cumulative count crosses ``threshold``, with state
+    expiring after ``timeout_minutes`` of processing-time inactivity.
+
+    This is the semantics the built-in windows can't express — the
+    count is cumulative across the whole stream (not per window) and
+    the emission is edge-triggered (exactly one row at the crossing,
+    nothing before or after). The reference can only recompute totals
+    per poll (src/stats_dashboard.py:109-111); its dashboard cannot
+    say WHEN an IP went over.
+
+    State per key is two ints (count, fired) — bounded, and freed by
+    the timeout; the grouping key shuffles once per micro-batch.
+    """
+    import pandas as pd  # Arrow-batched per group
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("ip", StringType()),
+            StructField("failed_count", IntegerType()),
+            StructField("alert_ts", TimestampType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("count", IntegerType()), StructField("fired", IntegerType())]
+    )
+    failed = parsed.filter(
+        F.col("event").isin("failed_password", "invalid_user", "auth_failure")
+        & F.col("ip").isNotNull()
+    ).select("ip", "ts")
+
+    def update(key, pdf_iter, state: GroupState):
+        (ip,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        count, fired = state.get if state.exists else (0, 0)
+        max_ts = None
+        for pdf in pdf_iter:
+            count += len(pdf)
+            ts_max = pd.to_datetime(pdf["ts"]).max()
+            max_ts = ts_max if max_ts is None else max(max_ts, ts_max)
+        rows = []
+        if count >= threshold and not fired:
+            fired = 1
+            rows.append({"ip": ip, "failed_count": count, "alert_ts": max_ts})
+        state.update((count, fired))
+        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        if rows:
+            yield pd.DataFrame(rows)
+
+    return failed.groupBy("ip").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -88,3 +88,46 @@ def test_detector_threshold_monotone(spark, stream_dir):
     n3 = spark.table("t_det3").count()
     assert n3 <= n2
     assert spark.table("t_det2").filter(F.col("failed_count") < 2).count() == 0
+
+
+def test_stateful_alerts_edge_triggered_across_batches(spark, stream_dir):
+    """applyInPandasWithState semantics: at most ONE alert per IP no
+    matter how many micro-batches its failed logins span, fired in
+    the batch where the cumulative count crosses the threshold, and
+    never for IPs that stay below it."""
+    from bigdata_logs_spark.streaming import stateful_alerts
+
+    parsed_stream = read_ssh_stream(spark, stream_dir)
+    alerts = stateful_alerts(parsed_stream, threshold=5)
+    # maxFilesPerTrigger=1 forces one micro-batch per source file, so
+    # per-IP counts genuinely accumulate across batches in state
+    q = (
+        alerts.writeStream.format("memory")
+        .queryName("t_alerts")
+        .outputMode("append")
+        .option("maxFilesPerTrigger", 1)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("t_alerts").collect()
+
+    batch = parse_ssh_lines(spark.read.text(stream_dir))
+    failed_totals = {
+        r["ip"]: r["n"]
+        for r in batch.filter(
+            F.col("event").isin("failed_password", "invalid_user", "auth_failure")
+            & F.col("ip").isNotNull()
+        )
+        .groupBy("ip")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    alert_ips = [r["ip"] for r in got]
+    assert len(alert_ips) == len(set(alert_ips)), "an IP alerted twice"
+    expected = {ip for ip, n in failed_totals.items() if n >= 5}
+    assert set(alert_ips) == expected
+    # the reported count is the cumulative count at the crossing
+    # batch: >= threshold, <= the stream-wide total
+    for r in got:
+        assert 5 <= r["failed_count"] <= failed_totals[r["ip"]]
