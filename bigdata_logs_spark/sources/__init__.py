@@ -9,6 +9,7 @@ from bigdata_logs_spark.sources.io import (
     write_csv,
     write_json,
     write_orc,
+    write_bucketed,
     write_parquet,
 )
 
@@ -23,5 +24,6 @@ __all__ = [
     "write_csv",
     "write_json",
     "write_orc",
+    "write_bucketed",
     "write_parquet",
 ]

@@ -139,3 +139,28 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC source; schema travels in the file footer, so no explicit
     schema needed (unlike text formats)."""
     return spark.read.orc(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 8,
+    mode: str = "overwrite",
+    path: str | None = None,
+) -> None:
+    """Bucketed table: pre-shuffles rows into ``n_buckets`` hash
+    buckets on ``bucket_col`` at WRITE time, so every later join or
+    aggregation on that key runs with NO exchange — the shuffle is
+    paid once, not per query. This is the co-located-join strategy
+    for fact-fact joins that are too big to broadcast at 100 TB.
+    ``path`` makes it external (data outside the warehouse dir)."""
+    w = (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .format("parquet")
+    )
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)
