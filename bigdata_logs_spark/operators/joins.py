@@ -217,3 +217,71 @@ def segment_nation_sales(
         )
         .orderBy("c_mktsegment", "nation")
     )
+
+
+def asof_last_event(
+    events: DataFrame,
+    left_type: str = "error",
+    right_type: str = "signup",
+) -> DataFrame:
+    """As-of join — an operator Spark has no built-in for: for every
+    ``left_type`` event, attach the most recent prior-or-equal
+    ``right_type`` event of the same user.
+
+    Implemented the scale-right way: tag both sides, union, and take
+    a per-user window running ``last(..., ignorenulls)`` ordered by
+    (ts, side) — one shuffle on the user key, sort within partition,
+    NO range-expanded join and no per-key driver loop. This is
+    O(n log n) per partition regardless of how far back the match
+    lies, where a naive inequality join is O(n·m) per user.
+
+    The right side is first reduced to (user, ts) grain (max value)
+    so ties are deterministic on both engines; the DuckDB oracle uses
+    its native ASOF JOIN.
+    """
+    left = events.filter(F.col("event_type") == left_type).select(
+        "event_id", "user_id", "ts"
+    )
+    right = (
+        events.filter(F.col("event_type") == right_type)
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("r_val"))
+    )
+    # side 0 sorts before side 1 at equal ts => prior-OR-EQUAL match
+    u = right.select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("side"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("ts").alias("r_ts"),
+        "r_val",
+    ).unionByName(
+        left.select(
+            "user_id",
+            "ts",
+            F.lit(1).alias("side"),
+            "event_id",
+            F.lit(None).cast("timestamp").alias("r_ts"),
+            F.lit(None).cast("double").alias("r_val"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        u.withColumn("asof_ts", F.last("r_ts", ignorenulls=True).over(w))
+        .withColumn("asof_value", F.last("r_val", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("event_ts"),
+            F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss").alias("asof_ts"),
+            "asof_value",
+        )
+        .orderBy("event_id")
+    )

@@ -2456,3 +2456,76 @@ def q_bucketed_order_revenue(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "asof_last_signup_before_error",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+    ), s AS (
+      SELECT user_id, ts, MAX(value) AS r_val
+      FROM events WHERE event_type = 'signup' GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.user_id,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+           strftime(s.ts, '%Y-%m-%d %H:%M:%S') AS asof_ts,
+           s.r_val AS asof_value
+    FROM e ASOF LEFT JOIN s ON e.user_id = s.user_id AND s.ts <= e.ts
+    ORDER BY e.event_id
+    """,
+    tags=("J-9",),
+)
+def q_asof_last_signup_before_error(spark, sf_dir):
+    """As-of join (union + per-key running last, one shuffle — no
+    range-expanded join) vs DuckDB's native ASOF JOIN oracle."""
+    return J.asof_last_event(_events(spark, sf_dir))
+
+
+def _parsed_store(spark, sf_dir) -> str:
+    """Date-partitioned parquet store of the parsed SSH events,
+    written once per sf dir and reused (deterministic contents)."""
+    tag = _os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    store = _os.path.join(_tempfile.gettempdir(), f"bls_pstore_{tag}")
+    if not _os.path.exists(_os.path.join(store, "_SUCCESS")):
+        from pyspark.sql import functions as F
+
+        from bigdata_logs_spark.sources import write_parquet
+
+        parsed = with_event_time(parse_ssh_lines(_ssh_lines(spark, sf_dir))).withColumn(
+            "date", F.date_format("ts", "yyyy-MM-dd")
+        )
+        write_parquet(parsed, store, mode="overwrite", partition_by=("date",))
+    return store
+
+
+@register(
+    "store_pruned_day",
+    SSH_PARSE_CTE
+    + """
+    SELECT event, COUNT(*)::BIGINT AS n, COUNT(DISTINCT ip)::BIGINT AS distinct_ips
+    FROM parsed
+    WHERE strftime(strptime('2024 ' || month || ' ' || day || ' ' || time,
+                            '%Y %b %d %H:%M:%S'), '%Y-%m-%d') = '2024-01-03'
+    GROUP BY event ORDER BY event
+    """,
+    tags=("S-5", "D-2"),
+)
+def q_store_pruned_day(spark, sf_dir):
+    """Partition pruning on the canonical store: the single-day
+    dashboard query reads ONE date partition, not the whole store
+    (PartitionFilters in the scan — plan test pins it). At 100 TB
+    this is the difference between scanning ~300 GB and scanning
+    everything."""
+    from pyspark.sql import functions as F
+
+    store = _parsed_store(spark, sf_dir)
+    day = spark.read.parquet(store).filter(F.col("date") == "2024-01-03")
+    return (
+        day.groupBy("event")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("ip").alias("distinct_ips"),
+        )
+        .orderBy("event")
+    )

@@ -136,3 +136,23 @@ def test_bucketed_join_is_exchange_free(spark, sf_dir):
     # no hashpartitioning on the join keys at all
     keys = [l for l in plan.splitlines() if "hashpartitioning(" in l]
     assert all("orderkey" not in l for l in keys)
+
+
+def test_store_single_day_query_prunes_partitions(spark, sf_dir):
+    # the date filter must land in PartitionFilters (metadata-only
+    # pruning), not as a row-level post-scan filter
+    plan = _plan(spark, "store_pruned_day", sf_dir)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and any("2024-01-03" in l for l in pf)
+
+
+def test_asof_join_shuffles_once_no_range_join(spark, sf_dir):
+    # union + windowed running-last: exactly one hash exchange (the
+    # user key), and no nested-loop/cartesian range expansion
+    plan = _plan(spark, "asof_last_signup_before_error", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    keys = {
+        l.strip() for l in plan.splitlines() if "hashpartitioning(user_id" in l
+    }
+    assert keys, "expected the per-user window exchange"
