@@ -28,6 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     IntegerType,
     LongType,
@@ -166,3 +167,89 @@ def media_stats(decoded: DataFrame) -> DataFrame:
         )
         .orderBy("kind")
     )
+
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("features", ArrayType(IntegerType())),
+    ]
+)
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("out_width", IntegerType()),
+        StructField("out_height", IntegerType()),
+        StructField("out_n_bytes", LongType()),
+        StructField("out_checksum", StringType()),
+    ]
+)
+
+
+def extract_media_features(media: DataFrame, n_bins: int = 16) -> DataFrame:
+    """Feature-extraction plumbing: a fixed-size vector per payload —
+    here a 16-bin byte histogram (high nibble), where a real pipeline
+    would emit CLIP/mel-spectrogram features from the decoded media.
+
+    Same contract as the decode step: narrow Arrow-batched
+    ``mapInPandas``, payload never shuffles, output is a bounded
+    ``array<int>`` column ready for the similarity operators
+    (``knn_brute_force`` et al. work on any array column).
+    """
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def hist(b) -> list[int]:
+                counts = [0] * n_bins
+                for byte in bytes(b):
+                    counts[(byte >> 4) % n_bins] += 1
+                return counts
+
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "features": pdf["content"].map(hist),
+                }
+            )
+
+    return media.mapInPandas(feats, FEATURES_SCHEMA)
+
+
+def resize_media(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
+    """Resize plumbing: nearest-neighbor byte sampling down to
+    ``out_w * out_h`` payload bytes (a real pipeline decodes, resizes
+    with Pillow, re-encodes — same narrow batch shape, same schema
+    discipline: new payload + new dims).
+
+    Emits the resized payload's md5 rather than the blob so the step
+    is cross-engine oracle-checkable; sampling index for output i is
+    ``i * n_bytes // (out_w * out_h)`` — pure integer math, identical
+    everywhere. Empty payloads resize to the empty payload.
+    """
+    n_out = out_w * out_h
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def sample(b) -> str:
+                raw = bytes(b)
+                if not raw:
+                    return hashlib.md5(b"").hexdigest()
+                out = bytes(raw[i * len(raw) // n_out] for i in range(n_out))
+                return hashlib.md5(out).hexdigest()
+
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "out_width": out_w,
+                    "out_height": out_h,
+                    "out_n_bytes": pdf["content"].map(
+                        lambda b: n_out if len(bytes(b)) else 0
+                    ).astype("int64"),
+                    "out_checksum": pdf["content"].map(sample),
+                }
+            )
+
+    return media.mapInPandas(resize, RESIZED_SCHEMA)

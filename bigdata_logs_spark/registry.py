@@ -2529,3 +2529,49 @@ def q_store_pruned_day(spark, sf_dir):
         )
         .orderBy("event")
     )
+
+
+@register(
+    "media_features",
+    MEDIA_CTE
+    + """
+    SELECT media_id, kind,
+           list_transform(range(0, 16), b ->
+             len(list_filter(
+               list_transform(range(1, length(text) + 1),
+                              i -> ascii(substr(text, i, 1))),
+               c -> c // 16 = b))::INT) AS features
+    FROM media ORDER BY media_id
+    """,
+    tags=("M-4",),
+)
+def q_media_features(spark, sf_dir):
+    """Feature-extraction plumbing: 16-bin byte histogram per payload
+    via narrow Arrow-batched mapInPandas (stand-in for CLIP/mel
+    features); ASCII corpus makes the oracle byte-exact."""
+    media = MM.media_from_documents(_docs(spark, sf_dir))
+    return MM.extract_media_features(media).orderBy("media_id")
+
+
+@register(
+    "media_resize",
+    MEDIA_CTE
+    + """
+    SELECT media_id, 8 AS out_width, 8 AS out_height,
+           CASE WHEN length(text) = 0 THEN 0 ELSE 64 END::BIGINT AS out_n_bytes,
+           CASE WHEN length(text) = 0 THEN md5('')
+           ELSE md5(array_to_string(
+             list_transform(range(0, 64),
+               i -> substr(text, (i * length(text) // 64) + 1, 1)), ''))
+           END AS out_checksum
+    FROM media ORDER BY media_id
+    """,
+    tags=("M-5",),
+)
+def q_media_resize(spark, sf_dir):
+    """Resize plumbing: nearest-neighbor byte sampling to an 8x8
+    payload inside the same mapInPandas batch shape a real
+    decode->resize->re-encode would use; emits md5 of the resized
+    payload so the step is oracle-checkable."""
+    media = MM.media_from_documents(_docs(spark, sf_dir))
+    return MM.resize_media(media).orderBy("media_id")

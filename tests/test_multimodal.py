@@ -53,3 +53,40 @@ def test_media_stats(media):
     kinds = {r.kind: r for r in stats}
     assert set(kinds) == {"image", "audio", "video"}
     assert sum(r.n for r in stats) == 48
+
+
+def test_feature_vectors_fixed_size_partition_invariant(spark, sf_dir):
+    from bigdata_logs_spark.operators.multimodal import (
+        extract_media_features,
+        media_from_documents,
+    )
+    from bigdata_logs_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    media = media_from_documents(load_table(spark, sf_dir, "documents"))
+    feats = extract_media_features(media)
+    assert feats.filter(F.size("features") != 16).count() == 0
+    # histogram sums to payload length regardless of Arrow batch split
+    joined = feats.join(media.select("media_id", F.length("content").alias("n")), "media_id")
+    assert joined.filter(
+        F.expr("aggregate(features, 0, (a, x) -> a + x)") != F.col("n")
+    ).count() == 0
+    one = sorted(map(str, extract_media_features(media.repartition(1)).collect()))
+    many = sorted(map(str, extract_media_features(media.repartition(5)).collect()))
+    assert one == many
+
+
+def test_resize_output_contract(spark, sf_dir):
+    from bigdata_logs_spark.operators.multimodal import (
+        media_from_documents,
+        resize_media,
+    )
+    from bigdata_logs_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    media = media_from_documents(load_table(spark, sf_dir, "documents"))
+    out = resize_media(media)
+    assert out.count() == media.count()
+    # non-empty payloads resize to exactly 8x8=64 bytes
+    nonempty = out.filter(F.col("out_n_bytes") > 0)
+    assert nonempty.filter(F.col("out_n_bytes") != 64).count() == 0
