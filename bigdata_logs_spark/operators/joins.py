@@ -285,3 +285,65 @@ def asof_last_event(
         )
         .orderBy("event_id")
     )
+
+
+# Overlapping value bands for the range join: deliberately NOT aligned
+# to any bin grid, so the bin-key trick below has to handle bands
+# spanning multiple bins and events matching multiple bands.
+VALUE_BANDS: tuple[tuple[int, float, float], ...] = (
+    (0, 0.0, 75.0),
+    (1, 50.0, 180.0),
+    (2, 150.0, 400.0),
+    (3, 350.0, 500.0),
+)
+_BIN_W = 25.0
+
+
+def range_join_value_bands(events: DataFrame) -> DataFrame:
+    """Range (interval) join — another operator Spark has no native
+    support for: count events whose ``value`` falls in each of a set
+    of overlapping bands.
+
+    Naive phrasing (`events JOIN bands ON value BETWEEN lo AND hi`)
+    is a broadcast nested loop — fine for 4 bands, quadratic death for
+    many. This implements the scalable bin-key pattern: each band
+    explodes into the fixed-width bins it covers (tiny: bands ×
+    bins-per-band rows, still broadcastable), events compute ONE bin
+    key, and the join becomes an equi-join on the bin followed by the
+    exact range predicate. Equi-join = hash join = shuffle-free here
+    (bin side broadcast), and the same shape scales to millions of
+    intervals (genomics/telemetry workloads) where nested-loop can't.
+    """
+    from pyspark.sql import Row
+
+    spark = events.sparkSession
+    bands = spark.createDataFrame(
+        [Row(band_id=b, lo=lo, hi=hi) for b, lo, hi in VALUE_BANDS]
+    )
+    binned_bands = bands.select(
+        "band_id",
+        "lo",
+        "hi",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo") / _BIN_W).cast("long"),
+                F.floor((F.col("hi") - F.lit(1e-9)) / _BIN_W).cast("long"),
+            )
+        ).alias("bin"),
+    )
+    keyed = events.select(
+        "event_id",
+        "value",
+        F.floor(F.col("value") / _BIN_W).cast("long").alias("bin"),
+    )
+    matched = keyed.join(F.broadcast(binned_bands), "bin").filter(
+        (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi"))
+    )
+    return (
+        matched.groupBy("band_id", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .orderBy("band_id")
+    )

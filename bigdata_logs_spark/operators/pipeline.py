@@ -131,3 +131,46 @@ def contamination_check(
         .agg(F.countDistinct("gram").alias("n_contaminated_ngrams"))
         .orderBy("doc_id")
     )
+
+
+def corpus_curation(
+    docs: DataFrame,
+    dedup_threshold: float = 0.5,
+    min_tokens: int = 5,
+    val_pct: int = 10,
+    test_pct: int = 10,
+) -> DataFrame:
+    """The end-to-end training-corpus curation pipeline as ONE lazy
+    plan: LSH near-dup removal (keep-first-seen) → cheap quality gate
+    (minimum token count) → deterministic train/val/test assignment →
+    per-(split, lang) manifest.
+
+    This is the composition the individual operators exist for; being
+    a single DataFrame expression, Catalyst prunes/pushes across all
+    three stages at once (e.g. only doc_id/lang/text reach any
+    shuffle) and nothing materializes between stages — at 100 TB the
+    whole pipeline is one job, not three ETL hops.
+    """
+    from bigdata_logs_spark.operators.dedup import near_dup_survivors
+    from bigdata_logs_spark.operators.textops import quality_scores
+
+    surv = near_dup_survivors(docs, threshold=dedup_threshold).select(
+        "doc_id", "lang"
+    )
+    quality = quality_scores(docs).select("doc_id", "n_tokens")
+    kept = surv.join(quality, "doc_id").filter(F.col("n_tokens") >= min_tokens)
+    bucket = hash_bucket(F.col("doc_id"), "split:")
+    split = (
+        F.when(bucket < test_pct, F.lit("test"))
+        .when(bucket < test_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return (
+        kept.withColumn("split", split)
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("split", "lang")
+    )

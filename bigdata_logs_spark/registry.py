@@ -2575,3 +2575,58 @@ def q_media_resize(spark, sf_dir):
     payload so the step is oracle-checkable."""
     media = MM.media_from_documents(_docs(spark, sf_dir))
     return MM.resize_media(media).orderBy("media_id")
+
+
+@register(
+    "range_join_value_bands",
+    """
+    WITH bands(band_id, lo, hi) AS (
+      VALUES (0, 0.0::DOUBLE, 75.0::DOUBLE),
+             (1, 50.0::DOUBLE, 180.0::DOUBLE),
+             (2, 150.0::DOUBLE, 400.0::DOUBLE),
+             (3, 350.0::DOUBLE, 500.0::DOUBLE)
+    )
+    SELECT band_id, lo, hi, COUNT(*)::BIGINT AS n_events,
+           SUM(CAST(value AS DECIMAL(18,2)))::DOUBLE AS total_value
+    FROM events JOIN bands ON value >= lo AND value < hi
+    GROUP BY band_id, lo, hi ORDER BY band_id
+    """,
+    tags=("J-10",),
+)
+def q_range_join_value_bands(spark, sf_dir):
+    """Interval join via the scalable bin-key pattern (bands exploded
+    to covered bins, single equi-join + exact predicate) — the oracle
+    does the naive inequality join the pattern replaces."""
+    return J.range_join_value_bands(_events(spark, sf_dir))
+
+
+@register(
+    "corpus_curation",
+    ND_PAIRS_CTE
+    + f"""
+    , surv AS (
+      SELECT doc_id, lang FROM documents
+      WHERE doc_id NOT IN (SELECT doc_b FROM pairs WHERE jaccard >= 0.5)
+    )
+    , q AS (SELECT doc_id, len(tokens)::INT AS n_tokens FROM toks)
+    , kept AS (
+      SELECT s.doc_id, s.lang, q.n_tokens
+      FROM surv s JOIN q USING (doc_id) WHERE q.n_tokens >= 5
+    )
+    , assigned AS (
+      SELECT *, CASE WHEN {_bucket_sql('split:')} < 10 THEN 'test'
+                     WHEN {_bucket_sql('split:')} < 20 THEN 'val'
+                     ELSE 'train' END AS split
+      FROM kept
+    )
+    SELECT split, lang, COUNT(*)::BIGINT AS n_docs,
+           SUM(n_tokens)::BIGINT AS total_tokens
+    FROM assigned GROUP BY 1, 2 ORDER BY split, lang
+    """,
+    tags=("PL-4", "DD-7", "T-4", "PL-1"),
+)
+def q_corpus_curation(spark, sf_dir):
+    """End-to-end corpus curation (dedup -> quality gate -> split ->
+    manifest) as one lazy plan: Catalyst prunes and pushes across all
+    stages at once; nothing materializes between them."""
+    return PL.corpus_curation(_docs(spark, sf_dir))
