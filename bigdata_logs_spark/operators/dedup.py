@@ -59,29 +59,43 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 
 
 def minhash_signatures(docs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
-    """Banded min-hash: signature for band j = min over shingles of
-    md5(j || '|' || shingle).
+    """Banded min-hash: band j's hash of a shingle is an 8-hex-char
+    (32-bit) slice of md5 — bands 0-3 slice md5(shingle), bands 4-7
+    slice md5('#' || shingle) — and the signature is the min slice
+    over the document's shingles.
 
-    Shape: explode (doc_id, band, shingle), hash in a codegen'd
-    projection, then hash-aggregate min per (doc_id, band). Hashing
-    inside `transform` lambdas runs on Spark's interpreted expression
-    path (~40x slower here); exploding keeps md5 inside whole-stage
-    codegen, and the map-side partial min compresses the shuffle to
-    n_bands rows per doc regardless of document length.
+    Two md5 evaluations per shingle produce all 8 band hashes (the
+    slices of a cryptographic digest are independent uniform values —
+    the standard one-strong-hash-split-into-k minhash construction),
+    versus one md5 PER BAND per shingle in the naive form: 4x less
+    hashing. The 8 per-band minima also come from a SINGLE
+    hash-aggregate pass over the exploded (doc_id, shingle) rows — no
+    8x band explosion ever hits the shuffle; the per-doc result is
+    stacked to (doc_id, band, sig) rows afterwards, when there are
+    only n_docs rows left. All expressions stay in whole-stage
+    codegen (hashing inside `transform` lambdas would run on the
+    interpreted path, ~40x slower here).
     """
-    exploded = (
-        docs.withColumn("tokens", _tokens(F.col("text")))
-        .select(F.col("doc_id"), F.explode(_shingles()).alias("shingle"))
-        .select(
-            "doc_id",
-            F.explode(F.expr(f"sequence(0, {n_bands - 1})")).alias("band"),
-            "shingle",
-        )
+    if n_bands != 8:
+        raise ValueError("the md5-slice band layout is fixed at 8 bands")
+    grams = docs.withColumn("tokens", _tokens(F.col("text"))).select(
+        F.col("doc_id"), F.explode(_shingles()).alias("shingle")
     )
-    sig = F.md5(F.concat(F.col("band").cast("string"), F.lit("|"), F.col("shingle")))
+    h1 = F.md5(F.col("shingle"))
+    h2 = F.md5(F.concat(F.lit("#"), F.col("shingle")))
+    slices = [F.substring(h1, 8 * j + 1, 8) for j in range(4)] + [
+        F.substring(h2, 8 * j + 1, 8) for j in range(4)
+    ]
+    mins = grams.groupBy("doc_id").agg(
+        *[F.min(s).alias(f"b{j}") for j, s in enumerate(slices)]
+    )
     return (
-        exploded.groupBy("doc_id", "band")
-        .agg(F.min(sig).alias("sig"))
+        mins.select(
+            "doc_id",
+            F.posexplode(F.array(*[F.col(f"b{j}") for j in range(8)])).alias(
+                "band", "sig"
+            ),
+        )
         .orderBy("doc_id", "band")
     )
 
@@ -161,7 +175,9 @@ def near_dup_pairs(
     doc_id) triples shuffle for the bucket self-join; production
     would additionally cap pathological bucket occupancy before the
     pair expansion."""
-    sigs = minhash_signatures(docs, n_bands)
+    # cache: the signature set feeds both sides of the bucket
+    # self-join (and is tiny — n_bands rows per doc)
+    sigs = minhash_signatures(docs, n_bands).cache()
     left = sigs.select("band", "sig", F.col("doc_id").alias("doc_a"))
     right = sigs.select("band", "sig", F.col("doc_id").alias("doc_b"))
     cand = (
@@ -170,23 +186,44 @@ def near_dup_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sh = docs.withColumn("tokens", _tokens(F.col("text"))).select(
-        "doc_id", F.array_distinct(_shingles()).alias("shingles")
+    # Verification never ships shingle ARRAYS through a join (that
+    # shuffles every document's shingle set once per candidate pair);
+    # instead it works on exploded (doc_id, shingle) rows: the
+    # intersection size is a pair-gram equi-join count, and the union
+    # follows from per-doc set sizes. Everything that shuffles is a
+    # small fixed-width row.
+    grams = (
+        docs.withColumn("tokens", _tokens(F.col("text")))
+        .select("doc_id", F.explode(F.array_distinct(_shingles())).alias("gram"))
+        .cache()
     )
-    joined = cand.join(
-        sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        cand.join(
+            grams.select(F.col("doc_id").alias("doc_a"), "gram"), "doc_a"
+        )
+        .join(
+            grams.select(F.col("doc_id").alias("doc_b"), "gram"),
+            ["doc_b", "gram"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    # LSH candidates share >= 1 shingle by construction, so the inner
+    # count join loses no pair
+    joined = inter.join(
+        sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")),
         "doc_a",
     ).join(
-        sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")),
+        sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")),
         "doc_b",
     )
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    union = F.col("sz_a") + F.col("sz_b") - F.col("n_inter")
     return (
         joined.select(
             "doc_a",
             "doc_b",
-            F.round(inter.cast("double") / union, 4).alias("jaccard"),
+            F.round(F.col("n_inter").cast("double") / union, 4).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
         .orderBy("doc_a", "doc_b")

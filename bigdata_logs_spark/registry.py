@@ -1360,7 +1360,8 @@ def q_exact_dedup(spark, sf_dir):
     , sh AS (SELECT doc_id, {SHINGLES_EXPR} AS shingles FROM toks)
     SELECT doc_id, r.band::INT AS band,
            list_min(list_transform(shingles,
-             s -> md5(r.band::VARCHAR || '|' || s))) AS sig
+             s -> CASE WHEN r.band < 4 THEN substr(md5(s), r.band * 8 + 1, 8)
+                  ELSE substr(md5('#' || s), (r.band - 4) * 8 + 1, 8) END)) AS sig
     FROM sh CROSS JOIN range(0, 8) AS r(band)
     ORDER BY doc_id, band
     """,
@@ -1379,7 +1380,8 @@ def q_minhash_signatures(spark, sf_dir):
     , sigs AS (
       SELECT doc_id, r.band::INT AS band,
              list_min(list_transform(shingles,
-               s -> md5(r.band::VARCHAR || '|' || s))) AS sig
+               s -> CASE WHEN r.band < 4 THEN substr(md5(s), r.band * 8 + 1, 8)
+                    ELSE substr(md5('#' || s), (r.band - 4) * 8 + 1, 8) END)) AS sig
       FROM sh CROSS JOIN range(0, 8) AS r(band)
     )
     SELECT band, sig, COUNT(*)::BIGINT AS n_docs,
@@ -1441,7 +1443,8 @@ def q_jaccard_pairs(spark, sf_dir):
     , sigs AS (
       SELECT doc_id, r.band::INT AS band,
              list_min(list_transform(shingles,
-               s -> md5(r.band::VARCHAR || '|' || s))) AS sig
+               s -> CASE WHEN r.band < 4 THEN substr(md5(s), r.band * 8 + 1, 8)
+                    ELSE substr(md5('#' || s), (r.band - 4) * 8 + 1, 8) END)) AS sig
       FROM sh CROSS JOIN range(0, 8) AS r(band)
     )
     , cand AS (
@@ -2015,6 +2018,7 @@ def q_stratified_sample(spark, sf_dir):
     GROUP BY doc_id ORDER BY doc_id
     """,
     tags=("PL-3",),
+    bench=True,
 )
 def q_contamination_check(spark, sf_dir):
     """Benchmark-contamination scan: k-gram hash overlap between
@@ -2068,7 +2072,8 @@ ND_PAIRS_CTE = (
     , sigs AS (
       SELECT doc_id, r.band::INT AS band,
              list_min(list_transform(shingles,
-               s -> md5(r.band::VARCHAR || '|' || s))) AS sig
+               s -> CASE WHEN r.band < 4 THEN substr(md5(s), r.band * 8 + 1, 8)
+                    ELSE substr(md5('#' || s), (r.band - 4) * 8 + 1, 8) END)) AS sig
       FROM sh CROSS JOIN range(0, 8) AS r(band)
     )
     , cand AS (
@@ -2129,6 +2134,7 @@ def q_near_dup_survivors(spark, sf_dir):
     FROM ranked WHERE rnk <= 5 ORDER BY doc_id, rnk
     """,
     tags=("T-7",),
+    bench=True,
 )
 def q_tfidf_top_terms(spark, sf_dir):
     """Per-document top-5 terms by tf-idf (ln verified bit-identical
@@ -2191,6 +2197,7 @@ def q_near_dup_components(spark, sf_dir):
     ORDER BY vec_id
     """,
     tags=("E-6",),
+    bench=True,
 )
 def q_embedding_quantize(spark, sf_dir):
     """Per-dimension affine 0..255 quantization: 64-row stats agg
@@ -2407,7 +2414,8 @@ def q_streaming_stateful_alerts(spark, sf_dir):
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
-    tags=("J-8",),
+    tags=("J-11",),
+    bench=True,
 )
 def q_bucketed_order_revenue(spark, sf_dir):
     """Co-located fact-fact join via bucketing: orders and lineitem
@@ -2475,6 +2483,7 @@ def q_bucketed_order_revenue(spark, sf_dir):
     ORDER BY e.event_id
     """,
     tags=("J-9",),
+    bench=True,
 )
 def q_asof_last_signup_before_error(spark, sf_dir):
     """As-of join (union + per-key running last, one shuffle — no
@@ -2624,6 +2633,7 @@ def q_range_join_value_bands(spark, sf_dir):
     FROM assigned GROUP BY 1, 2 ORDER BY split, lang
     """,
     tags=("PL-4", "DD-7", "T-4", "PL-1"),
+    bench=True,
 )
 def q_corpus_curation(spark, sf_dir):
     """End-to-end corpus curation (dedup -> quality gate -> split ->
