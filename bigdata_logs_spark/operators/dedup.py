@@ -24,6 +24,9 @@ from pyspark.sql import functions as F
 
 SHINGLE_K = 3
 N_BANDS = 8
+# LSH buckets larger than this never expand to candidate pairs
+# (quadratic-blowup guard; part of the near-dup operator contract)
+BUCKET_CAP = 64
 
 
 def _tokens(text: Column) -> Column:
@@ -178,8 +181,21 @@ def near_dup_pairs(
     # cache: the signature set feeds both sides of the bucket
     # self-join (and is tiny — n_bands rows per doc)
     sigs = minhash_signatures(docs, n_bands).cache()
-    left = sigs.select("band", "sig", F.col("doc_id").alias("doc_a"))
-    right = sigs.select("band", "sig", F.col("doc_id").alias("doc_b"))
+    # Occupancy cap BEFORE pair expansion: a degenerate bucket (e.g.
+    # boilerplate shingles shared by millions of docs) would expand
+    # quadratically; buckets over the cap are dropped, bounding any
+    # bucket's contribution to cap² pairs. A no-op at test scale
+    # (max occupancy ~21), a survival requirement at 100 TB. The cap
+    # is part of the operator contract — the oracle applies it too.
+    ok = (
+        sigs.groupBy("band", "sig")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") <= BUCKET_CAP)
+        .select("band", "sig")
+    )
+    capped = sigs.join(ok, ["band", "sig"])
+    left = capped.select("band", "sig", F.col("doc_id").alias("doc_a"))
+    right = capped.select("band", "sig", F.col("doc_id").alias("doc_b"))
     cand = (
         left.join(right, ["band", "sig"])
         .filter(F.col("doc_a") < F.col("doc_b"))

@@ -1447,9 +1447,13 @@ def q_jaccard_pairs(spark, sf_dir):
                     ELSE substr(md5('#' || s), (r.band - 4) * 8 + 1, 8) END)) AS sig
       FROM sh CROSS JOIN range(0, 8) AS r(band)
     )
+    , ok AS (
+      SELECT band, sig FROM sigs GROUP BY band, sig HAVING COUNT(*) <= 64
+    )
+    , sigs_ok AS (SELECT s.* FROM sigs s JOIN ok USING (band, sig))
     , cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+      FROM sigs_ok a JOIN sigs_ok b ON a.band = b.band AND a.sig = b.sig
       WHERE a.doc_id < b.doc_id
     )
     SELECT doc_a, doc_b,
@@ -2076,9 +2080,13 @@ ND_PAIRS_CTE = (
                     ELSE substr(md5('#' || s), (r.band - 4) * 8 + 1, 8) END)) AS sig
       FROM sh CROSS JOIN range(0, 8) AS r(band)
     )
+    , ok AS (
+      SELECT band, sig FROM sigs GROUP BY band, sig HAVING COUNT(*) <= 64
+    )
+    , sigs_ok AS (SELECT s.* FROM sigs s JOIN ok USING (band, sig))
     , cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+      FROM sigs_ok a JOIN sigs_ok b ON a.band = b.band AND a.sig = b.sig
       WHERE a.doc_id < b.doc_id
     )
     , pairs AS (
