@@ -77,6 +77,19 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_sql(args) -> int:
+    from bigdata_logs_spark.registry import REGISTRY, register_views
+
+    spark = _spark("sql")
+    # register the base tables plus only the query-views the
+    # statement actually references (building every view would do
+    # bounded-but-slow eager work for the streaming/roundtrip ones)
+    referenced = [n for n in REGISTRY if n in args.statement]
+    register_views(spark, args.sf_dir, names=referenced)
+    spark.sql(args.statement).show(args.rows, truncate=False)
+    return 0
+
+
 def cmd_list(_args) -> int:
     from bigdata_logs_spark.registry import REGISTRY
 
@@ -112,6 +125,14 @@ def main(argv: list[str] | None = None) -> int:
 
     pl = sub.add_parser("list", help="list registry queries")
     pl.set_defaults(fn=cmd_list)
+
+    px = sub.add_parser(
+        "sql", help="run SQL over the tables + every registry query as views"
+    )
+    px.add_argument("statement")
+    px.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    px.add_argument("--rows", type=int, default=20)
+    px.set_defaults(fn=cmd_sql)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -2648,3 +2648,64 @@ def q_corpus_curation(spark, sf_dir):
     manifest) as one lazy plan: Catalyst prunes and pushes across all
     stages at once; nothing materializes between them."""
     return PL.corpus_curation(_docs(spark, sf_dir))
+
+
+@register(
+    "event_value_cube",
+    """
+    SELECT event_type,
+           CAST(dayofweek(ts) + 1 AS INT) AS dow,  -- Spark: 1=Sunday..7
+           COUNT(*)::BIGINT AS n,
+           SUM(CAST(value AS DECIMAL(18,2)))::DOUBLE AS total_value
+    FROM events
+    GROUP BY CUBE (event_type, CAST(dayofweek(ts) + 1 AS INT))
+    ORDER BY event_type NULLS LAST, dow NULLS LAST
+    """,
+    tags=("AGG-4",),
+)
+def q_event_value_cube(spark, sf_dir):
+    """CUBE grouping sets (all four aggregation granularities in one
+    pass — Spark expands to a single shuffle with a grouping-id
+    column, not four scans)."""
+    from pyspark.sql import functions as F
+
+    ev = _events(spark, sf_dir)
+    return (
+        ev.cube("event_type", F.dayofweek("ts").cast("int").alias("dow"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .orderBy(
+            F.col("event_type").asc_nulls_last(), F.col("dow").asc_nulls_last()
+        )
+    )
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names=None
+) -> list[str]:
+    """Expose the registry through plain SQL: each named query
+    becomes a temporary view, plus one view per input table — so
+    ``spark.sql("SELECT * FROM events_per_day WHERE ...")`` works
+    with no Python API at all. Views are lazy plans, not
+    materializations: Catalyst fuses any downstream SQL with the
+    registered plan (filters still push down through the view).
+
+    ``names`` restricts registration to a subset; by default every
+    query registers (building a few of them does bounded eager work —
+    streaming sinks run to completion, roundtrips write temp files)."""
+    from bigdata_logs_spark.sources import TABLES as _T
+
+    for t in _T:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    out = []
+    for name, spec in REGISTRY.items():
+        if names is not None and name not in names:
+            continue
+        try:
+            spec.fn(spark, sf_dir).createOrReplaceTempView(name)
+            out.append(name)
+        except Exception:  # noqa: BLE001 — streaming sinks etc. may not view-ify
+            continue
+    return out

@@ -34,3 +34,36 @@ def test_parse_etl_roundtrip(tmp_path, spark, sf_dir, events):
     back = spark.read.parquet(str(store))
     assert back.count() > 0
     assert "date" in back.columns  # partition column for pruning
+
+
+def test_sql_views_compose_with_pushdown(capsys, spark, sf_dir):
+    # every registered view stays a lazy plan: SQL over it fuses with
+    # the underlying query (and the CLI surface works end to end)
+    assert (
+        main(["sql", "SELECT * FROM events_per_day WHERE total_events > 0",
+              "--sf-dir", sf_dir, "--rows", "3"]) == 0
+    )
+    assert "total_events" in capsys.readouterr().out
+
+
+def test_register_views_exposes_queries_as_sql(spark, sf_dir):
+    from bigdata_logs_spark.registry import register_views
+
+    subset = [
+        "global_metrics",
+        "events_per_day",
+        "entity_profile",
+        "exact_dedup",
+        "knn_brute_force",
+        "train_val_test_split",
+    ]
+    names = register_views(spark, sf_dir, names=subset)
+    assert set(names) == set(subset)
+    row = spark.sql("SELECT COUNT(*) AS n FROM global_metrics").first()
+    assert row["n"] == 1
+    # views fuse with downstream SQL (join a view to a base table)
+    j = spark.sql(
+        "SELECT COUNT(*) AS n FROM train_val_test_split s "
+        "JOIN documents d ON s.doc_id = d.doc_id WHERE s.split = 'train'"
+    ).first()
+    assert j["n"] > 0
