@@ -116,9 +116,11 @@ def contamination_check(
     aggregation — no document text ever crosses the wire.
     """
     toks = docs.withColumn("tokens", F.split(F.trim(F.col("text")), r"\s+"))
+    # cache: the exploded gram set feeds both the benchmark branch and
+    # the train branch — without it the tokenize+explode runs twice
     grams = toks.select(
         "doc_id", "source", F.explode(_ngram_hashes(k)).alias("gram")
-    )
+    ).cache()
     bench = (
         grams.filter(F.col("source") == benchmark_source)
         .select("gram")

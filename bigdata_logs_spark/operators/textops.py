@@ -243,7 +243,9 @@ def tfidf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
     vocabulary size, broadcastable); the window partitions by doc_id,
     which is the natural even key.
     """
-    n_docs = docs.count()
+    # N computed IN the plan (1-row agg, broadcast by the cross join)
+    # so the operator is fully lazy — no eager count job at build time
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     toks = with_tokens(docs).select("doc_id", F.explode(F.col("tokens")).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = toks.select("doc_id", "term").distinct().groupBy("term").agg(
@@ -251,7 +253,7 @@ def tfidf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
     )
     score = F.round(
         F.col("tf").cast("double")
-        * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
+        * F.log(F.col("n_docs") / F.col("df").cast("double")),
         6,
     )
     from pyspark.sql.window import Window
@@ -261,6 +263,7 @@ def tfidf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
     )
     return (
         tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
         .select("doc_id", "term", "tf", "df", score.alias("tfidf"))
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
