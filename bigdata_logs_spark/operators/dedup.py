@@ -15,6 +15,15 @@ Four tiers, each a different cost/recall point at 100 TB:
 Everything is native Spark array/lambda expressions — signatures are
 computed in a narrow projection; only the tiny (doc_id, band, sig)
 triples shuffle.
+
+Published techniques (public literature): MinHash resemblance
+sketches are Broder, "On the resemblance and containment of
+documents" (SEQUENCES 1997); the banding/LSH analysis follows
+Leskovec/Rajaraman/Ullman, "Mining of Massive Datasets" ch. 3;
+SimHash is Charikar, "Similarity estimation techniques from rounding
+algorithms" (STOC 2002), applied to web dedup by Manku et al.
+(WWW 2007), whose bit-block candidate trick the 4x8-bit banding in
+``simhash_near_dup`` mirrors.
 """
 
 from __future__ import annotations

@@ -2709,3 +2709,56 @@ def register_views(
         except Exception:  # noqa: BLE001 — streaming sinks etc. may not view-ify
             continue
     return out
+
+
+@register(
+    "store_upsert",
+    """
+    WITH updates AS (
+      SELECT event_id, ts + INTERVAL 1 HOUR AS ts, user_id, event_type,
+             value + 1000.0 AS value, props
+      FROM events WHERE event_id % 97 = 0
+    ), unioned AS (
+      SELECT *, 0 AS _src FROM events
+      UNION ALL SELECT *, 1 AS _src FROM updates
+    ), merged AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY event_id ORDER BY ts DESC, _src DESC) AS _rn
+        FROM unioned
+      ) WHERE _rn = 1
+    )
+    SELECT event_type, COUNT(*)::BIGINT AS n,
+           SUM(CAST(value AS DECIMAL(18,2)))::DOUBLE AS total_value
+    FROM merged GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("S-9",),
+)
+def q_store_upsert(spark, sf_dir):
+    """CDC-style keep-latest merge (the MERGE INTO inner plan on
+    plain parquet): a deterministic update batch (every 97th event,
+    newer ts, shifted value) upserts into the events table; the
+    post-merge aggregate proves exactly the updated versions
+    survived."""
+    from pyspark.sql import functions as F
+
+    from bigdata_logs_spark.sources import upsert_keep_latest
+
+    ev = _events(spark, sf_dir)
+    updates = ev.filter(F.col("event_id") % 97 == 0).select(
+        "event_id",
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts"),
+        "user_id",
+        "event_type",
+        (F.col("value") + 1000.0).alias("value"),
+        "props",
+    )
+    merged = upsert_keep_latest(ev, updates, keys=["event_id"], order_col="ts")
+    return (
+        merged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -164,3 +164,34 @@ def write_bucketed(
     if path:
         w = w.option("path", path)
     w.saveAsTable(table)
+
+
+def upsert_keep_latest(
+    base: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    order_col: str,
+) -> DataFrame:
+    """CDC-style merge on plain parquet semantics: union base and
+    update rows, keep the latest version of each key (greatest
+    ``order_col``; updates win ties). This is what MERGE INTO
+    compiles to on table formats — minus their file-level pruning —
+    expressed as one shuffle on the key plus a per-key window.
+
+    At 100 TB the practical variant partitions the store and merges
+    only partitions the update batch touches; the per-key plan here
+    is that inner merge."""
+    from pyspark.sql import Window, functions as F
+
+    cols = base.columns
+    u = base.select(*cols).withColumn("_src", F.lit(0)).unionByName(
+        updates.select(*cols).withColumn("_src", F.lit(1))
+    )
+    w = Window.partitionBy(*keys).orderBy(
+        F.desc(order_col), F.desc("_src")
+    )
+    return (
+        u.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_src")
+    )
