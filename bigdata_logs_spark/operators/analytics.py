@@ -1,0 +1,96 @@
+"""Event-sequence analytics over the ``events`` table: batch
+sessionization, ordered funnels, retention cohorts.
+
+Engine extensions (the reference's dashboard never looks across rows
+of one user — every chart is a flat group-by; these add the
+sequence-aware layer, all with built-in window/agg functions, no
+UDFs). The streaming twin of sessionization is ``attack_sessions``
+(native ``session_window``); this module is the batch gaps-and-
+islands formulation, which is also what the DuckDB oracles express.
+
+Scale shape: everything here is one shuffle on ``user_id`` followed
+by in-partition window work — the natural even key. No self-joins
+over the event table, no per-user driver loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def user_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gaps-and-islands sessionization: a new session starts when a
+    user's inter-event gap exceeds ``gap_minutes``. One window pass:
+    lag -> boundary flag -> running sum = session id; then per-user
+    session stats."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    boundary = F.when(
+        gap.isNull() | (gap > gap_minutes * 60), F.lit(1)
+    ).otherwise(F.lit(0))
+    sessioned = events.withColumn(
+        "session_no", F.sum(boundary).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    per_session = sessioned.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))
+        ).alias("duration_s"),
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+            F.max("duration_s").alias("max_session_duration_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def funnel_conversion(
+    events: DataFrame,
+    stages: tuple[str, ...] = ("signup", "click", "purchase"),
+) -> DataFrame:
+    """Ordered funnel: per user, the first time of each stage; a user
+    converts through stage k only if every earlier stage happened
+    strictly before it. One conditional aggregation per stage in a
+    single groupBy — no joins, no explode."""
+    firsts = events.groupBy("user_id").agg(
+        *[
+            F.min(F.when(F.col("event_type") == s, F.col("ts"))).alias(f"t_{i}")
+            for i, s in enumerate(stages)
+        ]
+    )
+    reached = []
+    cond = F.col("t_0").isNotNull()
+    reached.append(F.sum(cond.cast("int")).alias(f"reached_{stages[0]}"))
+    for i in range(1, len(stages)):
+        cond = cond & F.col(f"t_{i}").isNotNull() & (
+            F.col(f"t_{i}") > F.col(f"t_{i - 1}")
+        )
+        reached.append(F.sum(cond.cast("int")).alias(f"reached_{stages[i]}"))
+    return firsts.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        *reached,
+    )
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """Weekly retention: cohort = ISO week of a user's first event;
+    cell (cohort, offset) = distinct users of that cohort active
+    ``offset`` weeks later. Two shuffles total: first-seen per user
+    (groupBy), then the cohort-cell count — the activity rows join
+    their user's cohort via a broadcast-sized per-user table at test
+    scale, hash join at 100 TB."""
+    weeks = events.select(
+        "user_id", F.weekofyear("ts").alias("wk")
+    )
+    first_wk = weeks.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        weeks.join(first_wk, "user_id")
+        .groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .orderBy("cohort_wk", "week_offset")
+    )

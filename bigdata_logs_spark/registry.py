@@ -2762,3 +2762,96 @@ def q_store_upsert(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# Event-sequence analytics (engine extensions: sessionization, funnel,
+# retention — W-4 / AGG-5 / AGG-6)
+# --------------------------------------------------------------------------
+
+from bigdata_logs_spark.operators import analytics as AN  # noqa: E402
+
+
+@register(
+    "user_sessions",
+    """
+    WITH o AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN floor(epoch(ts))::BIGINT
+                       - lag(floor(epoch(ts))::BIGINT)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                  OR floor(epoch(ts))::BIGINT
+                       - lag(floor(epoch(ts))::BIGINT)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > 1800
+             THEN 1 ELSE 0 END AS b
+      FROM events
+    ), s AS (
+      SELECT *, SUM(b) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM o
+    ), ps AS (
+      SELECT user_id, session_no, COUNT(*)::BIGINT AS n_events,
+             (MAX(floor(epoch(ts))::BIGINT)
+              - MIN(floor(epoch(ts))::BIGINT))::BIGINT AS duration_s
+      FROM s GROUP BY 1, 2
+    )
+    SELECT user_id, COUNT(*)::BIGINT AS n_sessions,
+           MAX(n_events)::BIGINT AS max_session_events,
+           MAX(duration_s)::BIGINT AS max_session_duration_s
+    FROM ps GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("W-4",),
+)
+def q_user_sessions(spark, sf_dir):
+    """Batch gaps-and-islands sessionization (30-min idle gap): one
+    shuffle on user_id, window lag -> boundary -> running sum. The
+    streaming twin is attack_sessions (native session_window)."""
+    return AN.user_sessions(_events(spark, sf_dir))
+
+
+@register(
+    "funnel_conversion",
+    """
+    WITH f AS (
+      SELECT user_id,
+        MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t0,
+        MIN(CASE WHEN event_type = 'click' THEN ts END) AS t1,
+        MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t2
+      FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*)::BIGINT AS n_users,
+      SUM((t0 IS NOT NULL)::INT)::BIGINT AS reached_signup,
+      SUM((t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0)::INT)::BIGINT
+        AS reached_click,
+      SUM((t0 IS NOT NULL AND t1 IS NOT NULL AND t1 > t0
+           AND t2 IS NOT NULL AND t2 > t1)::INT)::BIGINT AS reached_purchase
+    FROM f
+    """,
+    tags=("AGG-5",),
+)
+def q_funnel_conversion(spark, sf_dir):
+    """Ordered funnel (signup -> click -> purchase, strictly
+    increasing first-times) via one conditional aggregation per
+    stage in a single groupBy — no joins, no explode."""
+    return AN.funnel_conversion(_events(spark, sf_dir))
+
+
+@register(
+    "retention_cohorts",
+    """
+    WITH wk AS (SELECT user_id, weekofyear(ts)::INT AS wk FROM events),
+    fw AS (SELECT user_id, MIN(wk) AS cohort_wk FROM wk GROUP BY user_id)
+    SELECT cohort_wk, (wk.wk - cohort_wk)::INT AS week_offset,
+           COUNT(DISTINCT user_id)::BIGINT AS active_users
+    FROM wk JOIN fw USING (user_id)
+    GROUP BY 1, 2 ORDER BY cohort_wk, week_offset
+    """,
+    tags=("AGG-6",),
+)
+def q_retention_cohorts(spark, sf_dir):
+    """Weekly retention cohorts: cohort = ISO week of first event;
+    cell (cohort, offset) = distinct users active offset weeks later
+    (ISO week numbering identical across engines)."""
+    return AN.retention_cohorts(_events(spark, sf_dir))
