@@ -156,3 +156,17 @@ def test_asof_join_shuffles_once_no_range_join(spark, sf_dir):
         l.strip() for l in plan.splitlines() if "hashpartitioning(user_id" in l
     }
     assert keys, "expected the per-user window exchange"
+
+
+def test_sessionization_single_user_shuffle(spark, sf_dir):
+    # gaps-and-islands must be one hash exchange on the user key (the
+    # window and both aggregations reuse that partitioning)
+    plan = _plan(spark, "user_sessions", sf_dir)
+    keys = [l for l in plan.splitlines() if "hashpartitioning(" in l]
+    assert keys and all("user_id" in l for l in keys)
+    assert "CartesianProduct" not in plan
+
+
+def test_funnel_is_single_aggregation_no_join(spark, sf_dir):
+    plan = _plan(spark, "funnel_conversion", sf_dir)
+    assert "Join" not in plan
