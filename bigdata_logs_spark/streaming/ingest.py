@@ -35,10 +35,19 @@ from bigdata_logs_spark.operators.parse import parse_ssh_lines
 FAILED_EVENTS = ("failed_password", "invalid_user", "auth_failure")
 
 
-def read_ssh_stream(spark: SparkSession, path: str) -> DataFrame:
+def read_ssh_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """File-tail source: new files in ``path`` picked up per
-    micro-batch (replaces the reference's one-shot readlines)."""
-    raw = spark.readStream.format("text").load(path)
+    micro-batch (replaces the reference's one-shot readlines).
+
+    ``max_files_per_trigger`` bounds each micro-batch — a SOURCE
+    option (it has no effect on the sink side), used to exercise
+    genuine multi-batch state accumulation in tests."""
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.load(path)
     return with_event_time(parse_ssh_lines(raw))
 
 

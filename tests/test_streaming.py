@@ -97,15 +97,15 @@ def test_stateful_alerts_edge_triggered_across_batches(spark, stream_dir):
     never for IPs that stay below it."""
     from bigdata_logs_spark.streaming import stateful_alerts
 
-    parsed_stream = read_ssh_stream(spark, stream_dir)
+    # maxFilesPerTrigger=1 (a SOURCE option) forces one micro-batch
+    # per source file, so per-IP counts genuinely accumulate across
+    # batches in state
+    parsed_stream = read_ssh_stream(spark, stream_dir, max_files_per_trigger=1)
     alerts = stateful_alerts(parsed_stream, threshold=5)
-    # maxFilesPerTrigger=1 forces one micro-batch per source file, so
-    # per-IP counts genuinely accumulate across batches in state
     q = (
         alerts.writeStream.format("memory")
         .queryName("t_alerts")
         .outputMode("append")
-        .option("maxFilesPerTrigger", 1)
         .trigger(availableNow=True)
         .start()
     )
@@ -131,3 +131,80 @@ def test_stateful_alerts_edge_triggered_across_batches(spark, stream_dir):
     # batch: >= threshold, <= the stream-wide total
     for r in got:
         assert 5 <= r["failed_count"] <= failed_totals[r["ip"]]
+
+
+def test_append_mode_watermark_contract(spark, events, tmp_path):
+    """Watermark + append-mode contract (SURVEY §5.2(4)), asserting
+    what Spark actually GUARANTEES: (a) every (window, event) emits
+    at most once; (b) no window still open relative to the final
+    watermark is emitted; (c) every emitted count equals the batch
+    answer over all rows merged before that window's eviction.
+
+    (Dropping rows later than the watermark is explicitly best-effort
+    in Spark — a late row that arrives before its window is evicted
+    is merged, which is what happens here — so the test pins the
+    guaranteed side of the contract, not the discretionary drop.)"""
+    import time as _time
+
+    new_day = [
+        r["line"]
+        for r in synthesize_ssh_lines(
+            events.filter(F.to_date("ts") == "2024-01-06")
+        ).select(F.col("value").alias("line")).collect()
+    ]
+    late_day = [
+        r["line"]
+        for r in synthesize_ssh_lines(
+            events.filter(F.to_date("ts") == "2024-01-01")
+        ).select(F.col("value").alias("line")).collect()
+    ]
+    assert new_day and late_day
+    d = tmp_path / "late_src"
+    d.mkdir()
+    # oldest-modTime first: the on-time day is batch 0, so the late
+    # day arrives with the watermark already at Jan 6
+    (d / "f1_new.log").write_text("\n".join(new_day) + "\n")
+    _time.sleep(2.5)
+    (d / "f2_late.log").write_text("\n".join(late_day) + "\n")
+
+    counts = windowed_event_counts(
+        read_ssh_stream(spark, str(d), max_files_per_trigger=1),
+        window="1 hour",
+        watermark="1 hour",
+    )
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("t_late")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("t_late").collect()
+    assert rows
+
+    # (a) exactly-once emission per (window, event)
+    keys = [(str(r["window"]["start"]), r["event"]) for r in rows]
+    assert len(keys) == len(set(keys))
+
+    # (b) nothing newer than the final watermark (max on-time event
+    # minus the 1h delay) was finalized
+    batch = with_event_time(parse_ssh_lines(spark.read.text(str(d))))
+    max_ts = batch.filter(F.to_date("ts") == "2024-01-06").agg(
+        F.max("ts")
+    ).first()[0]
+    import datetime
+
+    horizon = max_ts - datetime.timedelta(hours=1)
+    assert all(r["window"]["end"] <= horizon for r in rows)
+
+    # (c) emitted counts equal the batch answer (late rows merged
+    # before eviction in this schedule)
+    want = {
+        (str(r["wstart"]), r["event"]): r["n"]
+        for r in batch.groupBy(F.date_trunc("hour", "ts").alias("wstart"), "event")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert want[(str(r["window"]["start"]), r["event"])] == r["n"]
