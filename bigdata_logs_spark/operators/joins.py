@@ -347,3 +347,41 @@ def range_join_value_bands(events: DataFrame) -> DataFrame:
         )
         .orderBy("band_id")
     )
+
+
+def salted_join_order_priority(
+    orders: DataFrame, lineitem: DataFrame, n_salts: int = 8
+) -> DataFrame:
+    """Skew-resistant fact-fact join via explicit salting, the manual
+    counterpart to AQE's skew-join split (and the fix when one join
+    key is so hot that even AQE's partition splitting can't help,
+    because ALL rows of the hot key still meet in one task pair):
+
+    the big side gets a deterministic salt in [0, n_salts); the other
+    side is replicated once per salt; the join key becomes
+    (key, salt), spreading each hot key over n_salts tasks. The
+    result is provably identical to the unsalted join — which is
+    exactly what the oracle computes.
+    """
+    salted = lineitem.select(
+        "l_orderkey",
+        "l_extendedprice",
+        "l_discount",
+        F.pmod(F.col("l_linenumber"), F.lit(n_salts)).alias("salt"),
+    )
+    replicated = orders.select("o_orderkey", "o_orderpriority").withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    joined = salted.join(
+        replicated,
+        (salted.l_orderkey == replicated.o_orderkey)
+        & (salted.salt == replicated.salt),
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.sum(_rev()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("o_orderpriority")
+    )

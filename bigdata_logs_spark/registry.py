@@ -2855,3 +2855,25 @@ def q_retention_cohorts(spark, sf_dir):
     cell (cohort, offset) = distinct users active offset weeks later
     (ISO week numbering identical across engines)."""
     return AN.retention_cohorts(_events(spark, sf_dir))
+
+
+@register(
+    "salted_join_order_priority",
+    """
+    SELECT o_orderpriority,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(1.0 - l_discount AS DECIMAL(8,2)))::DOUBLE AS revenue,
+           COUNT(*)::BIGINT AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("SKEW-2",),
+)
+def q_salted_join_order_priority(spark, sf_dir):
+    """Explicit salted join (hot key spread over 8 (key, salt) tasks,
+    one side replicated) — provably identical to the plain join the
+    oracle runs; completes the skew toolkit beside salted_event_counts
+    (AGG-3) and AQE's automatic skew split."""
+    return J.salted_join_order_priority(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
