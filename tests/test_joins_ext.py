@@ -1,0 +1,52 @@
+"""Invariants for the extended join family: as-of, range, upsert."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdata_logs_spark.operators.joins import (
+    asof_last_event,
+    range_join_value_bands,
+    VALUE_BANDS,
+)
+from bigdata_logs_spark.sources import load_table, upsert_keep_latest
+
+
+def test_asof_covers_every_left_row_and_never_looks_forward(spark, events):
+    out = asof_last_event(events)
+    n_errors = events.filter(F.col("event_type") == "error").count()
+    assert out.count() == n_errors
+    # a matched as-of time never exceeds the event's own time
+    bad = out.filter(
+        F.col("asof_ts").isNotNull() & (F.col("asof_ts") > F.col("event_ts"))
+    ).count()
+    assert bad == 0
+
+
+def test_range_join_counts_match_per_band_filters(spark, events):
+    got = {r["band_id"]: r["n_events"] for r in range_join_value_bands(events).collect()}
+    for band_id, lo, hi in VALUE_BANDS:
+        want = events.filter(
+            (F.col("value") >= lo) & (F.col("value") < hi)
+        ).count()
+        assert got.get(band_id, 0) == want
+
+
+def test_upsert_keeps_one_latest_version_per_key(spark, events):
+    updates = events.filter(F.col("event_id") % 97 == 0).select(
+        "event_id",
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts"),
+        "user_id",
+        "event_type",
+        (F.col("value") + 1000.0).alias("value"),
+        "props",
+    )
+    merged = upsert_keep_latest(events, updates, keys=["event_id"], order_col="ts")
+    # key set unchanged, exactly one row per key
+    assert merged.count() == events.count()
+    assert merged.select("event_id").distinct().count() == events.count()
+    # every updated key carries the update's value
+    chk = merged.filter(F.col("event_id") % 97 == 0).join(
+        events.select("event_id", F.col("value").alias("old_value")), "event_id"
+    )
+    assert chk.filter(F.col("value") != F.col("old_value") + 1000.0).count() == 0
