@@ -2877,3 +2877,123 @@ def q_salted_join_order_priority(spark, sf_dir):
     return J.salted_join_order_priority(
         load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
     )
+
+
+@register(
+    "doc_semantic_neighbors",
+    f"""
+    WITH q AS (
+      SELECT e.vec_id AS doc_id, e.embedding AS q_emb, d.lang AS q_lang
+      FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+      WHERE e.vec_id < 5
+    ), scored AS (
+      SELECT q.doc_id, c.vec_id AS neighbor_doc_id, d2.lang AS neighbor_lang,
+             (q.q_lang = d2.lang) AS same_lang,
+             ROUND({DOT_SQL.format(a='q.q_emb', b='c.embedding')}
+                   / (SQRT({DOT_SQL.format(a='q.q_emb', b='q.q_emb')})
+                      * SQRT({DOT_SQL.format(a='c.embedding', b='c.embedding')})), 6)
+               AS cosine
+      FROM q CROSS JOIN embeddings c JOIN documents d2 ON c.vec_id = d2.doc_id
+      WHERE q.doc_id != c.vec_id
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY cosine DESC, neighbor_doc_id) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, rnk::INT AS rnk, neighbor_doc_id, neighbor_lang,
+           same_lang, cosine
+    FROM ranked WHERE rnk <= 3
+    ORDER BY doc_id, rnk
+    """,
+    tags=("E-2", "PL-5"),
+)
+def q_doc_semantic_neighbors(spark, sf_dir):
+    """Cross-table composition: documents joined to their embedding
+    rows (doc_id == vec_id), cosine top-3 semantic neighbors per
+    query doc with language metadata — the retrieval building block
+    for semantic dedup / mix balancing. Same broadcast nested-loop
+    shape as knn_brute_force; the metadata joins are broadcast-hash."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from bigdata_logs_spark.operators.similarity import _dot
+
+    emb = _emb(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    base = emb.join(docs, emb.vec_id == docs.doc_id).select(
+        "vec_id", "embedding", "lang"
+    )
+    q = base.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("lang").alias("q_lang"),
+    )
+    c = base.select(
+        F.col("vec_id").alias("neighbor_doc_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("lang").alias("neighbor_lang"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("doc_id") != F.col("neighbor_doc_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot("q_emb", "c_emb")
+                / (F.sqrt(_dot("q_emb", "q_emb")) * F.sqrt(_dot("c_emb", "c_emb"))),
+                6,
+            ),
+        )
+        .withColumn("same_lang", F.col("q_lang") == F.col("neighbor_lang"))
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("cosine"), F.asc("neighbor_doc_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "rnk", "neighbor_doc_id", "neighbor_lang", "same_lang", "cosine")
+        .orderBy("doc_id", "rnk")
+    )
+
+
+@register(
+    "bigram_frequencies",
+    TOKS_CTE
+    + """
+    , bg AS (
+      SELECT unnest(CASE WHEN len(tokens) < 2 THEN []::VARCHAR[]
+        ELSE list_transform(range(1, len(tokens)),
+               i -> tokens[i] || ' ' || tokens[i+1]) END) AS bigram
+      FROM toks
+    )
+    SELECT bigram, COUNT(*)::BIGINT AS n
+    FROM bg GROUP BY bigram
+    ORDER BY n DESC, bigram LIMIT 30
+    """,
+    tags=("T-8",),
+)
+def q_bigram_frequencies(spark, sf_dir):
+    """Corpus bigram frequency top-30 (the n-gram LM statistic):
+    narrow explode of adjacent-token pairs -> map-side-combined
+    count -> TakeOrdered top-k; deterministic tiebreak on the
+    bigram string."""
+    from pyspark.sql import functions as F
+
+    from bigdata_logs_spark.operators.textops import with_tokens
+
+    bigrams = F.expr(
+        """
+        CASE WHEN size(tokens) < 2 THEN array()
+        ELSE transform(sequence(1, size(tokens) - 1),
+               i -> concat_ws(' ', element_at(tokens, i), element_at(tokens, i + 1)))
+        END
+        """
+    )
+    return (
+        with_tokens(_docs(spark, sf_dir))
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(30)
+    )
