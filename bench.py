@@ -50,16 +50,23 @@ def main() -> None:
 
     names = [n for n in HEADLINE if n in REGISTRY]
     names += [n for n in REGISTRY if n not in names and REGISTRY[n].bench]
-    # Steady-state methodology (JMH-style): one untimed execution per
-    # query absorbs whole-stage-codegen compilation + JIT, then the
-    # timed pass measures the engine, not the JVM warmup. This is the
-    # number that predicts cluster throughput, and it keeps
-    # round-over-round comparisons stable.
-    # (cache lookups match by analyzed-plan equality, so the timed
-    # pass legitimately reuses intermediates the warmup materialized —
-    # the steady state a long-running cluster session would be in)
+    # Two timed passes, both reported (a warm-only number flatters
+    # operators that tracked_cache() intermediates):
+    #  - cold: first execution in this session — includes per-query
+    #    whole-stage-codegen compilation and materializing any
+    #    operator-internal caches; what a one-shot job pays.
+    #  - steady: second execution — JMH-style steady state; cache
+    #    lookups match by analyzed-plan equality, so intermediates the
+    #    cold pass materialized are legitimately reused. This is what
+    #    a long-running cluster session pays, and the headline
+    #    `value` (comparable round-over-round).
+    cold: dict[str, float] = {}
     for name in names:
-        REGISTRY[name].fn(spark, sf_dir).count()
+        fn = REGISTRY[name].fn
+        t0 = time.perf_counter()
+        n = fn(spark, sf_dir).count()
+        cold[name] = round(time.perf_counter() - t0, 4)
+        assert n >= 0
     timings: dict[str, float] = {}
     for name in names:
         fn = REGISTRY[name].fn
@@ -68,7 +75,12 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 4)
         assert n >= 0
+    from bigdata_logs_spark.caching import release_caches
+
+    release_caches()
+    spark.catalog.clearCache()
     total = round(sum(timings.values()), 4)
+    cold_total = round(sum(cold.values()), 4)
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
     except ValueError:
@@ -80,6 +92,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "cold_value": cold_total,
+                "cold_queries": cold,
                 "sf": sf,
             }
         )

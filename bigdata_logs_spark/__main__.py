@@ -78,13 +78,19 @@ def cmd_query(args) -> int:
 
 
 def cmd_sql(args) -> int:
+    import re
+
     from bigdata_logs_spark.registry import REGISTRY, register_views
 
     spark = _spark("sql")
     # register the base tables plus only the query-views the
     # statement actually references (building every view would do
-    # bounded-but-slow eager work for the streaming/roundtrip ones)
-    referenced = [n for n in REGISTRY if n in args.statement]
+    # bounded-but-slow eager work for the streaming/roundtrip ones).
+    # Whole-identifier match, not substring: `ssh_events_per_day`
+    # must not drag in `events_per_day` (or any side-effectful view
+    # whose name happens to be a substring)
+    idents = set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", args.statement))
+    referenced = [n for n in REGISTRY if n in idents]
     register_views(spark, args.sf_dir, names=referenced)
     spark.sql(args.statement).show(args.rows, truncate=False)
     return 0

@@ -78,19 +78,24 @@ def funnel_conversion(
 
 
 def retention_cohorts(events: DataFrame) -> DataFrame:
-    """Weekly retention: cohort = ISO week of a user's first event;
+    """Weekly retention: cohort = calendar week (Monday-truncated
+    DATE, not week-of-year — a bare week number would collide across
+    years and go negative over New Year) of a user's first event;
     cell (cohort, offset) = distinct users of that cohort active
     ``offset`` weeks later. Two shuffles total: first-seen per user
     (groupBy), then the cohort-cell count — the activity rows join
     their user's cohort via a broadcast-sized per-user table at test
     scale, hash join at 100 TB."""
     weeks = events.select(
-        "user_id", F.weekofyear("ts").alias("wk")
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("wk")
     )
-    first_wk = weeks.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    first_wk = weeks.groupBy("user_id").agg(F.min("wk").alias("cohort_raw"))
     return (
         weeks.join(first_wk, "user_id")
-        .groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("week_offset"))
+        .groupBy(
+            F.date_format("cohort_raw", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff("wk", "cohort_raw") / 7).cast("int").alias("week_offset"),
+        )
         .agg(F.countDistinct("user_id").alias("active_users"))
-        .orderBy("cohort_wk", "week_offset")
+        .orderBy("cohort_week", "week_offset")
     )

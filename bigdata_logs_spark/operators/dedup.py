@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from bigdata_logs_spark.caching import tracked_cache
+
 SHINGLE_K = 3
 N_BANDS = 8
 # LSH buckets larger than this never expand to candidate pairs
@@ -189,7 +191,7 @@ def near_dup_pairs(
     pair expansion."""
     # cache: the signature set feeds both sides of the bucket
     # self-join (and is tiny — n_bands rows per doc)
-    sigs = minhash_signatures(docs, n_bands).cache()
+    sigs = minhash_signatures(docs, n_bands).transform(tracked_cache)
     # Occupancy cap BEFORE pair expansion: a degenerate bucket (e.g.
     # boilerplate shingles shared by millions of docs) would expand
     # quadratically; buckets over the cap are dropped, bounding any
@@ -220,7 +222,7 @@ def near_dup_pairs(
     grams = (
         docs.withColumn("tokens", _tokens(F.col("text")))
         .select("doc_id", F.explode(F.array_distinct(_shingles())).alias("gram"))
-        .cache()
+        .transform(tracked_cache)
     )
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
@@ -348,16 +350,16 @@ def near_dup_components(
     pairs = (
         near_dup_pairs(docs, threshold=threshold)
         .select("doc_a", "doc_b")
-        .cache()
+        .transform(tracked_cache)
     )
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).cache()
+    ).transform(tracked_cache)
     labels = (
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
         .withColumn("component", F.col("doc_id"))
-        .cache()
+        .transform(tracked_cache)
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -382,11 +384,11 @@ def near_dup_components(
                 ).alias("component"),
                 (F.col("nbr_min") < F.col("component")).alias("changed"),
             )
-            .cache()
+            .transform(tracked_cache)
         )
         n_changed = updated.filter(F.col("changed")).count()
         labels.unpersist()
-        labels = updated.select("doc_id", "component").cache()
+        labels = updated.select("doc_id", "component").transform(tracked_cache)
         if n_changed == 0:
             break
     out = (

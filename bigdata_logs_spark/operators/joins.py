@@ -363,11 +363,19 @@ def salted_join_order_priority(
     result is provably identical to the unsalted join — which is
     exactly what the oracle computes.
     """
+    # Salt from a full-row hash, NOT from l_linenumber alone: any
+    # deterministic assignment is correct (the other side carries
+    # every salt), but a low-cardinality salt source caps the spread —
+    # a hot order key has at most 7 line numbers, so a linenumber salt
+    # could never use more than 7 tasks no matter how large n_salts.
     salted = lineitem.select(
         "l_orderkey",
         "l_extendedprice",
         "l_discount",
-        F.pmod(F.col("l_linenumber"), F.lit(n_salts)).alias("salt"),
+        F.pmod(
+            F.hash("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"),
+            F.lit(n_salts),
+        ).alias("salt"),
     )
     replicated = orders.select("o_orderkey", "o_orderpriority").withColumn(
         "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

@@ -160,10 +160,13 @@ def parse_ssh_lines(lines: DataFrame, line_col: str = "value") -> DataFrame:
     )
 
 
-def parse_with_rejects(lines: DataFrame, line_col: str = "value") -> DataFrame:
+def parse_with_rejects(
+    lines: DataFrame, line_col: str = "value"
+) -> tuple[DataFrame, DataFrame]:
     """Scale-friendly variant of P-1: instead of silently dropping
-    unparseable lines (the reference default), tag them so a
-    dead-letter sink can keep them (`_corrupt` boolean + raw line)."""
+    unparseable lines (the reference default), split them out so a
+    dead-letter sink can keep them. Returns ``(parsed, rejects)``
+    where ``rejects`` is the single-column ``raw_line`` frame."""
     line = F.col(line_col)
     flagged = lines.withColumn("_corrupt", ~line.rlike(MASTER_RE))
     good = parse_ssh_lines(flagged.filter(~F.col("_corrupt")), line_col)

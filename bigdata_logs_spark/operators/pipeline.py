@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from bigdata_logs_spark.caching import tracked_cache
+
 NGRAM_K = 8
 
 
@@ -120,7 +122,7 @@ def contamination_check(
     # the train branch — without it the tokenize+explode runs twice
     grams = toks.select(
         "doc_id", "source", F.explode(_ngram_hashes(k)).alias("gram")
-    ).cache()
+    ).transform(tracked_cache)
     bench = (
         grams.filter(F.col("source") == benchmark_source)
         .select("gram")

@@ -1,0 +1,64 @@
+"""Invariants for the event-sequence analytics operators that the
+30-day test fixture cannot exercise — in particular behavior across a
+calendar-year boundary (the driver's events table spans one month, so
+a week-number cohort bug is invisible to the oracle gate)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from bigdata_logs_spark.operators.analytics import retention_cohorts
+
+
+def _events_df(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, uid, datetime.datetime.fromisoformat(ts), "click")
+            for i, (uid, ts) in enumerate(rows)
+        ],
+        "event_id long, user_id string, ts timestamp, event_type string",
+    )
+
+
+def test_retention_cohorts_survive_year_boundary(spark):
+    # u1 first seen in ISO week 1 of 2024; active again 52 weeks later
+    # (week 1 of 2025). Under weekofyear() both activities land in
+    # "week 1" and the offset collapses to 0; under calendar-week
+    # cohorts the offset must be 52.
+    out = retention_cohorts(
+        _events_df(
+            spark,
+            [
+                ("u1", "2024-01-01T10:00:00"),
+                ("u1", "2024-12-30T10:00:00"),
+                # u2 spans New Year *within* one cohort: first event
+                # Dec 23 2024, returns Jan 6 2025 (offset 2, not -50)
+                ("u2", "2024-12-23T09:00:00"),
+                ("u2", "2025-01-06T09:00:00"),
+            ],
+        )
+    )
+    cells = {
+        (r.cohort_week, r.week_offset): r.active_users for r in out.collect()
+    }
+    assert cells == {
+        ("2024-01-01", 0): 1,
+        ("2024-01-01", 52): 1,
+        ("2024-12-23", 0): 1,
+        ("2024-12-23", 2): 1,
+    }
+    assert all(off >= 0 for _, off in cells)
+
+
+def test_retention_cohorts_distinct_years_stay_distinct_cohorts(spark):
+    # same ISO week number, different years -> different cohorts
+    out = retention_cohorts(
+        _events_df(
+            spark,
+            [("a", "2024-03-04T00:00:00"), ("b", "2025-03-03T00:00:00")],
+        )
+    )
+    rows = {(r.cohort_week, r.week_offset) for r in out.collect()}
+    assert rows == {("2024-03-04", 0), ("2025-03-03", 0)}

@@ -21,6 +21,25 @@ def test_global_metrics_shape(events):
     assert row.failed_events <= row.total_records
 
 
+def test_global_metrics_approx_within_hll_error_of_exact(events):
+    # approx_count_distinct defaults to rsd=0.05 (5% relative standard
+    # deviation). No cross-engine oracle can hash-check an HLL sketch,
+    # so this invariant IS the correctness signal: each sketch count
+    # must sit within a conservative 4-sigma band of the exact
+    # distinct (deterministic for fixed input, so this never flakes).
+    exact = D.global_metrics(events).collect()[0]
+    approx = D.global_metrics_approx(events).collect()[0]
+    assert approx.total_records == exact.total_records
+    for approx_val, exact_col in [
+        (approx.approx_unique_users, "user_id"),
+        (approx.approx_distinct_events, "event_type"),
+    ]:
+        true_n = events.select(exact_col).distinct().count()
+        assert abs(approx_val - true_n) <= max(1, 0.20 * true_n), (
+            f"{exact_col}: approx {approx_val} vs exact {true_n}"
+        )
+
+
 def test_event_type_counts_sum_to_total(events):
     counts = D.event_type_counts(events)
     assert (

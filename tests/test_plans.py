@@ -104,6 +104,25 @@ def test_quantize_broadcasts_stats_never_explodes_code_path(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_embedding_near_dup_has_no_corpus_nested_loop(spark, sf_dir):
+    # candidates come from exact angular cell pruning: the member
+    # pairing must be equi-joins on the cell key — the only nested
+    # loop allowed is the tiny n_cells × n_cells centroid-pair table
+    plan = _plan(spark, "embedding_near_dup", sf_dir)
+    assert "CartesianProduct" not in plan
+    # corpus-side joins are hash joins on the cell key
+    assert "hashpartitioning(cell" in plan or "BroadcastHashJoin" in plan
+    # the all-pairs shape would put the vec_a < vec_b inequality in a
+    # BroadcastNestedLoopJoin over the full embeddings scan; after the
+    # rework any BNLJ node may only pair centroid rows (cells), never
+    # vec ids
+    for block in plan.split("\n\n"):
+        if "BroadcastNestedLoopJoin" in block and "vec_a" in block:
+            raise AssertionError(
+                "corpus-wide nested loop back in embedding_near_dup:\n" + block
+            )
+
+
 def test_contamination_joins_hashes_not_text(spark, sf_dir):
     # only (doc_id, md5) pairs may shuffle; the text column must be
     # pruned away before any exchange

@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb  # noqa: E402
 
+from bigdata_logs_spark.caching import release_caches  # noqa: E402
 from bigdata_logs_spark.registry import REGISTRY  # noqa: E402
 from bigdata_logs_spark.session import get_spark  # noqa: E402
 from bigdata_logs_spark.sources import TABLES  # noqa: E402
@@ -87,6 +88,11 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"spark error: {e}"))
             continue
+        finally:
+            # operators may tracked_cache() intermediates; release
+            # them per query so a 99-query sweep doesn't accumulate
+            # pinned executor memory
+            release_caches()
         if spec.oracle is None:
             skipped.append((name, len(s_rows)))
             print(f"  ~ {name}: rows-only ({len(s_rows)} rows)")
