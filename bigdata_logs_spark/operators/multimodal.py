@@ -253,3 +253,23 @@ def resize_media(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
             )
 
     return media.mapInPandas(resize, RESIZED_SCHEMA)
+
+
+def media_content_dedup(media: DataFrame) -> DataFrame:
+    """Exact content-level dedup over opaque media payloads: group by
+    payload checksum, keep group stats — the first pass of any image/
+    audio dedup pipeline (byte-identical copies are the bulk of web
+    media duplication; perceptual hashing only runs on the survivors).
+
+    Only (md5, media_id) pairs shuffle — the binary payload itself is
+    hashed at the scan and never crosses the wire, the property that
+    makes this viable over petabytes of blobs."""
+    return (
+        media.select("media_id", F.md5("content").alias("checksum"))
+        .groupBy("checksum")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("media_id").alias("canonical_media_id"),
+        )
+        .orderBy("checksum")
+    )

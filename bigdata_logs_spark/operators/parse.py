@@ -173,3 +173,40 @@ def parse_with_rejects(
     return good, flagged.filter(F.col("_corrupt")).select(
         line.alias("raw_line")
     )
+
+
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def redact_pii(lines: DataFrame, line_col: str = "value") -> DataFrame:
+    """Mask IPv4 addresses in raw lines (narrow projection; the write
+    side of the PII scrub). Kept separate from the stats aggregate so
+    the redaction can stream straight to a sink."""
+    return lines.select(
+        F.regexp_replace(F.col(line_col), IPV4_RE, "[IP]").alias("redacted_line")
+    )
+
+
+def pii_redaction_stats(lines: DataFrame, line_col: str = "value") -> DataFrame:
+    """PII scrubbing pass over raw log lines — the redaction step a
+    training pipeline runs before logs may enter a corpus. IPv4
+    addresses are masked and counted; the operator reports corpus-
+    level exposure (how many lines carried addresses, how many
+    address tokens were masked, how many distinct addresses existed).
+
+    Narrow scan-speed pass: regexp_extract_all per line feeding one
+    map-side-combined aggregation; at 100 TB nothing shuffles but the
+    final counters (the distinct-address count shuffles one row per
+    distinct address)."""
+    line = F.col(line_col)
+    ips = F.regexp_extract_all(line, F.lit(IPV4_RE), F.lit(0))
+    tagged = lines.select(F.size(ips).alias("n_ips"), ips.alias("ip_list"))
+    base = tagged.agg(
+        F.count(F.lit(1)).alias("total_lines"),
+        F.sum((F.col("n_ips") > 0).cast("long")).alias("lines_with_pii"),
+        F.sum("n_ips").cast("long").alias("ips_redacted"),
+    )
+    distinct = tagged.select(F.explode("ip_list").alias("ip")).agg(
+        F.countDistinct("ip").alias("distinct_ips")
+    )
+    return base.crossJoin(distinct)

@@ -178,3 +178,101 @@ def corpus_curation(
         )
         .orderBy("split", "lang")
     )
+
+
+def pack_token_budget(
+    docs: DataFrame, budget: int = 2048, n_shards: int = 8
+) -> DataFrame:
+    """Greedy sequence packing: fill fixed-size context windows
+    ("bins") with documents until the token budget would overflow,
+    then start the next bin — the standard pretraining packing step
+    (one window ≈ one training sequence).
+
+    Sharded for scale: a single global running sum would serialize
+    the whole corpus through one task, so docs are first assigned to
+    ``n_shards`` independent packing streams by id-hash, and the
+    running total is a window per shard — ``n_shards`` parallel
+    tasks, each a sequential scan of its shard. At 100 TB raise
+    n_shards to O(cores); bins are only ever read within one training
+    shard so cross-shard bin ids need no coordination.
+
+    Greedy-by-id (not first-fit) keeps assignment deterministic and
+    streaming-friendly: a doc's bin depends only on the docs before
+    it in its shard, never on later arrivals. Docs longer than the
+    budget get a bin of their own (the overflow row is its own
+    window; real pipelines then truncate or split it downstream).
+    """
+    from pyspark.sql import Window
+
+    from bigdata_logs_spark.operators.textops import quality_scores
+
+    sized = quality_scores(docs).select("doc_id", "n_tokens")
+    sharded = sized.withColumn(
+        "shard", hash_bucket(F.col("doc_id"), "pack:", n_shards)
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # bin boundary: a doc starts a new bin when the tokens BEFORE it
+    # in the shard already fill the current bin. Computing bin =
+    # floor(preceding_tokens / budget) reproduces greedy fill exactly
+    # for the common case and is a pure prefix-sum — no iterative
+    # driver loop, no UDF.
+    preceding = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    binned = sharded.withColumn(
+        "bin", F.floor(preceding / F.lit(budget)).cast("int")
+    )
+    return (
+        binned.groupBy("shard", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+        )
+        .orderBy("shard", "bin")
+    )
+
+
+def source_mixing_weights(docs: DataFrame) -> DataFrame:
+    """Per-source sampling weights that would rebalance the corpus to
+    a uniform token share per source (the domain-mixing step of
+    training-data assembly: weight > 1 means upsample, < 1 means
+    downsample).
+
+    One map-side-combined aggregation reduces the corpus to a row per
+    source; the corpus-wide totals join back via a broadcast of that
+    tiny aggregate — the full corpus is scanned once and never
+    shuffles more than (source, token-count) pairs.
+    """
+    from bigdata_logs_spark.operators.textops import with_tokens
+
+    sized = with_tokens(docs).select(
+        "source", F.size("tokens").alias("n_tokens")
+    )
+    per_source = sized.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("source_tokens"),
+    )
+    totals = per_source.agg(
+        F.sum("source_tokens").alias("corpus_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    return (
+        per_source.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            "source_tokens",
+            F.round(
+                F.col("source_tokens") / F.col("corpus_tokens"), 6
+            ).alias("token_share"),
+            # uniform target share / actual share
+            F.round(
+                (F.col("corpus_tokens") / F.col("n_sources"))
+                / F.col("source_tokens"),
+                6,
+            ).alias("sampling_weight"),
+        )
+        .orderBy("source")
+    )

@@ -3,8 +3,10 @@
 Brute-force cosine top-k is the exact baseline: broadcast the (small)
 query set against the corpus — a map-side nested loop, no shuffle of
 the corpus — then per-query top-k via a window over the tiny
-(query × corpus) score set. The scale path is sign-random-projection
-LSH bucketing: corpus scored only against bucket-mates.
+(query × corpus) score set. Two scale paths exist: sign-random-
+projection LSH bucketing (probabilistic recall, for top-k search) and
+exact angular cell pruning (for near-dup pairs, where recall must be
+total — see ``embedding_near_dup``).
 
 All arithmetic is native Spark SQL lambda expressions over
 ``array<float>`` cast to double with a left-fold sum — identical
@@ -450,4 +452,34 @@ def knn_quantized(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "neighbor_label", "cosine")
         .orderBy("query_id", "rank")
+    )
+
+
+def ann_recall(
+    emb: DataFrame, n_queries: int = 5, k: int = 5, nprobe: int = 2
+) -> DataFrame:
+    """Recall@k of the IVF index against exact brute force — the
+    self-measurement every ANN deployment needs before trusting the
+    index (recall is the tunable traded against nprobe).
+
+    Both sides are the already-registered operators; the comparison
+    itself only joins two (n_queries × k)-row results, so its cost is
+    negligible next to the searches. At 100 TB you run this on a
+    sampled query set, not the full corpus."""
+    exact = knn_brute_force(emb, n_queries, k).select("query_id", "neighbor_id")
+    approx = (
+        ann_ivf_topk(emb, n_queries, k, nprobe)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            F.round(F.col("n_hits") * 1.0 / F.lit(k), 4).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
     )

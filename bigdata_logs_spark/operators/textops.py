@@ -269,3 +269,63 @@ def tfidf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
         .filter(F.col("rnk") <= k)
         .orderBy("doc_id", "rnk")
     )
+
+
+def repetition_scores(docs: DataFrame) -> DataFrame:
+    """Per-document repetition heuristics (the Gopher-style filters
+    that catch boilerplate and degenerate generations):
+
+    - ``top_token_share`` — the most frequent token's share of all
+      tokens (near 1.0 = the doc is one token repeated);
+    - ``dup_bigram_ratio`` — fraction of adjacent-token bigrams that
+      are repeats of an earlier bigram in the same doc.
+
+    Scale shape: the bigram ratio is pure per-row array arithmetic
+    (narrow, codegen'd). The top-token count shuffles only fixed-width
+    (doc_id, token, count) triples with map-side partial aggregation —
+    document text never crosses the wire.
+    """
+    toks = with_tokens(docs)
+    n = F.col("n_tokens")
+    bigrams = F.expr(
+        """
+        CASE WHEN size(tokens) < 2 THEN array()
+        ELSE transform(sequence(1, size(tokens) - 1),
+               i -> concat_ws(' ', element_at(tokens, i), element_at(tokens, i + 1)))
+        END
+        """
+    )
+    base = toks.select(
+        "doc_id",
+        F.size("tokens").alias("n_tokens"),
+        bigrams.alias("bigrams"),
+    )
+    top = (
+        toks.select("doc_id", F.explode("tokens").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_tok_n"))
+    )
+    n_bg = F.size("bigrams")
+    return (
+        base.join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.when(n > 0, F.round(F.col("top_tok_n") * 1.0 / n, 4))
+            .otherwise(F.lit(0.0))
+            .alias("top_token_share"),
+            F.when(
+                n_bg > 0,
+                F.round(
+                    F.lit(1.0)
+                    - F.size(F.array_distinct(F.col("bigrams"))) * 1.0 / n_bg,
+                    4,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_bigram_ratio"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1,6 +1,7 @@
 from bigdata_logs_spark.streaming.ingest import (
     brute_force_detector,
     read_ssh_stream,
+    severity_enriched_counts,
     stateful_alerts,
     run_stream_to_memory,
     stream_dedup,
@@ -10,6 +11,7 @@ from bigdata_logs_spark.streaming.ingest import (
 __all__ = [
     "brute_force_detector",
     "read_ssh_stream",
+    "severity_enriched_counts",
     "stateful_alerts",
     "run_stream_to_memory",
     "stream_dedup",

@@ -193,3 +193,50 @@ def stateful_alerts(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+# Event-tag -> severity lookup (the static dimension for the
+# stream-static enrichment). 'other' is deliberately absent so the
+# left-join miss path ('unclassified') is exercised.
+SEVERITY_DIM: tuple[tuple[str, str], ...] = (
+    ("too_many_failures", "critical"),
+    ("ignoring_max_retries", "critical"),
+    ("invalid_user", "high"),
+    ("failed_password", "high"),
+    ("auth_failure", "high"),
+    ("failed_none", "high"),
+    ("connection_closed", "info"),
+    ("disconnect", "info"),
+    ("no_identification", "info"),
+    ("reverse_mapping_check", "info"),
+)
+
+
+def severity_enriched_counts(
+    parsed: DataFrame,
+    window: str = "1 hour",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Stream-static join enrichment (ST-7): the parsed event stream
+    joins a small static dimension (event tag -> severity) and
+    aggregates per (window, severity).
+
+    The static side is re-broadcast to each micro-batch by the engine —
+    no state, no stream-stream complexity — which is the standard
+    shape for enriching an unbounded feed with reference data (user
+    dims, geo tables, threat lists). Tags outside the dim fall
+    through as 'unclassified' via the left join, so dim drift never
+    drops events."""
+    spark = parsed.sparkSession
+    dim = spark.createDataFrame(
+        list(SEVERITY_DIM), "event string, severity string"
+    )
+    df = parsed
+    if watermark:
+        df = df.withWatermark("ts", watermark)
+    enriched = df.join(F.broadcast(dim), "event", "left").withColumn(
+        "severity", F.coalesce(F.col("severity"), F.lit("unclassified"))
+    )
+    return enriched.groupBy(F.window("ts", window), F.col("severity")).agg(
+        F.count(F.lit(1)).alias("n")
+    )

@@ -18,9 +18,11 @@ from bigdata_logs_spark.operators.ssh_synth import synthesize_ssh_lines
 from bigdata_logs_spark.streaming import (
     read_ssh_stream,
     run_stream_to_memory,
+    severity_enriched_counts,
     stream_dedup,
     windowed_event_counts,
 )
+from bigdata_logs_spark.streaming.ingest import SEVERITY_DIM
 
 
 @pytest.fixture(scope="module")
@@ -55,6 +57,37 @@ def test_stream_equals_batch_windowed_counts(spark, stream_dir):
         .collect()
     }
     assert got == want
+
+
+def test_stream_static_severity_join_equals_batch(spark, stream_dir):
+    streamed = severity_enriched_counts(
+        read_ssh_stream(spark, stream_dir), window="1 hour", watermark=None
+    )
+    run_stream_to_memory(streamed, "t_sev", output_mode="complete")
+    got = {
+        (str(r["window"]["start"]), r["severity"]): r["n"]
+        for r in spark.table("t_sev").collect()
+    }
+
+    sev_map = dict(SEVERITY_DIM)
+    batch = with_event_time(parse_ssh_lines(spark.read.text(stream_dir)))
+    sev = F.col("event")
+    expr = F.lit("unclassified")
+    for tag, s in SEVERITY_DIM:
+        expr = F.when(sev == tag, F.lit(s)).otherwise(expr)
+    want = {
+        (str(r["wstart"]), r["severity"]): r["n"]
+        for r in batch.select(
+            F.date_trunc("hour", "ts").alias("wstart"), expr.alias("severity")
+        )
+        .groupBy("wstart", "severity")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+    assert set(sev_map.values()) | {"unclassified"} >= {
+        k[1] for k in got
+    }
 
 
 def test_stream_dedup_removes_redelivered_lines(spark, stream_dir, tmp_path):

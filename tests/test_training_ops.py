@@ -1,0 +1,117 @@
+"""Invariants for the round-2 training-pipeline operators (the oracle
+gate covers value parity; these cover Spark-side semantics and the
+properties the oracle can't see)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdata_logs_spark.operators.multimodal import (
+    media_content_dedup,
+    media_from_documents,
+)
+from bigdata_logs_spark.operators.parse import IPV4_RE, redact_pii
+from bigdata_logs_spark.operators.pipeline import (
+    pack_token_budget,
+    source_mixing_weights,
+)
+from bigdata_logs_spark.operators.similarity import ann_recall
+from bigdata_logs_spark.operators.textops import repetition_scores, with_tokens
+from bigdata_logs_spark.sources import load_table
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def test_packing_conserves_docs_and_tokens(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    packed = pack_token_budget(docs, budget=2048, n_shards=8)
+    totals = packed.agg(
+        F.sum("n_docs").alias("docs"), F.sum("bin_tokens").alias("toks")
+    ).collect()[0]
+    n_docs = docs.count()
+    n_tokens = (
+        with_tokens(docs).agg(F.sum(F.size("tokens"))).collect()[0][0]
+    )
+    assert totals.docs == n_docs
+    assert totals.toks == n_tokens
+    # bins are contiguous from 0 within each shard (greedy fill never
+    # skips a window)
+    for row in packed.groupBy("shard").agg(
+        F.min("bin").alias("lo"), F.max("bin").alias("hi"), F.count("*").alias("n")
+    ).collect():
+        assert row.lo == 0
+        assert row.n == row.hi - row.lo + 1
+
+
+def test_mixing_weights_rebalance_to_uniform(spark, sf_dir):
+    w = source_mixing_weights(_docs(spark, sf_dir))
+    rows = w.collect()
+    # applying the weights equalizes token mass: share * weight is the
+    # same (1/n_sources) for every source
+    eff = [r.token_share * r.sampling_weight for r in rows]
+    assert max(eff) - min(eff) < 1e-4
+    assert abs(sum(eff) - 1.0) < 1e-3
+    assert all(r.sampling_weight > 0 for r in rows)
+
+
+def test_repetition_scores_bounds(spark, sf_dir):
+    rep = repetition_scores(_docs(spark, sf_dir))
+    bad = rep.filter(
+        (F.col("top_token_share") <= 0)
+        | (F.col("top_token_share") > 1)
+        | (F.col("dup_bigram_ratio") < 0)
+        | (F.col("dup_bigram_ratio") >= 1)
+    ).count()
+    assert bad == 0
+    # degenerate doc: one token repeated -> share 1.0, all dup bigrams
+    one = spark.createDataFrame(
+        [(0, "x x x x x", "en", "s", 9)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    r = repetition_scores(one).collect()[0]
+    assert r.top_token_share == 1.0
+    assert r.dup_bigram_ratio == 0.75  # 4 bigrams, 1 distinct
+
+
+def test_redact_pii_leaves_no_addresses(spark):
+    lines = spark.createDataFrame(
+        [
+            ("Failed password for root from 203.0.113.7 port 22 ssh2",),
+            ("no address here",),
+            ("two: 10.0.0.1 and 192.168.255.254",),
+        ],
+        "value string",
+    )
+    out = redact_pii(lines)
+    leftover = out.filter(
+        F.col("redacted_line").rlike(IPV4_RE)
+    ).count()
+    assert leftover == 0
+    assert (
+        out.filter(F.col("redacted_line").contains("[IP]")).count() == 2
+    )
+
+
+def test_media_dedup_partitions_the_corpus(spark, sf_dir):
+    media = media_from_documents(_docs(spark, sf_dir))
+    groups = media_content_dedup(media)
+    assert (
+        groups.agg(F.sum("n_copies")).collect()[0][0] == media.count()
+    )
+    # canonical id is a member of its own group
+    joined = groups.join(
+        media.select(F.md5("content").alias("checksum"), "media_id"),
+        ["checksum"],
+    ).filter(F.col("canonical_media_id") == F.col("media_id"))
+    assert joined.count() == groups.count()
+
+
+def test_ann_recall_bounded_and_complete(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    rec = ann_recall(emb, n_queries=5, k=5, nprobe=2).collect()
+    assert len(rec) == 5
+    for r in rec:
+        assert 0 <= r.n_hits <= 5
+        assert abs(r.recall_at_k - r.n_hits / 5) < 1e-9
