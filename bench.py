@@ -67,14 +67,19 @@ def main() -> None:
         n = fn(spark, sf_dir).count()
         cold[name] = round(time.perf_counter() - t0, 4)
         assert n >= 0
+    # Two steady passes, per-query MIN: one transient hiccup (page
+    # cache eviction, GC pause, a neighbor process) otherwise lands in
+    # the round-over-round record as a phantom regression.
     timings: dict[str, float] = {}
-    for name in names:
-        fn = REGISTRY[name].fn
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        assert n >= 0
+    for _ in range(2):
+        for name in names:
+            fn = REGISTRY[name].fn
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            dt = round(time.perf_counter() - t0, 4)
+            timings[name] = min(timings.get(name, dt), dt)
+            assert n >= 0
     from bigdata_logs_spark.caching import release_caches
 
     release_caches()

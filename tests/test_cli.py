@@ -46,6 +46,34 @@ def test_sql_views_compose_with_pushdown(capsys, spark, sf_dir):
     assert "total_events" in capsys.readouterr().out
 
 
+def test_sql_matches_whole_identifiers_only(monkeypatch, sf_dir):
+    # `ssh_events_per_day` must not drag in `events_per_day` (substring)
+    import bigdata_logs_spark.__main__ as cli
+
+    captured = {}
+
+    def fake_register_views(spark, sf, names=None):
+        captured["names"] = names
+        return []
+
+    import bigdata_logs_spark.registry as reg
+
+    monkeypatch.setattr(reg, "register_views", fake_register_views)
+    monkeypatch.setattr(
+        cli, "_spark", lambda app: __import__(
+            "bigdata_logs_spark.session", fromlist=["get_spark"]
+        ).get_spark("tests")
+    )
+    try:
+        cli.main(
+            ["sql", "SELECT COUNT(*) FROM ssh_events_per_day",
+             "--sf-dir", sf_dir, "--rows", "1"]
+        )
+    except Exception:
+        pass  # the fake registers nothing, so the query itself fails
+    assert captured["names"] == ["ssh_events_per_day"]
+
+
 def test_register_views_exposes_queries_as_sql(spark, sf_dir):
     from bigdata_logs_spark.registry import register_views
 
