@@ -401,3 +401,73 @@ def near_dup_components(
         .orderBy("doc_id")
     )
     return out
+
+
+def incremental_near_dup(
+    docs: DataFrame,
+    new_source: str = "src9",
+    n_bands: int = N_BANDS,
+    threshold: float = 0.05,
+) -> DataFrame:
+    """Delta-vs-corpus near-dup: verify pairs ONLY between the newly
+    arrived batch (``source == new_source``) and the existing corpus —
+    the shape an incremental ingestion pipeline actually runs every
+    batch. Existing×existing pairs are never generated, so per-batch
+    cost scales with |new| × bucket occupancy, not |corpus|².
+
+    Same LSH construction and bucket cap as ``near_dup_pairs`` (the
+    signature/bucket tables are shared state an incremental system
+    keeps warm); verification is the same exploded-gram equi-join.
+    Output: (new_doc, old_doc, jaccard)."""
+    src = docs.select("doc_id", "source")
+    sigs = minhash_signatures(docs, n_bands).join(src, "doc_id")
+    ok = (
+        sigs.groupBy("band", "sig")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") <= BUCKET_CAP)
+        .select("band", "sig")
+    )
+    capped = sigs.join(ok, ["band", "sig"])
+    new_side = capped.filter(F.col("source") == new_source).select(
+        "band", "sig", F.col("doc_id").alias("new_doc")
+    )
+    old_side = capped.filter(F.col("source") != new_source).select(
+        "band", "sig", F.col("doc_id").alias("old_doc")
+    )
+    cand = (
+        new_side.join(old_side, ["band", "sig"])
+        .select("new_doc", "old_doc")
+        .distinct()
+    )
+    grams = (
+        docs.withColumn("tokens", _tokens(F.col("text")))
+        .select("doc_id", F.explode(F.array_distinct(_shingles())).alias("gram"))
+        .transform(tracked_cache)
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        cand.join(grams.select(F.col("doc_id").alias("new_doc"), "gram"), "new_doc")
+        .join(
+            grams.select(F.col("doc_id").alias("old_doc"), "gram"),
+            ["old_doc", "gram"],
+        )
+        .groupBy("new_doc", "old_doc")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    joined = inter.join(
+        sizes.select(F.col("doc_id").alias("new_doc"), F.col("sz").alias("sz_n")),
+        "new_doc",
+    ).join(
+        sizes.select(F.col("doc_id").alias("old_doc"), F.col("sz").alias("sz_o")),
+        "old_doc",
+    )
+    union = F.col("sz_n") + F.col("sz_o") - F.col("n_inter")
+    return (
+        joined.select(
+            "new_doc",
+            "old_doc",
+            F.round(F.col("n_inter").cast("double") / union, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("new_doc", "old_doc")
+    )

@@ -276,3 +276,40 @@ def source_mixing_weights(docs: DataFrame) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def token_length_percentile_gate(
+    docs: DataFrame, lo: float = 0.05, hi: float = 0.95
+) -> DataFrame:
+    """Corpus length-distribution gate: exact p05/p95 of per-doc token
+    counts and how many docs the [p05, p95] band keeps — the outlier
+    filter (truncated heads, concatenation blobs) run before training.
+
+    The percentile aggregate reduces the corpus to ONE row that joins
+    back via broadcast; the gate itself is then a narrow filter. At
+    100 TB swap ``percentile`` for ``approx_percentile`` (same plan
+    shape, sketch-sized state) — exact here so the DuckDB oracle can
+    check values."""
+    from bigdata_logs_spark.operators.textops import with_tokens
+
+    sized = with_tokens(docs).select(F.size("tokens").alias("n_tokens"))
+    bounds = sized.agg(
+        F.expr(f"percentile(n_tokens, array({lo}D, {hi}D))").alias("p")
+    ).select(
+        F.round(F.element_at("p", 1), 4).alias("p_lo"),
+        F.round(F.element_at("p", 2), 4).alias("p_hi"),
+    )
+    return (
+        sized.crossJoin(F.broadcast(bounds))
+        .agg(
+            F.first("p_lo").alias("p_lo"),
+            F.first("p_hi").alias("p_hi"),
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(
+                (
+                    (F.col("n_tokens") >= F.col("p_lo"))
+                    & (F.col("n_tokens") <= F.col("p_hi"))
+                ).cast("long")
+            ).alias("n_kept"),
+        )
+    )

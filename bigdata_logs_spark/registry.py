@@ -3256,6 +3256,119 @@ def q_ann_recall(spark, sf_dir):
     return SIM.ann_recall(_emb(spark, sf_dir))
 
 
+@register(
+    "incremental_near_dup",
+    TOKS_CTE
+    + f"""
+    , sh AS (SELECT doc_id, list_distinct({SHINGLES_EXPR}) AS shingles FROM toks)
+    , sigs AS (
+      SELECT doc_id, r.band::INT AS band,
+             list_min(list_transform(shingles,
+               s -> CASE WHEN r.band < 4 THEN substr(md5(s), r.band * 8 + 1, 8)
+                    ELSE substr(md5('#' || s), (r.band - 4) * 8 + 1, 8) END)) AS sig
+      FROM sh CROSS JOIN range(0, 8) AS r(band)
+    )
+    , ok AS (
+      SELECT band, sig FROM sigs GROUP BY band, sig HAVING COUNT(*) <= 64
+    )
+    , sigs_ok AS (SELECT s.* FROM sigs s JOIN ok USING (band, sig))
+    , cand AS (
+      SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS old_doc
+      FROM sigs_ok a JOIN sigs_ok b ON a.band = b.band AND a.sig = b.sig
+      JOIN documents da ON da.doc_id = a.doc_id
+      JOIN documents db ON db.doc_id = b.doc_id
+      WHERE da.source = 'src9' AND db.source != 'src9'
+    )
+    SELECT new_doc, old_doc,
+           ROUND(len(list_intersect(x.shingles, y.shingles))::DOUBLE
+                 / len(list_distinct(list_concat(x.shingles, y.shingles))), 4)
+             AS jaccard
+    FROM cand JOIN sh x ON cand.new_doc = x.doc_id
+              JOIN sh y ON cand.old_doc = y.doc_id
+    WHERE ROUND(len(list_intersect(x.shingles, y.shingles))::DOUBLE
+                / len(list_distinct(list_concat(x.shingles, y.shingles))), 4)
+          >= 0.05
+    ORDER BY new_doc, old_doc
+    """,
+    tags=("DD-9",),
+)
+def q_incremental_near_dup(spark, sf_dir):
+    """Delta-vs-corpus near-dup: only new-batch x existing candidate
+    pairs are generated and verified — the per-batch incremental shape
+    (cost scales with the delta, never corpus squared)."""
+    return DD.incremental_near_dup(_docs(spark, sf_dir))
+
+
+@register(
+    "token_length_percentile_gate",
+    TOKS_CTE
+    + """
+    , sized AS (SELECT len(tokens)::INT AS n_tokens FROM toks),
+    b AS (
+      SELECT ROUND(quantile_cont(n_tokens, 0.05), 4) AS p_lo,
+             ROUND(quantile_cont(n_tokens, 0.95), 4) AS p_hi
+      FROM sized)
+    SELECT p_lo, p_hi,
+           (SELECT COUNT(*) FROM sized)::BIGINT AS n_total,
+           (SELECT COUNT(*) FROM sized, b
+            WHERE n_tokens >= p_lo AND n_tokens <= p_hi)::BIGINT AS n_kept
+    FROM b
+    """,
+    tags=("PL-9",),
+)
+def q_token_length_percentile_gate(spark, sf_dir):
+    """Length-distribution outlier gate: exact p05/p95 of token
+    counts plus how many docs the band keeps (swap in
+    approx_percentile at 100 TB — same plan shape)."""
+    return PL.token_length_percentile_gate(_docs(spark, sf_dir))
+
+
+@register(
+    "streaming_latest_per_ip",
+    SSH_PARSE_CTE
+    + """
+    , t AS (
+      SELECT ip, strptime('2024 ' || month || ' ' || day || ' ' || time,
+                          '%Y %b %d %H:%M:%S') AS ts,
+             pid, message, event
+      FROM parsed WHERE ip IS NOT NULL
+    ), r AS (
+      SELECT ip, ts, pid, event,
+             ROW_NUMBER() OVER (PARTITION BY ip
+               ORDER BY ts DESC, pid DESC, message DESC) AS rn
+      FROM t)
+    SELECT ip, strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+           pid::INT AS last_pid, event AS last_event
+    FROM r WHERE rn = 1 ORDER BY ip
+    """,
+    tags=("ST-8", "S-9"),
+)
+def q_streaming_latest_per_ip(spark, sf_dir):
+    """Streaming CDC keep-latest view run BY THE STREAMING ENGINE:
+    per-IP argmax over a totally ordered (ts, pid, message) version
+    struct, complete-mode state — the streaming twin of the batch
+    store_upsert merge, batch-equivalent by construction."""
+    from pyspark.sql import functions as F
+
+    from bigdata_logs_spark.streaming import streaming_latest_per_ip
+
+    src = _stream_source_dir(spark, sf_dir)
+    parsed = read_ssh_stream(spark, src)
+    latest = streaming_latest_per_ip(parsed)
+    name = "bls_latest_" + _os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    run_stream_to_memory(latest, name, output_mode="complete")
+    return (
+        spark.table(name)
+        .select(
+            "ip",
+            F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+            "last_pid",
+            "last_event",
+        )
+        .orderBy("ip")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-certification order
 # ---------------------------------------------------------------------------
@@ -3289,6 +3402,9 @@ _DRIVER_FIRST = [
     "pii_redaction_stats",
     "streaming_severity_counts",
     "ann_recall",
+    "incremental_near_dup",
+    "token_length_percentile_gate",
+    "streaming_latest_per_ip",
     # dedup family
     "exact_dedup",
     "minhash_buckets",

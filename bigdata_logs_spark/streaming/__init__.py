@@ -5,6 +5,7 @@ from bigdata_logs_spark.streaming.ingest import (
     stateful_alerts,
     run_stream_to_memory,
     stream_dedup,
+    streaming_latest_per_ip,
     windowed_event_counts,
 )
 
@@ -15,5 +16,6 @@ __all__ = [
     "stateful_alerts",
     "run_stream_to_memory",
     "stream_dedup",
+    "streaming_latest_per_ip",
     "windowed_event_counts",
 ]

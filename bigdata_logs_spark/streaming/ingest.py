@@ -240,3 +240,28 @@ def severity_enriched_counts(
     return enriched.groupBy(F.window("ts", window), F.col("severity")).agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+def streaming_latest_per_ip(parsed: DataFrame) -> DataFrame:
+    """Streaming CDC keep-latest view (ST-8): engine-maintained
+    latest event per IP, the streaming twin of the batch
+    ``upsert_keep_latest`` store merge. One ``max`` over a totally
+    ordered version struct per key — state is one struct per IP,
+    updated in place each micro-batch; no windows, no sink-side merge
+    job. (ts, pid, message) is a total order on distinct lines, so
+    the result is deterministic and batch-equivalent regardless of
+    how the input splits into micro-batches."""
+    version = F.struct(
+        F.col("ts"), F.col("pid"), F.col("message"), F.col("event")
+    )
+    return (
+        parsed.filter(F.col("ip").isNotNull())
+        .groupBy("ip")
+        .agg(F.max(version).alias("v"))
+        .select(
+            "ip",
+            F.col("v.ts").alias("last_ts"),
+            F.col("v.pid").alias("last_pid"),
+            F.col("v.event").alias("last_event"),
+        )
+    )

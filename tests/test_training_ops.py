@@ -115,3 +115,27 @@ def test_ann_recall_bounded_and_complete(spark, sf_dir):
     for r in rec:
         assert 0 <= r.n_hits <= 5
         assert abs(r.recall_at_k - r.n_hits / 5) < 1e-9
+
+
+def test_incremental_near_dup_only_pairs_new_with_old(spark, sf_dir):
+    from bigdata_logs_spark.operators.dedup import incremental_near_dup
+
+    docs = _docs(spark, sf_dir)
+    pairs = incremental_near_dup(docs, new_source="src9", threshold=0.05)
+    src = {r.doc_id: r.source for r in docs.select("doc_id", "source").collect()}
+    for r in pairs.collect():
+        assert src[r.new_doc] == "src9"
+        assert src[r.old_doc] != "src9"
+
+
+def test_length_gate_keeps_at_least_ninety_pct(spark, sf_dir):
+    from bigdata_logs_spark.operators.pipeline import (
+        token_length_percentile_gate,
+    )
+
+    row = token_length_percentile_gate(_docs(spark, sf_dir)).collect()[0]
+    assert row.p_lo <= row.p_hi
+    # [p05, p95] must cover >= 90% of docs (exact percentiles; the
+    # closed interval can only add boundary docs)
+    assert row.n_kept >= 0.9 * row.n_total
+    assert row.n_kept <= row.n_total
