@@ -123,6 +123,23 @@ def test_embedding_near_dup_has_no_corpus_nested_loop(spark, sf_dir):
             )
 
 
+def test_packing_is_sharded_no_join_no_global_sort_before_agg(spark, sf_dir):
+    # token packing must stay n_shards parallel window streams: no
+    # join anywhere, and the only exchanges are the shard hash
+    # partitioning (+ the presentation sort's range partitioning)
+    plan = _plan(spark, "pack_token_budget", sf_dir)
+    assert "Join" not in plan
+    keys = [l for l in plan.splitlines() if "hashpartitioning(" in l]
+    assert keys and all("shard" in l for l in keys)
+
+
+def test_incremental_near_dup_never_pairs_old_with_old(spark, sf_dir):
+    plan = _plan(spark, "incremental_near_dup", sf_dir)
+    assert "CartesianProduct" not in plan
+    # candidates come from the (band, sig) equi-join
+    assert "hashpartitioning(band" in plan or "BroadcastHashJoin" in plan
+
+
 def test_contamination_joins_hashes_not_text(spark, sf_dir):
     # only (doc_id, md5) pairs may shuffle; the text column must be
     # pruned away before any exchange
