@@ -1628,6 +1628,7 @@ def q_lsh_sign_buckets(spark, sf_dir):
     ORDER BY vec_a, vec_b
     """,
     tags=("DD-5", "E-2"),
+    bench=True,
 )
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs. Candidates come from
@@ -3067,6 +3068,7 @@ PII_IPV4_SQL = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
     FROM base b LEFT JOIN topt USING (doc_id) ORDER BY doc_id
     """,
     tags=("T-9",),
+    bench=True,
 )
 def q_repetition_scores(spark, sf_dir):
     """Gopher-style repetition filters: top-token share + duplicate
@@ -3094,6 +3096,7 @@ def q_repetition_scores(spark, sf_dir):
     FROM binned GROUP BY shard, bin ORDER BY shard, bin
     """,
     tags=("PL-6",),
+    bench=True,
 )
 def q_pack_token_budget(spark, sf_dir):
     """Greedy context-window packing, sharded so the running token
@@ -3291,6 +3294,7 @@ def q_ann_recall(spark, sf_dir):
     ORDER BY new_doc, old_doc
     """,
     tags=("DD-9",),
+    bench=True,
 )
 def q_incremental_near_dup(spark, sf_dir):
     """Delta-vs-corpus near-dup: only new-batch x existing candidate

@@ -109,3 +109,17 @@ def test_ivf_agrees_with_brute_force_on_probed_cells(emb):
     assert overlap, "IVF found pairs brute force never scored"
     for pair in overlap:
         assert ivf[pair] == bf[pair]
+
+
+def test_embedding_near_dup_arrow_engine_bit_identical_to_fold(spark, sf_dir):
+    # the Arrow scoring path accumulates per-dimension in the same
+    # left-to-right order as the SQL fold, so results must be
+    # BIT-identical, not just approximately equal
+    from bigdata_logs_spark.operators.similarity import embedding_near_dup
+    from bigdata_logs_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = [tuple(r) for r in embedding_near_dup(emb, engine="arrow").collect()]
+    f = [tuple(r) for r in embedding_near_dup(emb, engine="fold").collect()]
+    assert a == f
+    assert len(a) > 0

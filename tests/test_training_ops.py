@@ -139,3 +139,23 @@ def test_length_gate_keeps_at_least_ninety_pct(spark, sf_dir):
     # closed interval can only add boundary docs)
     assert row.n_kept >= 0.9 * row.n_total
     assert row.n_kept <= row.n_total
+
+
+def test_packing_invariant_under_partitioning(spark, sf_dir):
+    # bin assignment must depend only on (shard, doc_id order), never
+    # on physical layout — the property that makes packing reproducible
+    # across cluster sizes and re-runs
+    docs = _docs(spark, sf_dir)
+    a = [tuple(r) for r in pack_token_budget(docs).collect()]
+    b = [
+        tuple(r)
+        for r in pack_token_budget(docs.repartition(13)).collect()
+    ]
+    assert a == b
+
+
+def test_repetition_scores_invariant_under_partitioning(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    a = [tuple(r) for r in repetition_scores(docs).collect()]
+    b = [tuple(r) for r in repetition_scores(docs.repartition(13)).collect()]
+    assert a == b
