@@ -393,3 +393,34 @@ def salted_join_order_priority(
         )
         .orderBy("o_orderpriority")
     )
+
+
+def supplier_nation_revenue(
+    supplier: DataFrame, nation: DataFrame, lineitem: DataFrame, k: int = 10
+) -> DataFrame:
+    """Top-k suppliers by shipped revenue with their nation (J-12;
+    completes coverage of the star schema's last unused dimension).
+
+    Lineitem pre-aggregates to supplier grain BEFORE any join — the
+    heavy reduction happens below the joins, so only n_suppliers rows
+    ever meet the (broadcast) supplier and nation dims; top-k is a
+    TakeOrderedAndProject, never a global sort."""
+    supp_rev = lineitem.groupBy("l_suppkey").agg(
+        F.sum(_rev()).alias("rev_dec"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+    return (
+        supp_rev.join(
+            F.broadcast(supplier), supp_rev.l_suppkey == supplier.s_suppkey
+        )
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            F.col("rev_dec").cast("double").alias("revenue"),
+            "n_items",
+        )
+        .orderBy(F.desc("revenue"), F.asc("s_suppkey"))
+        .limit(k)
+    )

@@ -3373,6 +3373,33 @@ def q_streaming_latest_per_ip(spark, sf_dir):
     )
 
 
+@register(
+    "supplier_nation_revenue",
+    f"""
+    WITH sr AS (
+      SELECT l_suppkey, SUM({REV_SQL}) AS rev_dec,
+             COUNT(*)::BIGINT AS n_items
+      FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, n_name AS nation,
+           CAST(rev_dec AS DOUBLE) AS revenue, n_items
+    FROM sr JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+    ORDER BY revenue DESC, s_suppkey LIMIT 10
+    """,
+    tags=("J-12",),
+)
+def q_supplier_nation_revenue(spark, sf_dir):
+    """Top-10 suppliers by revenue with nation — covers the star
+    schema's last dimension; lineitem pre-aggregates to supplier
+    grain below the broadcast dim joins."""
+    return J.supplier_nation_revenue(
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-certification order
 # ---------------------------------------------------------------------------
@@ -3409,6 +3436,7 @@ _DRIVER_FIRST = [
     "incremental_near_dup",
     "token_length_percentile_gate",
     "streaming_latest_per_ip",
+    "supplier_nation_revenue",
     # dedup family
     "exact_dedup",
     "minhash_buckets",
