@@ -87,3 +87,77 @@ def test_profile_invariant_under_row_order(spark, events):
     a = sorted(map(str, entity_profile(events).collect()))
     b = sorted(map(str, entity_profile(shuffled).collect()))
     assert a == b
+
+
+doc_texts = st.lists(
+    st.text(alphabet="ab x", min_size=0, max_size=40), min_size=1, max_size=30
+)
+
+
+@given(doc_texts)
+@settings(max_examples=10, deadline=None)
+def test_repetition_scores_match_python_reference(spark, texts):
+    from bigdata_logs_spark.operators.textops import repetition_scores
+
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r.doc_id: r for r in repetition_scores(docs).collect()}
+    for i, t in enumerate(texts):
+        toks = t.strip().split() if t.strip() else []
+        r = got[i]
+        assert r.n_tokens == len(toks)
+        if toks:
+            from collections import Counter
+
+            top = Counter(toks).most_common(1)[0][1]
+            assert abs(r.top_token_share - round(top / len(toks), 4)) < 1e-9
+        else:
+            assert r.top_token_share == 0.0
+        bigrams = [f"{toks[j]} {toks[j+1]}" for j in range(len(toks) - 1)]
+        if bigrams:
+            want = round(1.0 - len(set(bigrams)) / len(bigrams), 4)
+            assert abs(r.dup_bigram_ratio - want) < 1e-9
+        else:
+            assert r.dup_bigram_ratio == 0.0
+
+
+@given(
+    st.lists(st.integers(0, 400), min_size=1, max_size=60),
+    st.integers(64, 512),
+)
+@settings(max_examples=8, deadline=None)
+def test_packing_matches_python_greedy_simulation(spark, sizes, budget):
+    from bigdata_logs_spark.operators.pipeline import (
+        hash_bucket,
+        pack_token_budget,
+    )
+
+    # one-token-per-unit docs so n_tokens == sizes[i]
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * s), "en", "s", s) for i, s in enumerate(sizes)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {
+        (r.shard, r.bin): (r.n_docs, r.bin_tokens)
+        for r in pack_token_budget(docs, budget=budget, n_shards=4).collect()
+    }
+    # python reference: same shard hash, greedy prefix-sum binning
+    shard_of = {
+        r.doc_id: r.s
+        for r in docs.select(
+            "doc_id", hash_bucket(F.col("doc_id"), "pack:", 4).alias("s")
+        ).collect()
+    }
+    from collections import defaultdict
+
+    want = defaultdict(lambda: [0, 0])
+    running = defaultdict(int)
+    for i in sorted(range(len(sizes))):
+        s = shard_of[i]
+        b = running[s] // budget
+        want[(s, b)][0] += 1
+        want[(s, b)][1] += sizes[i]
+        running[s] += sizes[i]
+    assert got == {k: tuple(v) for k, v in want.items()}
