@@ -63,17 +63,36 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "events")
 
 
+_SCRATCH_DIRS: set[str] = set()
+
+
 def _scratch_path(prefix: str, sf_dir: str) -> str:
     """Per-process scratch dir for roundtrip/store/bucketed/stream
     artifacts. The PID component keeps two concurrent processes (e.g.
     bench and oracle_check on the same sf dir) from racing on one
     directory — the _SUCCESS-gated reuse caches stay valid within a
-    process, which is the only scope Spark's catalog spans anyway."""
+    process, which is the only scope Spark's catalog spans anyway.
+    Everything this process created is removed at interpreter exit so
+    repeated runs don't accumulate tmp garbage."""
     import os
     import tempfile
 
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    return os.path.join(tempfile.gettempdir(), f"{prefix}_{os.getpid()}_{tag}")
+    path = os.path.join(tempfile.gettempdir(), f"{prefix}_{os.getpid()}_{tag}")
+    _SCRATCH_DIRS.add(path)
+    return path
+
+
+def _cleanup_scratch() -> None:
+    import shutil
+
+    for p in _SCRATCH_DIRS:
+        shutil.rmtree(p, ignore_errors=True)
+
+
+import atexit as _atexit  # noqa: E402
+
+_atexit.register(_cleanup_scratch)
 
 
 # SQL fragments shared by several oracles (kept in one place so the
@@ -2471,6 +2490,9 @@ def q_bucketed_order_revenue(spark, sf_dir):
     tag = _os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     to = f"bls_orders_b_{_os.getpid()}_{tag}"
     tl = f"bls_lineitem_b_{_os.getpid()}_{tag}"
+    _SCRATCH_DIRS.update(
+        _os.path.join(_tempfile.gettempdir(), t) for t in (to, tl)
+    )
     if not spark.catalog.tableExists(to):
         write_bucketed(
             load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
