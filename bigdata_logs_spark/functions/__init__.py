@@ -3,6 +3,13 @@ from bigdata_logs_spark.functions.columns import (
     nonempty,
     null_if_empty,
     sorted_distinct_string,
+    spread_small_input,
 )
 
-__all__ = ["count_if", "nonempty", "null_if_empty", "sorted_distinct_string"]
+__all__ = [
+    "count_if",
+    "nonempty",
+    "null_if_empty",
+    "sorted_distinct_string",
+    "spread_small_input",
+]

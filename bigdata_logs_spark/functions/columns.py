@@ -37,3 +37,22 @@ def sorted_distinct_string(c: Column, sep: str = ",") -> Column:
     profile unbounded-cardinality groups should slice first.
     """
     return F.array_join(F.sort_array(F.collect_set(c)), sep)
+
+
+def spread_small_input(df, min_factor: int = 2):
+    """Round-robin repartition a DataFrame whose physical input has
+    materially fewer splits than the session has slots.
+
+    CPU-heavy narrow stages (shingle explosion, per-row hashing,
+    higher-order lambdas) inherit the scan's parallelism; a small
+    parquet corpus reads as ONE split and serializes the whole stage
+    through one core. At production scale inputs carry plenty of
+    splits and this is a metadata check + no-op; the repartition only
+    fires when the input is at least ``min_factor``x under-split, so
+    it never adds an exchange to a well-partitioned 100 TB scan.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() * min_factor <= target:
+        return df.repartition(target)
+    return df

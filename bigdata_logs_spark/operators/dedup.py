@@ -32,6 +32,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from bigdata_logs_spark.caching import tracked_cache
+from bigdata_logs_spark.functions import spread_small_input
 
 SHINGLE_K = 3
 N_BANDS = 8
@@ -92,6 +93,9 @@ def minhash_signatures(docs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
     """
     if n_bands != 8:
         raise ValueError("the md5-slice band layout is fixed at 8 bands")
+    # tiny test corpora read as one split; spread the CPU-heavy
+    # shingle+hash stage across the session's slots (no-op at scale)
+    docs = spread_small_input(docs)
     grams = docs.withColumn("tokens", _tokens(F.col("text"))).select(
         F.col("doc_id"), F.explode(_shingles()).alias("shingle")
     )
@@ -220,7 +224,8 @@ def near_dup_pairs(
     # follows from per-doc set sizes. Everything that shuffles is a
     # small fixed-width row.
     grams = (
-        docs.withColumn("tokens", _tokens(F.col("text")))
+        spread_small_input(docs)
+        .withColumn("tokens", _tokens(F.col("text")))
         .select("doc_id", F.explode(F.array_distinct(_shingles())).alias("gram"))
         .transform(tracked_cache)
     )
@@ -346,6 +351,15 @@ def near_dup_components(
     once, by the final left join attaching singleton labels. The
     driver-side loop holds only a changed-row count per round — no
     data is collected.
+
+    Lineage control: each round's labels are ``localCheckpoint``ed
+    (eager), truncating the logical plan — caching alone keeps the
+    full join-per-round lineage, which grows linearly in rounds and
+    eventually OOMs the DRIVER just rendering/optimizing the plan
+    (observed as a heap blowout in AQE's plan-string update after ~8
+    preceding queries). This is the standard contract for iterative
+    DataFrame algorithms; on a real cluster the trade is that a lost
+    executor recomputes from the checkpoint, not from source.
     """
     pairs = (
         near_dup_pairs(docs, threshold=threshold)
@@ -359,7 +373,7 @@ def near_dup_components(
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
         .withColumn("component", F.col("doc_id"))
-        .transform(tracked_cache)
+        .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -373,6 +387,8 @@ def near_dup_components(
             .groupBy("doc_a")
             .agg(F.min("nbr_component").alias("nbr_min"))
         )
+        # eager localCheckpoint: materializes this round AND cuts the
+        # lineage so the next round's plan starts from a leaf
         updated = (
             labels.join(
                 neighbor_min, labels.doc_id == neighbor_min.doc_a, "left"
@@ -384,11 +400,10 @@ def near_dup_components(
                 ).alias("component"),
                 (F.col("nbr_min") < F.col("component")).alias("changed"),
             )
-            .transform(tracked_cache)
+            .localCheckpoint(eager=True)
         )
         n_changed = updated.filter(F.col("changed")).count()
-        labels.unpersist()
-        labels = updated.select("doc_id", "component").transform(tracked_cache)
+        labels = updated.select("doc_id", "component")
         if n_changed == 0:
             break
     out = (
@@ -440,7 +455,8 @@ def incremental_near_dup(
         .distinct()
     )
     grams = (
-        docs.withColumn("tokens", _tokens(F.col("text")))
+        spread_small_input(docs)
+        .withColumn("tokens", _tokens(F.col("text")))
         .select("doc_id", F.explode(F.array_distinct(_shingles())).alias("gram"))
         .transform(tracked_cache)
     )

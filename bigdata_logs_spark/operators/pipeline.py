@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from bigdata_logs_spark.caching import tracked_cache
+from bigdata_logs_spark.functions import spread_small_input
 
 NGRAM_K = 8
 
@@ -117,7 +118,9 @@ def contamination_check(
     train side stays a narrow explode feeding one semi-join-shaped
     aggregation — no document text ever crosses the wire.
     """
-    toks = docs.withColumn("tokens", F.split(F.trim(F.col("text")), r"\s+"))
+    toks = spread_small_input(docs).withColumn(
+        "tokens", F.split(F.trim(F.col("text")), r"\s+")
+    )
     # cache: the exploded gram set feeds both the benchmark branch and
     # the train branch — without it the tokenize+explode runs twice
     grams = toks.select(
