@@ -39,6 +39,9 @@ def sorted_distinct_string(c: Column, sep: str = ",") -> Column:
     return F.array_join(F.sort_array(F.collect_set(c)), sep)
 
 
+_SPREAD_MEMO: dict[tuple, bool] = {}
+
+
 def spread_small_input(df, min_factor: int = 2):
     """Round-robin repartition a DataFrame whose physical input has
     materially fewer splits than the session has slots.
@@ -50,9 +53,19 @@ def spread_small_input(df, min_factor: int = 2):
     splits and this is a metadata check + no-op; the repartition only
     fires when the input is at least ``min_factor``x under-split, so
     it never adds an exchange to a well-partitioned 100 TB scan.
+
+    The split-count probe (``df.rdd``) costs a full physical
+    planning pass, so the decision is memoized per input-file set;
+    repeat calls pay only a cheap ``inputFiles`` lookup. Non-file
+    inputs (in-memory frames) are left untouched.
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() * min_factor <= target:
-        return df.repartition(target)
-    return df
+    key = tuple(sorted(df.inputFiles()))
+    if not key:
+        return df
+    dec = _SPREAD_MEMO.get(key)
+    if dec is None:
+        dec = df.rdd.getNumPartitions() * min_factor <= target
+        _SPREAD_MEMO[key] = dec
+    return df.repartition(target) if dec else df
