@@ -3422,6 +3422,42 @@ def q_supplier_nation_revenue(spark, sf_dir):
     )
 
 
+@register(
+    "streaming_event_transitions",
+    SSH_PARSE_CTE
+    + """
+    , t AS (
+      SELECT ip, strptime('2024 ' || month || ' ' || day || ' ' || time,
+                          '%Y %b %d %H:%M:%S') AS ts,
+             pid, message, event
+      FROM parsed WHERE ip IS NOT NULL
+    ), lagged AS (
+      SELECT ip, event,
+             LAG(event) OVER (PARTITION BY ip
+               ORDER BY ts, pid, message) AS prev_event
+      FROM t)
+    SELECT ip, prev_event, event, COUNT(*)::BIGINT AS n
+    FROM lagged WHERE prev_event IS NOT NULL
+    GROUP BY ip, prev_event, event
+    ORDER BY ip, prev_event, event
+    """,
+    tags=("ST-9",),
+)
+def q_streaming_event_transitions(spark, sf_dir):
+    """Per-IP event-transition (Markov) counts computed BY THE
+    STREAMING ENGINE via transformWithStateInPandas (Spark 4's
+    arbitrary-stateful API: typed ValueState carries the last event
+    across micro-batches); oracle is the batch lag() window."""
+    from bigdata_logs_spark.streaming import event_transitions_tws
+
+    src = _stream_source_dir(spark, sf_dir)
+    parsed = read_ssh_stream(spark, src)
+    trans = event_transitions_tws(parsed)
+    name = "bls_trans_" + _os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    run_stream_to_memory(trans, name, output_mode="append")
+    return spark.table(name).orderBy("ip", "prev_event", "event")
+
+
 # ---------------------------------------------------------------------------
 # Driver-certification order
 # ---------------------------------------------------------------------------
@@ -3459,6 +3495,7 @@ _DRIVER_FIRST = [
     "token_length_percentile_gate",
     "streaming_latest_per_ip",
     "supplier_nation_revenue",
+    "streaming_event_transitions",
     # dedup family
     "exact_dedup",
     "minhash_buckets",

@@ -1,5 +1,6 @@
 from bigdata_logs_spark.streaming.ingest import (
     brute_force_detector,
+    event_transitions_tws,
     read_ssh_stream,
     severity_enriched_counts,
     stateful_alerts,
@@ -11,6 +12,7 @@ from bigdata_logs_spark.streaming.ingest import (
 
 __all__ = [
     "brute_force_detector",
+    "event_transitions_tws",
     "read_ssh_stream",
     "severity_enriched_counts",
     "stateful_alerts",

@@ -265,3 +265,125 @@ def streaming_latest_per_ip(parsed: DataFrame) -> DataFrame:
             F.col("v.event").alias("last_event"),
         )
     )
+
+
+def _tws_available() -> bool:
+    """transformWithStateInPandas ships its state protocol over
+    protobuf; without the `protobuf` package the driver worker
+    crashes at init. Gate on the import, not on the Spark version."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def event_transitions_tws(parsed: DataFrame) -> DataFrame:
+    """Per-IP event-transition counts (ST-9): the Markov-chain
+    statistic behind attack-pattern profiling (e.g. invalid_user ->
+    failed_password runs).
+
+    Semantics: for each IP, order its events by the total
+    (ts, pid, message) key and count consecutive (prev_event ->
+    event) transitions. One string of state per key carries the last
+    event across micro-batches, so a transition spanning a batch
+    boundary is still counted; within a batch the handler sorts its
+    group, which makes the availableNow (single-batch) result
+    deterministic and batch-equivalent to the lag() window oracle.
+    Contract for multi-batch feeds: per-key arrival must be
+    time-ordered across batches (the file-tail source delivers files
+    in order).
+
+    Two implementations, selected at runtime: Spark 4's
+    ``transformWithStateInPandas`` (typed ValueState; preferred, but
+    its state protocol needs the protobuf package, absent in this
+    container) and an ``applyInPandasWithState`` fallback with
+    identical semantics — the gate is an import-try, so the same
+    code runs the new API on a fully-provisioned cluster.
+    """
+    import pandas as pd
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("ip", StringType()),
+            StructField("prev_event", StringType()),
+            StructField("event", StringType()),
+            StructField("n", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("last_event", StringType())])
+
+    def count_transitions(ip, pdf, prev):
+        pdf = pdf.sort_values(["ts", "pid", "message"], kind="mergesort")
+        counts: dict[tuple[str, str], int] = {}
+        for ev in pdf["event"].tolist():
+            if prev is not None:
+                counts[(prev, ev)] = counts.get((prev, ev), 0) + 1
+            prev = ev
+        out = pd.DataFrame(
+            {
+                "ip": [ip] * len(counts),
+                "prev_event": [k[0] for k in counts],
+                "event": [k[1] for k in counts],
+                "n": list(counts.values()),
+            }
+        )
+        return out, prev
+
+    src = parsed.filter(F.col("ip").isNotNull()).select(
+        "ip", "ts", "pid", "message", "event"
+    )
+
+    if _tws_available():
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+
+        class TransitionCounter(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self._last = handle.getValueState("last", state_schema)
+
+            def handleInputRows(self, key, rows, timerValues):
+                pdf = pd.concat(list(rows), ignore_index=True)
+                prev = self._last.get()[0] if self._last.exists() else None
+                out, prev = count_transitions(key[0], pdf, prev)
+                self._last.update((prev,))
+                if len(out):
+                    yield out
+
+            def close(self) -> None:
+                pass
+
+        return src.groupBy("ip").transformWithStateInPandas(
+            statefulProcessor=TransitionCounter(),
+            outputStructType=out_schema,
+            outputMode="Append",
+            timeMode="None",
+        )
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdf_iter, state: GroupState):
+        (ip,) = key
+        pdf = pd.concat(list(pdf_iter), ignore_index=True)
+        prev = state.get[0] if state.exists else None
+        out, prev = count_transitions(ip, pdf, prev)
+        state.update((prev,))
+        if len(out):
+            yield out
+
+    return src.groupBy("ip").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

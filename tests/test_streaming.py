@@ -16,6 +16,7 @@ from bigdata_logs_spark.operators.enrich import with_event_time
 from bigdata_logs_spark.operators.parse import parse_ssh_lines
 from bigdata_logs_spark.operators.ssh_synth import synthesize_ssh_lines
 from bigdata_logs_spark.streaming import (
+    event_transitions_tws,
     read_ssh_stream,
     run_stream_to_memory,
     severity_enriched_counts,
@@ -88,6 +89,30 @@ def test_stream_static_severity_join_equals_batch(spark, stream_dir):
     assert set(sev_map.values()) | {"unclassified"} >= {
         k[1] for k in got
     }
+
+
+def test_event_transitions_equal_batch_lag_window(spark, stream_dir):
+    from pyspark.sql import Window
+
+    streamed = event_transitions_tws(read_ssh_stream(spark, stream_dir))
+    run_stream_to_memory(streamed, "t_trans", output_mode="append")
+    got = {
+        (r["ip"], r["prev_event"], r["event"]): r["n"]
+        for r in spark.table("t_trans").collect()
+    }
+
+    batch = with_event_time(parse_ssh_lines(spark.read.text(stream_dir)))
+    w = Window.partitionBy("ip").orderBy("ts", "pid", "message")
+    want = {
+        (r["ip"], r["prev_event"], r["event"]): r["n"]
+        for r in batch.filter(F.col("ip").isNotNull())
+        .withColumn("prev_event", F.lag("event").over(w))
+        .filter(F.col("prev_event").isNotNull())
+        .groupBy("ip", "prev_event", "event")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
 
 
 def test_stream_dedup_removes_redelivered_lines(spark, stream_dir, tmp_path):
