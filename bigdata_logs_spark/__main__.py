@@ -96,6 +96,18 @@ def cmd_sql(args) -> int:
     return 0
 
 
+def cmd_explain(args) -> int:
+    from bigdata_logs_spark.registry import REGISTRY
+
+    if args.name not in REGISTRY:
+        print(f"unknown query {args.name!r}; see `list`", file=sys.stderr)
+        return 2
+    spark = _spark(f"explain:{args.name}")
+    df = REGISTRY[args.name].fn(spark, args.sf_dir)
+    df.explain(mode=args.mode)
+    return 0
+
+
 def cmd_list(_args) -> int:
     from bigdata_logs_spark.registry import REGISTRY
 
@@ -131,6 +143,18 @@ def main(argv: list[str] | None = None) -> int:
 
     pl = sub.add_parser("list", help="list registry queries")
     pl.set_defaults(fn=cmd_list)
+
+    pe = sub.add_parser(
+        "explain", help="print a registry query's physical plan"
+    )
+    pe.add_argument("name")
+    pe.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    pe.add_argument(
+        "--mode",
+        default="formatted",
+        choices=["simple", "extended", "codegen", "cost", "formatted"],
+    )
+    pe.set_defaults(fn=cmd_explain)
 
     px = sub.add_parser(
         "sql", help="run SQL over the tables + every registry query as views"

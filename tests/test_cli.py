@@ -95,3 +95,12 @@ def test_register_views_exposes_queries_as_sql(spark, sf_dir):
         "JOIN documents d ON s.doc_id = d.doc_id WHERE s.split = 'train'"
     ).first()
     assert j["n"] > 0
+
+
+def test_explain_prints_formatted_plan(capsys, spark, sf_dir):
+    from bigdata_logs_spark.__main__ import main
+
+    assert main(["explain", "regional_revenue", "--sf-dir", sf_dir]) == 0
+    out = capsys.readouterr().out
+    assert "BroadcastHashJoin" in out or "Exchange" in out
+    assert main(["explain", "nope"]) == 2
