@@ -3458,6 +3458,43 @@ def q_streaming_event_transitions(spark, sf_dir):
     return spark.table(name).orderBy("ip", "prev_event", "event")
 
 
+@register(
+    "ssh_users_per_ip",
+    SSH_PARSE_CTE
+    + """
+    , ranked AS (
+      SELECT ip, user, COUNT(*)::BIGINT AS n,
+             ROW_NUMBER() OVER (PARTITION BY ip
+               ORDER BY COUNT(*) DESC, user) AS rnk
+      FROM parsed WHERE ip IS NOT NULL AND user IS NOT NULL
+      GROUP BY ip, user)
+    SELECT ip, user, n, rnk::INT AS rnk
+    FROM ranked WHERE rnk <= 3 ORDER BY ip, rnk
+    """,
+    tags=("D-21", "D-39"),
+)
+def q_ssh_users_per_ip(spark, sf_dir):
+    """Top-3 attempted users per source IP — the reference dashboard's
+    per-IP "Top Users Attempted" pie (stats_dashboard.py:233) computed
+    for EVERY ip at once: grouped count + windowed top-k, one shuffle
+    on the (ip, user) key then one on ip."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    parsed = parse_ssh_lines(_ssh_lines(spark, sf_dir))
+    counts = (
+        parsed.filter(F.col("ip").isNotNull() & F.col("user").isNotNull())
+        .groupBy("ip", "user")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("ip").orderBy(F.desc("n"), F.asc("user"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("ip", "rnk")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-certification order
 # ---------------------------------------------------------------------------
