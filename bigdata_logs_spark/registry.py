@@ -3495,6 +3495,91 @@ def q_ssh_users_per_ip(spark, sf_dir):
     )
 
 
+@register(
+    "events_per_day_dense",
+    """
+    WITH bounds AS (
+      SELECT MIN(ts::DATE) AS lo, MAX(ts::DATE) AS hi FROM events
+    ), days AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d
+      FROM bounds
+    ), per AS (
+      SELECT ts::DATE AS d, COUNT(*)::BIGINT AS n FROM events GROUP BY 1
+    )
+    SELECT strftime(days.d, '%Y-%m-%d') AS date,
+           COALESCE(per.n, 0)::BIGINT AS total_events
+    FROM days LEFT JOIN per ON days.d = per.d
+    ORDER BY date
+    """,
+    tags=("D-47",),
+)
+def q_events_per_day_dense(spark, sf_dir):
+    """Gap-filled daily counts: the calendar spine is generated
+    in-plan (sequence over the corpus min/max date — one tiny
+    aggregate broadcast back), so charts get a continuous axis and
+    downstream window math sees every day, zero-filled. No driver
+    date arithmetic, no UDF."""
+    from pyspark.sql import functions as F
+
+    ev = _events(spark, sf_dir)
+    bounds = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("lo"),
+        F.max(F.col("ts").cast("date")).alias("hi"),
+    )
+    days = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("d")
+    )
+    per = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        days.join(per, "d", "left")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("date"),
+            F.coalesce("n", F.lit(0)).alias("total_events"),
+        )
+        .orderBy("date")
+    )
+
+
+@register(
+    "events_daily_moving_avg",
+    """
+    WITH per AS (
+      SELECT ts::DATE AS d, COUNT(*)::BIGINT AS n FROM events GROUP BY 1
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS date, n AS total_events,
+           ROUND(AVG(n) OVER (ORDER BY d
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS avg_7d
+    FROM per ORDER BY date
+    """,
+    tags=("W-5",),
+)
+def q_events_daily_moving_avg(spark, sf_dir):
+    """7-day trailing moving average of daily event counts — the
+    rolling-window smoother every time-series dashboard wants. Daily
+    pre-aggregation reduces the corpus to one row per day BEFORE the
+    window, so the unpartitioned window sorts n_days rows, not the
+    corpus (the pattern that keeps global windows viable at 100 TB)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    per = (
+        _events(spark, sf_dir)
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy("d").rowsBetween(-6, 0)
+    return (
+        per.select(
+            F.date_format("d", "yyyy-MM-dd").alias("date"),
+            F.col("n").alias("total_events"),
+            F.round(F.avg("n").over(w), 4).alias("avg_7d"),
+        )
+        .orderBy("date")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-certification order
 # ---------------------------------------------------------------------------
