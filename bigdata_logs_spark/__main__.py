@@ -4,15 +4,18 @@ Replaces the reference's three entry points (`src/main.py` batch ETL,
 the per-stage `__main__` blocks, and the Streamlit dashboard's
 query layer, `src/stats_dashboard.py`) with one command:
 
-    python -m bigdata_logs_spark parse  --input SSH.log --output /store
-    python -m bigdata_logs_spark stream --input /logdir --name live
-    python -m bigdata_logs_spark query  events_per_day --sf-dir /data
+    python -m bigdata_logs_spark parse   --input SSH.log --output /store
+    python -m bigdata_logs_spark stream  --input /logdir --name live
+    python -m bigdata_logs_spark query   events_per_day --sf-dir /data
+    python -m bigdata_logs_spark sql     "SELECT ... FROM <any query view>"
+    python -m bigdata_logs_spark explain regional_revenue
     python -m bigdata_logs_spark list
 
 `parse` is the reference's whole ETL (parse -> typed schema -> store)
 as ONE lazy plan — no CSV hop, no Mongo hop, no type re-inference.
-`query` runs any of the ~80 registry queries. `stream` runs the
-incremental ingestion the reference could only fake by polling.
+`query` runs any of the 115 registry queries; `explain` prints a
+query's physical plan. `stream` runs the incremental ingestion the
+reference could only fake by polling.
 """
 
 from __future__ import annotations

@@ -195,3 +195,48 @@ def upsert_keep_latest(
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_src")
     )
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_files_per_partition: int = 1,
+    partition_by: tuple[str, ...] = (),
+) -> int:
+    """Small-file compaction for an append-mode parquet store (S-10).
+
+    Streaming/incremental appends accumulate many small files per
+    date partition; scans then pay one task + one footer read per
+    file, and at 100 TB the NameNode/listing cost alone hurts. This
+    rewrites the store at ``target_files_per_partition`` files per
+    partition via an atomic swap (write to a sibling temp dir, then
+    rename over), preserving the partition layout. Returns the file
+    count after compaction.
+
+    The rewrite is one job: scan -> repartition on the partition
+    keys -> write. On table formats (Delta/Iceberg) this is OPTIMIZE;
+    on plain parquet it is the equivalent inner job, minus the
+    transaction log.
+    """
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "__compact_tmp"
+    writer = (
+        df.repartition(target_files_per_partition, *partition_by)
+        if partition_by
+        else df.coalesce(target_files_per_partition)
+    ).write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
+    bak = path.rstrip("/") + "__compact_bak"
+    shutil.rmtree(bak, ignore_errors=True)
+    os.rename(path, bak)
+    os.rename(tmp, path)
+    shutil.rmtree(bak, ignore_errors=True)
+    n = 0
+    for _, _, files in os.walk(path):
+        n += sum(1 for f in files if f.endswith(".parquet"))
+    return n

@@ -132,3 +132,43 @@ def test_components_merge_chains(docs):
     # singletons are their own component
     paired = {x for p in pairs for x in p}
     assert all(comp[d] == d for d in comp if d not in paired)
+
+
+def test_compact_parquet_preserves_data_and_reduces_files(
+    spark, events, tmp_path
+):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bigdata_logs_spark.sources import compact_parquet, write_parquet
+
+    store = str(tmp_path / "frag_store")
+    # fragment: 6 small appends, date-partitioned
+    dated = events.limit(600).withColumn(
+        "date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    for i in range(6):
+        write_parquet(
+            dated.filter(F.col("event_id") % 6 == i),
+            store,
+            mode="append",
+            partition_by=("date",),
+        )
+    before_rows = sorted(map(str, spark.read.parquet(store).collect()))
+    n_before = sum(
+        1
+        for _, _, fs in os.walk(store)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+
+    n_after = compact_parquet(
+        spark, store, target_files_per_partition=1, partition_by=("date",)
+    )
+    after_rows = sorted(map(str, spark.read.parquet(store).collect()))
+    assert after_rows == before_rows, "compaction must be lossless"
+    assert n_after < n_before, f"{n_after} !< {n_before}"
+    # one file per date partition
+    dates = {d for d in os.listdir(store) if d.startswith("date=")}
+    assert n_after == len(dates)
