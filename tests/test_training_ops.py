@@ -159,3 +159,26 @@ def test_repetition_scores_invariant_under_partitioning(spark, sf_dir):
     a = [tuple(r) for r in repetition_scores(docs).collect()]
     b = [tuple(r) for r in repetition_scores(docs.repartition(13)).collect()]
     assert a == b
+
+
+def test_incremental_agrees_with_full_near_dup(spark, sf_dir):
+    # the delta-vs-corpus pairs must be exactly the full pair set
+    # restricted to (new-batch, existing) pairs — same LSH, same cap,
+    # same verification, so no pair may appear or vanish
+    from bigdata_logs_spark.operators.dedup import (
+        incremental_near_dup,
+        near_dup_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    src = {r.doc_id: r.source for r in docs.select("doc_id", "source").collect()}
+    full = {
+        frozenset((r.doc_a, r.doc_b)): r.jaccard
+        for r in near_dup_pairs(docs, threshold=0.05).collect()
+        if (src[r.doc_a] == "src9") != (src[r.doc_b] == "src9")
+    }
+    inc = {
+        frozenset((r.new_doc, r.old_doc)): r.jaccard
+        for r in incremental_near_dup(docs, threshold=0.05).collect()
+    }
+    assert inc == full
