@@ -60,6 +60,8 @@ def main() -> None:
     #    cold pass materialized are legitimately reused. This is what
     #    a long-running cluster session pays, and the headline
     #    `value` (comparable round-over-round).
+    from bigdata_logs_spark.caching import release_caches
+
     cold: dict[str, float] = {}
     for name in names:
         fn = REGISTRY[name].fn
@@ -67,6 +69,12 @@ def main() -> None:
         n = fn(spark, sf_dir).count()
         cold[name] = round(time.perf_counter() - t0, 4)
         assert n >= 0
+        # keep cold honest: an earlier query's tracked caches would
+        # otherwise serve plan-equal intermediates (e.g. the LSH
+        # signature set) to later "cold" queries, and pinned blocks
+        # would accumulate across the whole pass
+        release_caches()
+        spark.catalog.clearCache()
     # Two steady passes, per-query MIN: one transient hiccup (page
     # cache eviction, GC pause, a neighbor process) otherwise lands in
     # the round-over-round record as a phantom regression.
@@ -80,8 +88,6 @@ def main() -> None:
             dt = round(time.perf_counter() - t0, 4)
             timings[name] = min(timings.get(name, dt), dt)
             assert n >= 0
-    from bigdata_logs_spark.caching import release_caches
-
     release_caches()
     spark.catalog.clearCache()
     total = round(sum(timings.values()), 4)

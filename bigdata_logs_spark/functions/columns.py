@@ -61,9 +61,13 @@ def spread_small_input(df, min_factor: int = 2):
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    key = tuple(sorted(df.inputFiles()))
-    if not key:
+    files = tuple(sorted(df.inputFiles()))
+    if not files:
         return df
+    # key includes the decision inputs, not just the files — a later
+    # call with a different min_factor or a session with different
+    # parallelism must not inherit a stale verdict
+    key = (files, min_factor, target)
     dec = _SPREAD_MEMO.get(key)
     if dec is None:
         dec = df.rdd.getNumPartitions() * min_factor <= target

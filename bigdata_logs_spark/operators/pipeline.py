@@ -186,10 +186,16 @@ def corpus_curation(
 def pack_token_budget(
     docs: DataFrame, budget: int = 2048, n_shards: int = 8
 ) -> DataFrame:
-    """Greedy sequence packing: fill fixed-size context windows
-    ("bins") with documents until the token budget would overflow,
-    then start the next bin — the standard pretraining packing step
-    (one window ≈ one training sequence).
+    """Concatenate-and-chunk sequence packing: per shard, documents
+    are laid end-to-end in id order and each is assigned to the
+    context window its FIRST token falls in (bin = floor(preceding
+    tokens / budget)) — the standard pretraining packing layout,
+    where the token stream is sliced at budget boundaries and a
+    document may straddle a boundary (so a bin's token count can
+    exceed ``budget`` by up to one document; downstream training
+    slices the stream, it does not re-fit documents). This is NOT
+    greedy first-fit bin packing: there is no per-doc fits/doesn't
+    branch, which is exactly what keeps it a closed-form prefix sum.
 
     Sharded for scale: a single global running sum would serialize
     the whole corpus through one task, so docs are first assigned to
@@ -199,11 +205,9 @@ def pack_token_budget(
     n_shards to O(cores); bins are only ever read within one training
     shard so cross-shard bin ids need no coordination.
 
-    Greedy-by-id (not first-fit) keeps assignment deterministic and
-    streaming-friendly: a doc's bin depends only on the docs before
-    it in its shard, never on later arrivals. Docs longer than the
-    budget get a bin of their own (the overflow row is its own
-    window; real pipelines then truncate or split it downstream).
+    Offset-by-id keeps assignment deterministic and streaming-
+    friendly: a doc's bin depends only on the docs before it in its
+    shard, never on later arrivals.
     """
     from pyspark.sql import Window
 
@@ -218,11 +222,11 @@ def pack_token_budget(
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    # bin boundary: a doc starts a new bin when the tokens BEFORE it
-    # in the shard already fill the current bin. Computing bin =
-    # floor(preceding_tokens / budget) reproduces greedy fill exactly
-    # for the common case and is a pure prefix-sum — no iterative
-    # driver loop, no UDF.
+    # concat-and-chunk: a doc belongs to the window its first token
+    # falls in within the shard's concatenated token stream — a pure
+    # prefix-sum, no iterative driver loop, no UDF (true first-fit
+    # bin packing is inherently sequential per shard and would need a
+    # per-shard UDF pass for no benefit to the slicing consumer)
     preceding = F.sum("n_tokens").over(w) - F.col("n_tokens")
     binned = sharded.withColumn(
         "bin", F.floor(preceding / F.lit(budget)).cast("int")

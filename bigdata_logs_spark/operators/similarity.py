@@ -282,13 +282,18 @@ def embedding_near_dup(
         _dot("cv_a", "cv_b") / (F.col("cn_a") * F.col("cn_b"))
     )
     # both orientations kept so the ordered (vec_a < vec_b) member join
-    # below needs no cell normalization; epsilon slack only ADDS
-    # candidates, preserving exactness
+    # below needs no cell normalization; slack only ADDS candidates,
+    # preserving exactness. The bound must admit every pair the final
+    # round-then-filter keeps: round(cos, 6) >= t accepts raw cosines
+    # down to t - 5e-7, so prune against THAT threshold (plus a tiny
+    # angle epsilon for acos drift) — pruning at the unrounded t
+    # could drop a pair whose raw cosine rounds up across it.
+    effective_t = max(-1.0, threshold - 5e-7)
     admissible = (
         ca.crossJoin(cb)
         .filter(
             centroid_angle
-            <= F.lit(math.acos(threshold) + 1e-9) + F.col("r_a") + F.col("r_b")
+            <= F.lit(math.acos(effective_t) + 1e-9) + F.col("r_a") + F.col("r_b")
         )
         .select("cell_a", "cell_b")
     )
@@ -370,13 +375,16 @@ def embedding_near_dup(
         """
     )
     # Repartition the pair stream on the (unique) left vec id before
-    # scoring: the cell key has only n_cells distinct values, so both
-    # a key-partitioned join and a single-split parquet scan would
-    # funnel the O(candidate) dot products through a handful of
-    # tasks. The exchange moves only (vec, partner-cell) rows and
-    # buys full-cluster parallelism for the scoring stage — at scale
-    # this is the same exchange a shuffle join on the skewed cell key
-    # would have paid, minus the skew.
+    # scoring. This targets the broadcast-join regime (corpus side
+    # small enough to broadcast, e.g. a filtered candidate corpus):
+    # there the join adds NO exchange of its own, so parallelism is
+    # whatever the probe side inherited — possibly one split — and
+    # this exchange of small (vec, partner-cell) rows buys the
+    # scoring stage full-cluster parallelism. If the corpus side is
+    # too big to broadcast, Spark's shuffle join repartitions on the
+    # cell key anyway and this extra exchange is wasted — which is
+    # one of the reasons the arrow engine (cogrouped by cell, no
+    # per-pair row join) is the default.
     return (
         probes.repartition(F.col("vec_a"))
         .join(b, "cell_b")

@@ -3471,7 +3471,7 @@ def q_streaming_event_transitions(spark, sf_dir):
     SELECT ip, user, n, rnk::INT AS rnk
     FROM ranked WHERE rnk <= 3 ORDER BY ip, rnk
     """,
-    tags=("D-21", "D-39"),
+    tags=("D-46",),
 )
 def q_ssh_users_per_ip(spark, sf_dir):
     """Top-3 attempted users per source IP — the reference dashboard's

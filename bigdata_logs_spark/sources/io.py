@@ -208,26 +208,50 @@ def compact_parquet(
     Streaming/incremental appends accumulate many small files per
     date partition; scans then pay one task + one footer read per
     file, and at 100 TB the NameNode/listing cost alone hurts. This
-    rewrites the store at ``target_files_per_partition`` files per
-    partition via an atomic swap (write to a sibling temp dir, then
-    rename over), preserving the partition layout. Returns the file
-    count after compaction.
+    rewrites the store at up to ``target_files_per_partition`` files
+    per partition (a deterministic row-hash salt joins the partition
+    keys in the repartition — hashing the partition keys alone would
+    collapse every partition to ONE task/file regardless of the
+    target; task-placement collisions between salt groups can merge
+    some), then swaps directories. Returns the file count after
+    compaction.
 
-    The rewrite is one job: scan -> repartition on the partition
-    keys -> write. On table formats (Delta/Iceberg) this is OPTIMIZE;
-    on plain parquet it is the equivalent inner job, minus the
+    Swap caveat (plain local/HDFS semantics — POSIX cannot exchange
+    two directories atomically): the swap is two renames; a crash
+    between them leaves the data parked at ``<path>__compact_bak``
+    rather than at ``path``. Table formats make this a metadata
+    commit (OPTIMIZE); this is the equivalent inner job minus the
     transaction log.
     """
     import os
     import shutil
 
+    from pyspark.sql import functions as F
+
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + "__compact_tmp"
-    writer = (
-        df.repartition(target_files_per_partition, *partition_by)
-        if partition_by
-        else df.coalesce(target_files_per_partition)
-    ).write.mode("overwrite")
+    if partition_by:
+        salt = F.pmod(
+            F.hash(*[c for c in df.columns if c not in partition_by]),
+            F.lit(target_files_per_partition),
+        )
+        # explicit numPartitions: AQE would otherwise coalesce a
+        # small shuffle into one task and undo the fan-out
+        n_parts = df.select(*partition_by).distinct().count()
+        writer = (
+            df.withColumn("_salt", salt)
+            .repartition(
+                max(1, n_parts * target_files_per_partition),
+                *partition_by,
+                "_salt",
+            )
+            .drop("_salt")
+            .write.mode("overwrite")
+        )
+    else:
+        writer = df.coalesce(target_files_per_partition).write.mode(
+            "overwrite"
+        )
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(tmp)

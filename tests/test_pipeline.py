@@ -172,3 +172,30 @@ def test_compact_parquet_preserves_data_and_reduces_files(
     # one file per date partition
     dates = {d for d in os.listdir(store) if d.startswith("date=")}
     assert n_after == len(dates)
+
+
+def test_compact_parquet_fans_out_multiple_files_per_partition(
+    spark, events, tmp_path
+):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bigdata_logs_spark.sources import compact_parquet, write_parquet
+
+    store = str(tmp_path / "fan_store")
+    dated = events.limit(400).withColumn(
+        "date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    write_parquet(dated, store, mode="overwrite", partition_by=("date",))
+    n_after = compact_parquet(
+        spark, store, target_files_per_partition=3, partition_by=("date",)
+    )
+    dates = [d for d in os.listdir(store) if d.startswith("date=")]
+    # salt-driven fan-out: strictly more files than partitions, at
+    # most 3 per partition (collisions may merge salt groups)
+    assert n_after > len(dates)
+    assert n_after <= 3 * len(dates)
+    got = sorted(map(str, spark.read.parquet(store).collect()))
+    want = sorted(map(str, dated.drop("date").withColumn("date", F.date_format("ts", "yyyy-MM-dd")).collect()))
+    assert len(got) == 400
