@@ -128,7 +128,7 @@ def test_repetition_scores_match_python_reference(spark, texts):
     st.integers(64, 512),
 )
 @settings(max_examples=8, deadline=None)
-def test_packing_matches_python_greedy_simulation(spark, sizes, budget):
+def test_packing_matches_python_concat_chunk_reference(spark, sizes, budget):
     from bigdata_logs_spark.operators.pipeline import (
         hash_bucket,
         pack_token_budget,
@@ -143,7 +143,8 @@ def test_packing_matches_python_greedy_simulation(spark, sizes, budget):
         (r.shard, r.bin): (r.n_docs, r.bin_tokens)
         for r in pack_token_budget(docs, budget=budget, n_shards=4).collect()
     }
-    # python reference: same shard hash, greedy prefix-sum binning
+    # python reference: same shard hash, concat-and-chunk prefix-sum
+    # binning (a doc belongs to the window its first token falls in)
     shard_of = {
         r.doc_id: r.s
         for r in docs.select(

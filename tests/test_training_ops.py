@@ -36,8 +36,10 @@ def test_packing_conserves_docs_and_tokens(spark, sf_dir):
     )
     assert totals.docs == n_docs
     assert totals.toks == n_tokens
-    # bins are contiguous from 0 within each shard (greedy fill never
-    # skips a window)
+    # bins are contiguous from 0 within each shard — holds whenever
+    # every doc is shorter than the budget (a doc longer than the
+    # budget straddles windows and the straddled indices have no
+    # starting doc); true for this fixture
     for row in packed.groupBy("shard").agg(
         F.min("bin").alias("lo"), F.max("bin").alias("hi"), F.count("*").alias("n")
     ).collect():
