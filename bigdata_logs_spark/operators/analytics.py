@@ -24,8 +24,14 @@ def user_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     user's inter-event gap exceeds ``gap_minutes``. One window pass:
     lag -> boundary flag -> running sum = session id; then per-user
     session stats."""
+    # ``unix_timestamp`` instead of ``cast("long")``: the driver's
+    # parquet stores ``ts`` without a timezone, which Spark reads as
+    # TIMESTAMP_NTZ, and NTZ -> BIGINT casts are rejected at analysis
+    # time. Only *differences* of these epochs are used, so the
+    # session-timezone interpretation cancels out.
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    ts_s = F.unix_timestamp(F.col("ts"))
+    gap = ts_s - F.lag(ts_s).over(w)
     boundary = F.when(
         gap.isNull() | (gap > gap_minutes * 60), F.lit(1)
     ).otherwise(F.lit(0))
@@ -35,7 +41,8 @@ def user_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     per_session = sessioned.groupBy("user_id", "session_no").agg(
         F.count(F.lit(1)).alias("n_events"),
         (
-            F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))
+            F.max(F.unix_timestamp(F.col("ts")))
+            - F.min(F.unix_timestamp(F.col("ts")))
         ).alias("duration_s"),
     )
     return (

@@ -62,3 +62,28 @@ def test_retention_cohorts_distinct_years_stay_distinct_cohorts(spark):
     )
     rows = {(r.cohort_week, r.week_offset) for r in out.collect()}
     assert rows == {("2024-03-04", 0), ("2025-03-03", 0)}
+
+
+def test_user_sessions_accepts_timestamp_ntz(spark):
+    # The driver's parquet fixtures store ``ts`` as timestamp[us]
+    # WITHOUT a timezone, which Spark reads as TIMESTAMP_NTZ — and
+    # NTZ -> BIGINT casts fail at analysis time. Pin the NTZ schema
+    # explicitly so a plain cast("long") can never sneak back in.
+    from bigdata_logs_spark.operators.analytics import user_sessions
+
+    df = spark.createDataFrame(
+        [
+            (1, "u1", datetime.datetime(2024, 1, 1, 10, 0, 0), "click"),
+            (2, "u1", datetime.datetime(2024, 1, 1, 10, 10, 0), "click"),
+            # 40-min gap > default 30 -> second session
+            (3, "u1", datetime.datetime(2024, 1, 1, 10, 50, 0), "click"),
+            (4, "u2", datetime.datetime(2024, 1, 1, 9, 0, 0), "view"),
+        ],
+        "event_id long, user_id string, ts timestamp_ntz, event_type string",
+    )
+    assert dict(df.dtypes)["ts"] == "timestamp_ntz"
+    rows = {r.user_id: r for r in user_sessions(df).collect()}
+    assert rows["u1"].n_sessions == 2
+    assert rows["u1"].max_session_events == 2
+    assert rows["u1"].max_session_duration_s == 600
+    assert rows["u2"].n_sessions == 1
