@@ -1780,16 +1780,25 @@ def q_media_stats(spark, sf_dir):
     MEDIA_CTE
     + """
     SELECT media_id,
-           list_slice(range(0, length(text), 64), 1, 8) AS frame_offsets
+           array_to_string(
+             list_slice(range(0, length(text), 64), 1, 8), ',') AS frame_offsets
     FROM media WHERE kind = 'video' ORDER BY media_id
     """,
     tags=("M-3",),
 )
 def q_media_frame_offsets(spark, sf_dir):
     """Video frame-sampling plumbing: bounded per-video list of byte
-    offsets a demuxer would seek to (native array expression)."""
+    offsets a demuxer would seek to (native array expression). The
+    offset list is emitted comma-joined: the driver canonicalizer
+    sorts cells with pandas and dies on list-typed values, so driver-
+    facing output must be scalar (same constraint media_resize solves
+    with md5)."""
+    from pyspark.sql import functions as F
+
     media = MM.media_from_documents(_docs(spark, sf_dir))
-    return MM.frame_sample_offsets(media, every_n_bytes=64, max_frames=8)
+    return MM.frame_sample_offsets(media, every_n_bytes=64, max_frames=8).select(
+        "media_id", F.array_join("frame_offsets", ",").alias("frame_offsets")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -2250,10 +2259,11 @@ def q_near_dup_components(spark, sf_dir):
       SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs FROM stats
     )
     SELECT vec_id, label,
-           list_transform(range(1, len(embedding) + 1), i ->
-             CASE WHEN mxs[i] = mns[i] THEN 0
-             ELSE CAST(round((embedding[i]::DOUBLE - mns[i]) * 255.0::DOUBLE
-                             / (mxs[i] - mns[i])) AS INT) END) AS codes
+           array_to_string(
+             list_transform(range(1, len(embedding) + 1), i ->
+               CASE WHEN mxs[i] = mns[i] THEN 0
+               ELSE CAST(round((embedding[i]::DOUBLE - mns[i]) * 255.0::DOUBLE
+                               / (mxs[i] - mns[i])) AS INT) END), ',') AS codes
     FROM embeddings CROSS JOIN arrs
     ORDER BY vec_id
     """,
@@ -2263,8 +2273,14 @@ def q_near_dup_components(spark, sf_dir):
 def q_embedding_quantize(spark, sf_dir):
     """Per-dimension affine 0..255 quantization: 64-row stats agg
     broadcast back, then a narrow transform — the corpus is never
-    exploded on the code path."""
-    return SIM.embedding_quantize(_emb(spark, sf_dir))
+    exploded on the code path. Codes are emitted comma-joined (the
+    driver canonicalizer can't hash list cells); internal consumers
+    (knn_quantized) keep the array form."""
+    from pyspark.sql import functions as F
+
+    return SIM.embedding_quantize(_emb(spark, sf_dir)).select(
+        "vec_id", "label", F.array_join("codes", ",").alias("codes")
+    )
 
 
 @register(
@@ -2607,11 +2623,12 @@ def q_store_pruned_day(spark, sf_dir):
     MEDIA_CTE
     + """
     SELECT media_id, kind,
-           list_transform(range(0, 16), b ->
-             len(list_filter(
-               list_transform(range(1, length(text) + 1),
-                              i -> ascii(substr(text, i, 1))),
-               c -> c // 16 = b))::INT) AS features
+           array_to_string(
+             list_transform(range(0, 16), b ->
+               len(list_filter(
+                 list_transform(range(1, length(text) + 1),
+                                i -> ascii(substr(text, i, 1))),
+                 c -> c // 16 = b))::INT), ',') AS features
     FROM media ORDER BY media_id
     """,
     tags=("M-4",),
@@ -2619,9 +2636,17 @@ def q_store_pruned_day(spark, sf_dir):
 def q_media_features(spark, sf_dir):
     """Feature-extraction plumbing: 16-bin byte histogram per payload
     via narrow Arrow-batched mapInPandas (stand-in for CLIP/mel
-    features); ASCII corpus makes the oracle byte-exact."""
+    features); ASCII corpus makes the oracle byte-exact. Histogram is
+    emitted comma-joined for the driver canonicalizer; the array form
+    stays available to the similarity operators."""
+    from pyspark.sql import functions as F
+
     media = MM.media_from_documents(_docs(spark, sf_dir))
-    return MM.extract_media_features(media).orderBy("media_id")
+    return (
+        MM.extract_media_features(media)
+        .select("media_id", "kind", F.array_join("features", ",").alias("features"))
+        .orderBy("media_id")
+    )
 
 
 @register(
