@@ -3472,7 +3472,15 @@ def q_streaming_event_transitions(spark, sf_dir):
     """Per-IP event-transition (Markov) counts computed BY THE
     STREAMING ENGINE via transformWithStateInPandas (Spark 4's
     arbitrary-stateful API: typed ValueState carries the last event
-    across micro-batches); oracle is the batch lag() window."""
+    across micro-batches); oracle is the batch lag() window.
+
+    The stateful operator emits PER-MICRO-BATCH partial counts into
+    the append-mode memory sink (state carries only the boundary
+    event, not the tallies), so the consumer must re-aggregate —
+    without the groupBy a multi-batch feed (e.g. maxFilesPerTrigger)
+    would return duplicate (ip, prev, event) rows."""
+    from pyspark.sql import functions as F
+
     from bigdata_logs_spark.streaming import event_transitions_tws
 
     src = _stream_source_dir(spark, sf_dir)
@@ -3480,7 +3488,12 @@ def q_streaming_event_transitions(spark, sf_dir):
     trans = event_transitions_tws(parsed)
     name = "bls_trans_" + _os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     run_stream_to_memory(trans, name, output_mode="append")
-    return spark.table(name).orderBy("ip", "prev_event", "event")
+    return (
+        spark.table(name)
+        .groupBy("ip", "prev_event", "event")
+        .agg(F.sum("n").alias("n"))
+        .orderBy("ip", "prev_event", "event")
+    )
 
 
 @register(

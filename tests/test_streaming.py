@@ -266,3 +266,52 @@ def test_append_mode_watermark_contract(spark, events, tmp_path):
     }
     for r in rows:
         assert want[(str(r["window"]["start"]), r["event"])] == r["n"]
+
+
+def test_event_transitions_multi_batch_reaggregates(spark, events, tmp_path_factory):
+    """The stateful transition counter emits PER-MICRO-BATCH partial
+    counts (state carries only the boundary event). A multi-batch
+    feed must therefore be re-aggregated by the consumer — this is
+    the registry consumer's groupBy/sum contract. Feed the stream
+    one file per trigger, split time-ordered (the operator's cross-
+    batch contract), and require equality with the global batch
+    lag() oracle."""
+    from pyspark.sql import Window
+
+    d = str(tmp_path_factory.mktemp("sshstream_ordered"))
+    bound = events.agg(F.expr("percentile_approx(ts, 0.5)")).first()[0]
+    synthesize_ssh_lines(events.filter(F.col("ts") <= F.lit(bound))).coalesce(
+        1
+    ).write.mode("append").text(d)
+    synthesize_ssh_lines(events.filter(F.col("ts") > F.lit(bound))).coalesce(
+        1
+    ).write.mode("append").text(d)
+
+    streamed = event_transitions_tws(
+        read_ssh_stream(spark, d, max_files_per_trigger=1)
+    )
+    run_stream_to_memory(streamed, "t_trans_mb", output_mode="append")
+    raw = spark.table("t_trans_mb")
+    # proof this actually ran multi-batch: the sink holds partial
+    # rows, i.e. some (ip, prev, event) key appears more than once
+    assert raw.count() > raw.select("ip", "prev_event", "event").distinct().count()
+
+    got = {
+        (r["ip"], r["prev_event"], r["event"]): r["n"]
+        for r in raw.groupBy("ip", "prev_event", "event")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    }
+
+    batch = with_event_time(parse_ssh_lines(spark.read.text(d)))
+    w = Window.partitionBy("ip").orderBy("ts", "pid", "message")
+    want = {
+        (r["ip"], r["prev_event"], r["event"]): r["n"]
+        for r in batch.filter(F.col("ip").isNotNull())
+        .withColumn("prev_event", F.lag("event").over(w))
+        .filter(F.col("prev_event").isNotNull())
+        .groupBy("ip", "prev_event", "event")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
