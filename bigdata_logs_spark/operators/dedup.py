@@ -360,7 +360,27 @@ def near_dup_components(
     preceding queries). This is the standard contract for iterative
     DataFrame algorithms; on a real cluster the trade is that a lost
     executor recomputes from the checkpoint, not from source.
+
+    Block hygiene: a local checkpoint is non-recomputable cached
+    state, so each round's snapshot is explicitly unpersisted once
+    the NEXT round has eagerly materialized (nothing references it
+    after that) — otherwise up to ``max_iter`` snapshots of the
+    label table stay pinned in executor memory for the life of the
+    session, invisible to ``release_caches``. Only the final live
+    snapshot stays pinned (the returned plan reads from it).
     """
+    sc = docs.sparkSession.sparkContext
+
+    def _persistent_ids() -> set[int]:
+        return {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+    def _unpersist(rdd_ids: set[int]) -> None:
+        jmap = sc._jsc.getPersistentRDDs()
+        for rid in rdd_ids:
+            ref = jmap.get(rid)
+            if ref is not None:
+                ref.unpersist(False)
+
     pairs = (
         near_dup_pairs(docs, threshold=threshold)
         .select("doc_a", "doc_b")
@@ -369,12 +389,14 @@ def near_dup_components(
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).transform(tracked_cache)
+    before = _persistent_ids()
     labels = (
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
         .withColumn("component", F.col("doc_id"))
         .localCheckpoint(eager=True)
     )
+    prev_snapshot = _persistent_ids() - before
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(
@@ -389,6 +411,7 @@ def near_dup_components(
         )
         # eager localCheckpoint: materializes this round AND cuts the
         # lineage so the next round's plan starts from a leaf
+        before = _persistent_ids()
         updated = (
             labels.join(
                 neighbor_min, labels.doc_id == neighbor_min.doc_a, "left"
@@ -402,8 +425,13 @@ def near_dup_components(
             )
             .localCheckpoint(eager=True)
         )
+        new_snapshot = _persistent_ids() - before
         n_changed = updated.filter(F.col("changed")).count()
         labels = updated.select("doc_id", "component")
+        # this round is materialized; last round's snapshot is now
+        # unreferenced — free its blocks
+        _unpersist(prev_snapshot)
+        prev_snapshot = new_snapshot
         if n_changed == 0:
             break
     out = (

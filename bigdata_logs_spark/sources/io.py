@@ -255,6 +255,17 @@ def compact_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(tmp)
+    # validate BEFORE the swap: both counts are parquet-footer
+    # metadata reads (no data scan). A bad rewrite must never replace
+    # the only copy of the store.
+    n_src = df.count()
+    n_tmp = spark.read.parquet(tmp).count()
+    if n_tmp != n_src:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            f"compaction rewrite row count mismatch ({n_src} -> {n_tmp}); "
+            f"source left untouched at {path}"
+        )
     bak = path.rstrip("/") + "__compact_bak"
     shutil.rmtree(bak, ignore_errors=True)
     os.rename(path, bak)

@@ -196,6 +196,16 @@ def test_compact_parquet_fans_out_multiple_files_per_partition(
     # most 3 per partition (collisions may merge salt groups)
     assert n_after > len(dates)
     assert n_after <= 3 * len(dates)
-    got = sorted(map(str, spark.read.parquet(store).collect()))
+    # partition-value inference types the read-back `date` as DATE;
+    # cast to string so the row-level comparison is type-normalized
+    got = sorted(
+        map(
+            str,
+            spark.read.parquet(store)
+            .withColumn("date", F.col("date").cast("string"))
+            .collect(),
+        )
+    )
     want = sorted(map(str, dated.drop("date").withColumn("date", F.date_format("ts", "yyyy-MM-dd")).collect()))
     assert len(got) == 400
+    assert got == want
