@@ -35,9 +35,25 @@ HEADLINE = [
 ]
 
 
+def _cpu_calibration_sec() -> float:
+    """Fixed single-thread CPU burn (md5 over 16 MB, 8 rounds): a
+    machine-speed/contention yardstick recorded alongside the query
+    times, so round-over-round deltas can be adjudicated as engine
+    change vs machine load without a rerun."""
+    import hashlib
+
+    buf = bytes(range(256)) * (16 * 1024 * 1024 // 256)
+    t0 = time.perf_counter()
+    for _ in range(8):
+        hashlib.md5(buf).hexdigest()
+    return round(time.perf_counter() - t0, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    load_start = os.getloadavg()
+    calibration = _cpu_calibration_sec()
     spark = get_spark("bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -90,6 +106,11 @@ def main() -> None:
             assert n >= 0
     release_caches()
     spark.catalog.clearCache()
+
+    from bench_streaming import measure_streaming
+
+    streaming = measure_streaming(spark, sf_dir)
+
     total = round(sum(timings.values()), 4)
     cold_total = round(sum(cold.values()), 4)
     try:
@@ -106,6 +127,13 @@ def main() -> None:
                 "cold_value": cold_total,
                 "cold_queries": cold,
                 "sf": sf,
+                "streaming": streaming,
+                "machine": {
+                    "cpus": os.cpu_count(),
+                    "loadavg_start": [round(x, 2) for x in load_start],
+                    "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+                    "cpu_calibration_sec": calibration,
+                },
             }
         )
     )
