@@ -60,11 +60,83 @@ def cmd_stream(args) -> int:
     spark = _spark("stream")
     parsed = read_ssh_stream(spark, args.input)
     counts = windowed_event_counts(parsed, window=args.window)
-    q = run_stream_to_memory(counts, args.name, output_mode="complete")
+    run_stream_to_memory(counts, args.name, output_mode="complete")
     spark.table(args.name).orderBy("window", "event").show(
         args.rows, truncate=False
     )
-    q.stop()
+    return 0
+
+
+def cmd_dashboard(args) -> int:
+    """Live terminal dashboard over streaming memory sinks — the
+    engine-side counterpart of the reference's Streamlit refresh loop
+    (`src/stats_dashboard.py`: auto-refreshing charts over a Mongo
+    full scan). Same panels (event volume per window, severity mix,
+    per-IP latest state, brute-force hits), but maintained
+    INCREMENTALLY by Structured Streaming: each refresh re-renders
+    small in-memory sink tables that micro-batches keep current —
+    no per-refresh full scan of the store."""
+    import time
+
+    from bigdata_logs_spark.streaming import (
+        brute_force_detector,
+        read_ssh_stream,
+        severity_enriched_counts,
+        streaming_latest_per_ip,
+        windowed_event_counts,
+    )
+
+    spark = _spark("dashboard")
+    parsed = read_ssh_stream(spark, args.input)
+    panels = [
+        ("event volume per window", "dash_counts",
+         windowed_event_counts(parsed, window=args.window, watermark=None),
+         ["window", "event"]),
+        ("severity mix per window", "dash_severity",
+         severity_enriched_counts(parsed, window=args.window),
+         ["window", "severity"]),
+        ("latest state per ip", "dash_latest",
+         streaming_latest_per_ip(parsed),
+         ["ip"]),
+        (f"brute-force hits (>={args.threshold} fails / 10 min)", "dash_brute",
+         brute_force_detector(parsed, threshold=args.threshold, watermark=None),
+         ["window", "ip"]),
+    ]
+    queries = []
+    for _, name, df, _ in panels:
+        w = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+        )
+        if args.once:
+            w = w.trigger(availableNow=True)
+        else:
+            w = w.trigger(processingTime=f"{args.refresh} seconds")
+        queries.append(w.start())
+
+    def render() -> None:
+        print(f"\n=== bigdata_logs_spark dashboard @ {time.strftime('%H:%M:%S')} ===")
+        for title, name, _, order in panels:
+            print(f"\n-- {title} --")
+            spark.table(name).orderBy(*order).show(args.rows, truncate=False)
+
+    if args.once:
+        for q in queries:
+            q.awaitTermination(args.timeout)
+        render()
+        return 0
+    deadline = time.monotonic() + args.duration if args.duration else None
+    try:
+        while deadline is None or time.monotonic() < deadline:
+            render()
+            time.sleep(args.refresh)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        for q in queries:
+            if q.isActive:
+                q.stop()
     return 0
 
 
@@ -137,6 +209,24 @@ def main(argv: list[str] | None = None) -> int:
     ps.add_argument("--window", default="1 hour")
     ps.add_argument("--rows", type=int, default=50)
     ps.set_defaults(fn=cmd_stream)
+
+    pd = sub.add_parser(
+        "dashboard",
+        help="live terminal dashboard over streaming memory sinks",
+    )
+    pd.add_argument("--input", required=True, help="directory tailed for log files")
+    pd.add_argument("--window", default="1 hour")
+    pd.add_argument("--refresh", type=float, default=5.0, help="seconds between renders")
+    pd.add_argument("--duration", type=float, default=0.0, help="stop after N seconds (0 = until Ctrl-C)")
+    pd.add_argument("--threshold", type=int, default=5, help="brute-force fail threshold")
+    pd.add_argument("--rows", type=int, default=15)
+    pd.add_argument("--timeout", type=int, default=120, help="--once drain timeout (sec)")
+    pd.add_argument(
+        "--once",
+        action="store_true",
+        help="drain available input, render one frame, exit (CI mode)",
+    )
+    pd.set_defaults(fn=cmd_dashboard)
 
     pq = sub.add_parser("query", help="run a registry query")
     pq.add_argument("name")

@@ -104,3 +104,22 @@ def test_explain_prints_formatted_plan(capsys, spark, sf_dir):
     out = capsys.readouterr().out
     assert "BroadcastHashJoin" in out or "Exchange" in out
     assert main(["explain", "nope"]) == 2
+
+
+def test_dashboard_once_renders_all_panels(capsys, tmp_path, spark, events):
+    """`dashboard --once` = the reference's Streamlit page as one
+    terminal frame: drain the stream, render every panel, exit 0."""
+    from bigdata_logs_spark.operators.ssh_synth import synthesize_ssh_lines
+
+    logdir = tmp_path / "dashlogs"
+    synthesize_ssh_lines(events.limit(200)).coalesce(1).write.text(str(logdir))
+    assert (
+        main(["dashboard", "--input", str(logdir), "--once", "--rows", "3"]) == 0
+    )
+    out = capsys.readouterr().out
+    assert "event volume per window" in out
+    assert "severity mix per window" in out
+    assert "latest state per ip" in out
+    assert "brute-force hits" in out
+    # panels actually rendered rows, not empty headers
+    assert "only showing top" in out or "|" in out
