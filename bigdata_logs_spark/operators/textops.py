@@ -329,3 +329,96 @@ def repetition_scores(docs: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _gram_strings(k: int) -> Column:
+    """Readable k-gram strings over the ``tokens`` column (space-
+    joined), empty array when the doc is shorter than k."""
+    return F.expr(
+        f"""
+        CASE WHEN size(tokens) < {k} THEN array()
+        ELSE transform(sequence(1, size(tokens) - {k - 1}),
+               i -> concat_ws(' ', slice(tokens, i, {k})))
+        END
+        """
+    )
+
+
+def boilerplate_ngrams(
+    docs: DataFrame, k: int = 3, min_df: int = 2, top: int = 50
+) -> DataFrame:
+    """Cross-document repeated n-grams — the boilerplate/template
+    detector of web-crawl curation (RefinedWeb/C4 strip spans that
+    recur across many pages; with a corpus of flat token streams the
+    unit of repetition is the k-gram, not the line).
+
+    Scale shape: per-doc DISTINCT grams first (narrow), so a gram
+    repeated inside one long doc counts once; then one map-side-
+    combined count per gram. Only (doc_id, gram) pairs shuffle; text
+    never does. TakeOrdered bounds the driver result.
+    """
+    grams = (
+        with_tokens(docs)
+        .select("doc_id", F.explode(F.array_distinct(_gram_strings(k))).alias("gram"))
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+        .orderBy(F.desc("df"), F.asc("gram"))
+        .limit(top)
+    )
+
+
+def boilerplate_fraction(
+    docs: DataFrame, k: int = 3, min_df: int = 20
+) -> DataFrame:
+    """Per-document boilerplate fraction: the share of a doc's
+    distinct k-grams that are corpus-common (document frequency >=
+    ``min_df``) — the per-doc gate a curation pipeline thresholds on
+    to drop template-heavy pages.
+
+    One exploded (doc_id, gram) set feeds both sides: gram->df
+    aggregation (small: vocabulary-bounded) joins back to the per-doc
+    gram list. The join key is the gram string — skew-bounded because
+    the df side is pre-aggregated to one row per gram before the
+    join, and the fraction is exact integer arithmetic, oracle-safe.
+    """
+    from bigdata_logs_spark.caching import tracked_cache
+
+    grams = (
+        with_tokens(docs)
+        .select("doc_id", F.explode(F.array_distinct(_gram_strings(k))).alias("gram"))
+        .transform(tracked_cache)
+    )
+    common = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("gram")
+    )
+    per_doc = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    n_common = (
+        grams.join(common, "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        per_doc.join(n_common, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_common"), F.lit(0)).alias("n_common"),
+            F.when(
+                F.col("n_grams") > 0,
+                F.round(
+                    F.coalesce(F.col("n_common"), F.lit(0)) * 1.0
+                    / F.col("n_grams"),
+                    4,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("boilerplate_frac"),
+        )
+        .orderBy("doc_id")
+    )

@@ -3693,6 +3693,64 @@ def q_qty_price_regression(spark, sf_dir):
     )
 
 
+_GRAMS3_CTE = (
+    TOKS_CTE
+    + """
+    , grams AS (
+      SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(tokens) < 3 THEN []::VARCHAR[]
+        ELSE list_transform(range(1, len(tokens) - 1),
+               i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]) END
+      )) AS gram
+      FROM toks)
+"""
+)
+
+
+@register(
+    "boilerplate_ngrams",
+    _GRAMS3_CTE
+    + """
+    SELECT gram, COUNT(*)::BIGINT AS df
+    FROM grams GROUP BY gram HAVING COUNT(*) >= 2
+    ORDER BY df DESC, gram LIMIT 50
+    """,
+    tags=("T-10",),
+)
+def q_boilerplate_ngrams(spark, sf_dir):
+    """Cross-document repeated 3-grams (boilerplate/template
+    detector): per-doc distinct grams -> one combined count per gram
+    -> TakeOrdered. Only (doc_id, gram) pairs shuffle."""
+    return TX.boilerplate_ngrams(_docs(spark, sf_dir), k=3, min_df=2, top=50)
+
+
+@register(
+    "boilerplate_fraction",
+    _GRAMS3_CTE
+    + """
+    , dfs AS (SELECT gram, COUNT(*) AS df FROM grams GROUP BY gram)
+    , common AS (SELECT gram FROM dfs WHERE df >= 20)
+    , per_doc AS (
+        SELECT doc_id, COUNT(*)::BIGINT AS n_grams FROM grams GROUP BY doc_id)
+    , nc AS (
+        SELECT g.doc_id, COUNT(*)::BIGINT AS n_common
+        FROM grams g JOIN common c USING (gram) GROUP BY g.doc_id)
+    SELECT p.doc_id, p.n_grams,
+           COALESCE(nc.n_common, 0)::BIGINT AS n_common,
+           ROUND(COALESCE(nc.n_common, 0)::DOUBLE / p.n_grams, 4)
+             AS boilerplate_frac
+    FROM per_doc p LEFT JOIN nc ON p.doc_id = nc.doc_id
+    ORDER BY p.doc_id
+    """,
+    tags=("T-11",),
+)
+def q_boilerplate_fraction(spark, sf_dir):
+    """Share of each doc's distinct 3-grams that are corpus-common
+    (df >= 20) — the per-doc template-heaviness gate. One cached
+    (doc_id, gram) explode feeds the df agg and the join back."""
+    return TX.boilerplate_fraction(_docs(spark, sf_dir), k=3, min_df=20)
+
+
 # ---------------------------------------------------------------------------
 # Driver-certification order
 # ---------------------------------------------------------------------------
@@ -3731,6 +3789,9 @@ _DRIVER_FIRST = [
     "token_counts_pandas_udf",
     # multi-batch streaming fix (round 4) — re-certify on new consumer
     "streaming_event_transitions",
+    # new in round 4 — first certification
+    "boilerplate_ngrams",
+    "boilerplate_fraction",
 ]
 
 

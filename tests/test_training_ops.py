@@ -184,3 +184,31 @@ def test_incremental_agrees_with_full_near_dup(spark, sf_dir):
         for r in incremental_near_dup(docs, threshold=0.05).collect()
     }
     assert inc == full
+
+
+def test_boilerplate_semantics(spark):
+    """A gram repeated INSIDE one doc counts once toward df (distinct
+    per doc); fraction is bounded and exact."""
+    from bigdata_logs_spark.operators.textops import (
+        boilerplate_fraction,
+        boilerplate_ngrams,
+    )
+
+    rows = [
+        # "a b c" twice within doc 0 -> df contribution still 1
+        (0, "en", "src0", 11, "a b c a b c"),
+        (1, "en", "src0", 11, "a b c x y z"),
+        (2, "en", "src0", 5, "q r s t u"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, n_chars int, text string"
+    )
+    top = {r["gram"]: r["df"] for r in boilerplate_ngrams(docs, k=3, min_df=2).collect()}
+    assert top == {"a b c": 2}
+
+    frac = {r["doc_id"]: r for r in boilerplate_fraction(docs, k=3, min_df=2).collect()}
+    # doc 0 distinct grams: "a b c","b c a","c a b" -> 1 of 3 common
+    assert frac[0]["n_grams"] == 3 and frac[0]["n_common"] == 1
+    assert abs(frac[0]["boilerplate_frac"] - round(1 / 3, 4)) < 1e-9
+    assert frac[2]["n_common"] == 0 and frac[2]["boilerplate_frac"] == 0.0
+    assert all(0.0 <= r["boilerplate_frac"] <= 1.0 for r in frac.values())
