@@ -576,3 +576,71 @@ def ann_recall(
         )
         .orderBy("query_id")
     )
+
+
+def kmeans_update(emb: DataFrame, k: int = 8) -> DataFrame:
+    """One Lloyd iteration of k-means over the embedding corpus —
+    the training step behind the IVF coarse quantizer
+    (``ann_ivf_topk`` consumes exactly such centroids): assign every
+    vector to its nearest seed centroid, then recompute per-cluster
+    per-dimension means.
+
+    Seeds are the first ``k`` vectors by ``vec_id`` (deterministic,
+    cross-engine reproducible). Plan shape for 100 TB: the k seed
+    vectors collapse to ONE row broadcast to every task (same
+    pattern as ``embedding_quantize``'s stats row); assignment is a
+    narrow per-row array expression (distances via ``transform`` +
+    ``aggregate`` — the corpus is never expanded k-fold, unlike a
+    naive cross join); the only shuffle is the (cluster, pos)
+    partial-aggregated mean — at most k x dim rows reach the reduce
+    side. Output is one scalar row per (cluster, dimension):
+    canonicalizer-safe, no array columns.
+
+    Double-sum determinism: per-dimension sums accumulate in double
+    with error ~1e-15 relative, then round at 1e-6 — five orders of
+    magnitude of headroom, so engine-order differences cannot show
+    in the output (same argument as ``qty_price_regression``).
+    """
+    seeds_row = (
+        emb.orderBy("vec_id")
+        .limit(k)
+        .agg(
+            F.expr(
+                """
+                transform(array_sort(collect_list(struct(vec_id, embedding))),
+                          s -> transform(s.embedding, x -> CAST(x AS DOUBLE)))
+                """
+            ).alias("seeds")
+        )
+    )
+    dists = F.expr(
+        """
+        transform(seeds, s -> aggregate(
+          transform(sequence(1, size(embedding)), i ->
+            (element_at(s, i) - CAST(element_at(embedding, i) AS DOUBLE)) *
+            (element_at(s, i) - CAST(element_at(embedding, i) AS DOUBLE))),
+          CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))
+        """
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(seeds_row))
+        .withColumn("dists", dists)
+        .withColumn(
+            "cluster",
+            (F.expr("array_position(dists, array_min(dists))") - 1).cast("int"),
+        )
+    )
+    dims = assigned.select(
+        "cluster",
+        F.posexplode(F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")).alias(
+            "pos", "val"
+        ),
+    )
+    return (
+        dims.groupBy("cluster", "pos")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.sum("val") / F.count(F.lit(1)), 6).alias("mean_val"),
+        )
+        .orderBy("cluster", "pos")
+    )

@@ -3693,6 +3693,47 @@ def q_qty_price_regression(spark, sf_dir):
     )
 
 
+@register(
+    "kmeans_centroid_update",
+    """
+    WITH seeds AS (
+      SELECT list(list_transform(embedding, x -> x::DOUBLE) ORDER BY vec_id)
+               AS seeds
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
+    ),
+    assigned AS (
+      SELECT list_position(dists, list_aggregate(dists, 'min')) - 1 AS cluster,
+             embedding
+      FROM (
+        SELECT e.embedding,
+               list_transform(s.seeds, sd ->
+                 list_aggregate(
+                   list_transform(range(1, len(e.embedding) + 1), i ->
+                     (sd[i] - e.embedding[i]::DOUBLE)
+                     * (sd[i] - e.embedding[i]::DOUBLE)),
+                   'sum')) AS dists
+        FROM embeddings e CROSS JOIN seeds s)
+    ),
+    dims AS (
+      SELECT cluster, generate_subscripts(embedding, 1) - 1 AS pos,
+             unnest(embedding)::DOUBLE AS val
+      FROM assigned
+    )
+    SELECT cluster::INT AS cluster, pos::INT AS pos,
+           COUNT(*)::BIGINT AS n_vecs,
+           ROUND(SUM(val) / COUNT(*), 6) AS mean_val
+    FROM dims GROUP BY cluster, pos ORDER BY cluster, pos
+    """,
+    tags=("E-9",),
+)
+def q_kmeans_centroid_update(spark, sf_dir):
+    """One Lloyd iteration (IVF coarse-quantizer training step):
+    broadcast k seed vectors as one row, assign via narrow array
+    expressions (no k-fold corpus expansion), shuffle only the
+    (cluster, pos) partial means."""
+    return SIM.kmeans_update(_emb(spark, sf_dir), k=8)
+
+
 _GRAMS3_CTE = (
     TOKS_CTE
     + """
@@ -3792,6 +3833,7 @@ _DRIVER_FIRST = [
     # new in round 4 — first certification
     "boilerplate_ngrams",
     "boilerplate_fraction",
+    "kmeans_centroid_update",
 ]
 
 

@@ -206,3 +206,19 @@ def test_sessionization_single_user_shuffle(spark, sf_dir):
 def test_funnel_is_single_aggregation_no_join(spark, sf_dir):
     plan = _plan(spark, "funnel_conversion", sf_dir)
     assert "Join" not in plan
+
+
+def test_kmeans_update_no_corpus_expansion(spark, sf_dir):
+    # seeds collapse to ONE broadcast row; the corpus must not be
+    # cross-joined k-fold or cartesian-expanded, and assignment stays
+    # a narrow per-row expression
+    plan = _plan(spark, "kmeans_centroid_update", sf_dir)
+    assert "CartesianProduct" not in plan
+    # the only join is the single-row seeds broadcast — the corpus
+    # side must never shuffle into a join
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    tree_joins = [
+        l for l in plan.splitlines() if "Join" in l and ("+-" in l or ":-" in l)
+    ]
+    assert len(tree_joins) == 1 and "BroadcastNestedLoopJoin" in tree_joins[0]
