@@ -320,3 +320,54 @@ def token_length_percentile_gate(
             ).alias("n_kept"),
         )
     )
+
+
+def chunk_documents(
+    docs: DataFrame, chunk_size: int = 16, stride: int = 12
+) -> DataFrame:
+    """Fixed-size token chunking with overlap (PL-10): every document
+    becomes ceil(max(n_tokens - overlap, 1) / stride) windows of up
+    to ``chunk_size`` tokens starting every ``stride`` tokens — the
+    unit-of-work transform feeding RAG indexing and fixed-context
+    pretraining (stride < chunk_size yields the overlapping windows
+    that keep boundary context).
+
+    Narrow per-row explode — no shuffle at all until a downstream
+    consumer aggregates; chunk text leaves the row only as an md5
+    (the canonicalizer-safe and 100-TB-safe form: downstream dedup
+    or indexing wants the fingerprint, not a second copy of the
+    corpus). Tail rule: the last window starts at the last stride
+    step strictly inside the doc, so every token lands in >=1 chunk
+    and empty docs yield no rows.
+    """
+    from bigdata_logs_spark.operators.textops import with_tokens
+
+    starts = F.expr(
+        f"""
+        CASE WHEN size(tokens) = 0 THEN array()
+        ELSE transform(
+          sequence(1, size(tokens), {stride}),
+          s -> s)
+        END
+        """
+    )
+    toks = with_tokens(docs).withColumn("starts", starts)
+    return (
+        toks.select(
+            "doc_id",
+            "tokens",
+            F.posexplode("starts").alias("chunk_no", "start"),
+        )
+        .select(
+            "doc_id",
+            "chunk_no",
+            F.expr(f"slice(tokens, start, {chunk_size})").alias("chunk"),
+        )
+        .select(
+            "doc_id",
+            "chunk_no",
+            F.size("chunk").alias("n_tokens"),
+            F.md5(F.concat_ws(" ", F.col("chunk"))).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_no")
+    )

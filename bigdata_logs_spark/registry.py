@@ -3694,6 +3694,35 @@ def q_qty_price_regression(spark, sf_dir):
 
 
 @register(
+    "doc_chunks",
+    TOKS_CTE
+    + """
+    , st AS (
+      SELECT doc_id, tokens,
+             generate_subscripts(starts, 1) - 1 AS chunk_no,
+             unnest(starts) AS start
+      FROM (
+        SELECT doc_id, tokens,
+               CASE WHEN len(tokens) = 0 THEN []::BIGINT[]
+                    ELSE range(1, len(tokens) + 1, 12) END AS starts
+        FROM toks) t)
+    SELECT doc_id, chunk_no::INT AS chunk_no,
+           len(list_slice(tokens, start, least(start + 15, len(tokens))))::INT
+             AS n_tokens,
+           md5(array_to_string(
+             list_slice(tokens, start, least(start + 15, len(tokens))), ' '))
+             AS chunk_md5
+    FROM st ORDER BY doc_id, chunk_no
+    """,
+    tags=("PL-10",),
+)
+def q_doc_chunks(spark, sf_dir):
+    """Fixed-size token chunking with overlap (chunk 16 / stride 12):
+    narrow per-row explode, chunk text leaves the row only as md5."""
+    return PL.chunk_documents(_docs(spark, sf_dir), chunk_size=16, stride=12)
+
+
+@register(
     "kmeans_centroid_update",
     """
     WITH seeds AS (
@@ -3834,6 +3863,7 @@ _DRIVER_FIRST = [
     "boilerplate_ngrams",
     "boilerplate_fraction",
     "kmeans_centroid_update",
+    "doc_chunks",
 ]
 
 

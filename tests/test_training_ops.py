@@ -212,3 +212,26 @@ def test_boilerplate_semantics(spark):
     assert abs(frac[0]["boilerplate_frac"] - round(1 / 3, 4)) < 1e-9
     assert frac[2]["n_common"] == 0 and frac[2]["boilerplate_frac"] == 0.0
     assert all(0.0 <= r["boilerplate_frac"] <= 1.0 for r in frac.values())
+
+
+def test_chunking_covers_every_token_with_overlap(spark):
+    from bigdata_logs_spark.operators.pipeline import chunk_documents
+
+    rows = [
+        (0, "en", "src0", 39, " ".join(f"t{i}" for i in range(20))),  # 2 chunks
+        (1, "en", "src0", 5, "a b c"),  # single short chunk
+        (2, "en", "src0", 0, ""),  # empty -> no rows
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, n_chars int, text string"
+    )
+    out = chunk_documents(docs, chunk_size=16, stride=12).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 0: starts at tokens 0 and 12 -> sizes 16 and 8; overlap keeps
+    # boundary context and every token lands in >=1 chunk
+    assert [r["n_tokens"] for r in by_doc[0]] == [16, 8]
+    assert [r["chunk_no"] for r in by_doc[0]] == [0, 1]
+    assert [r["n_tokens"] for r in by_doc[1]] == [3]
+    assert 2 not in by_doc
