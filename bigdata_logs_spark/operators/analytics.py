@@ -106,3 +106,28 @@ def retention_cohorts(events: DataFrame) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("active_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+def conversion_latency(events: DataFrame) -> DataFrame:
+    """Signup -> purchase conversion latency (AGG-8): per user, the
+    gap between first signup and first purchase; reported as the
+    converted-user count with interpolated p50/p90 seconds.
+
+    One groupBy on the natural user key with conditional-min partial
+    aggregation (no join, no window), then a single small percentile
+    reduce — the same two-phase shape as ``funnel_conversion``. At
+    100 TB swap ``percentile`` for ``approx_percentile``; the exact
+    form is kept because the differential oracle can attest it."""
+    ts_s = F.unix_timestamp(F.col("ts"))
+    firsts = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", ts_s)).alias("s"),
+        F.min(F.when(F.col("event_type") == "purchase", ts_s)).alias("p"),
+    )
+    conv = firsts.filter(
+        F.col("s").isNotNull() & F.col("p").isNotNull() & (F.col("p") >= F.col("s"))
+    ).withColumn("latency_s", F.col("p") - F.col("s"))
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.expr("percentile(latency_s, 0.5)"), 6).alias("p50_s"),
+        F.round(F.expr("percentile(latency_s, 0.9)"), 6).alias("p90_s"),
+    )

@@ -392,3 +392,34 @@ def row_wise_total(df: DataFrame, cols: list[str], alias: str = "row_total") -> 
     """Row-wise sum across pivoted columns (D-26;
     src/stats_dashboard.py:104)."""
     return df.withColumn(alias, reduce(add, [F.col(c) for c in cols]))
+
+
+def column_profile(events: DataFrame) -> DataFrame:
+    """Per-column null + exact-distinct profile of the events table —
+    the `df.isna().sum()` / `nunique()` sweep every pandas EDA starts
+    with (the reference implicitly trusts its frame), as ONE
+    aggregation pass stacked to a row per column.
+
+    Exact countDistinct across many columns expands the input
+    (one replica per distinct-aggregate); that is acceptable where an
+    oracle must attest the numbers — at 100 TB swap each for
+    ``approx_count_distinct`` and the expand disappears (the same
+    exact-vs-approx trade documented on ``global_metrics_approx``).
+    """
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    aggs = []
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"))
+        aggs.append(F.countDistinct(c).alias(f"{c}__distinct"))
+    stacked = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct" for c in cols
+    )
+    return (
+        events.agg(*aggs)
+        .select(
+            F.expr(
+                f"stack({len(cols)}, {stacked}) AS (column_name, n_nulls, n_distinct)"
+            )
+        )
+        .orderBy("column_name")
+    )

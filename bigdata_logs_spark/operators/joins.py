@@ -424,3 +424,53 @@ def supplier_nation_revenue(
         .orderBy(F.desc("revenue"), F.asc("s_suppkey"))
         .limit(k)
     )
+
+
+def fk_orphans(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+) -> DataFrame:
+    """Referential-integrity audit (J-13): orphan counts for every
+    foreign key of the star schema — the data-quality sweep a
+    warehouse runs after every load (the reference trusts its inputs
+    blindly; at 100 TB you cannot).
+
+    Each check is one left-anti join on the key alone (child side
+    projects just the FK column before the join, so no payload
+    shuffles); small parents broadcast, the orders check falls back
+    to a shuffled anti join that AQE sizes. The four one-row counts
+    union into a single audit report."""
+    checks = [
+        (
+            "lineitem.l_orderkey -> orders",
+            lineitem.select(F.col("l_orderkey").alias("k")),
+            orders.select(F.col("o_orderkey").alias("k")),
+        ),
+        (
+            "lineitem.l_partkey -> part",
+            lineitem.select(F.col("l_partkey").alias("k")),
+            part.select(F.col("p_partkey").alias("k")),
+        ),
+        (
+            "lineitem.l_suppkey -> supplier",
+            lineitem.select(F.col("l_suppkey").alias("k")),
+            supplier.select(F.col("s_suppkey").alias("k")),
+        ),
+        (
+            "orders.o_custkey -> customer",
+            orders.select(F.col("o_custkey").alias("k")),
+            customer.select(F.col("c_custkey").alias("k")),
+        ),
+    ]
+    out = None
+    for name, child, parent in checks:
+        one = (
+            child.join(parent, "k", "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(F.lit(name).alias("fk"), "n_orphans")
+        )
+        out = one if out is None else out.unionByName(one)
+    return out.orderBy("fk")

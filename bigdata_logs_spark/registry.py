@@ -3694,6 +3694,100 @@ def q_qty_price_regression(spark, sf_dir):
 
 
 @register(
+    "fk_orphans",
+    """
+    SELECT 'lineitem.l_orderkey -> orders' AS fk,
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))::BIGINT
+             AS n_orphans
+    UNION ALL
+    SELECT 'lineitem.l_partkey -> part',
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM part p
+                              WHERE p.p_partkey = l.l_partkey))::BIGINT
+    UNION ALL
+    SELECT 'lineitem.l_suppkey -> supplier',
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                              WHERE s.s_suppkey = l.l_suppkey))::BIGINT
+    UNION ALL
+    SELECT 'orders.o_custkey -> customer',
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))::BIGINT
+    ORDER BY fk
+    """,
+    tags=("J-13",),
+)
+def q_fk_orphans(spark, sf_dir):
+    """Referential-integrity audit over the star schema: four
+    key-only left-anti joins unioned into one report."""
+    return J.fk_orphans(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+    )
+
+
+@register(
+    "column_profile",
+    """
+    SELECT * FROM (
+      SELECT 'event_id' AS column_name,
+             SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+             COUNT(DISTINCT event_id)::BIGINT AS n_distinct FROM events
+      UNION ALL
+      SELECT 'ts', SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END)::BIGINT,
+             COUNT(DISTINCT ts)::BIGINT FROM events
+      UNION ALL
+      SELECT 'user_id', SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)::BIGINT,
+             COUNT(DISTINCT user_id)::BIGINT FROM events
+      UNION ALL
+      SELECT 'event_type', SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)::BIGINT,
+             COUNT(DISTINCT event_type)::BIGINT FROM events
+      UNION ALL
+      SELECT 'value', SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::BIGINT,
+             COUNT(DISTINCT value)::BIGINT FROM events
+      UNION ALL
+      SELECT 'props', SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END)::BIGINT,
+             COUNT(DISTINCT props)::BIGINT FROM events
+    ) ORDER BY column_name
+    """,
+    tags=("D-48",),
+)
+def q_column_profile(spark, sf_dir):
+    """Per-column null/exact-distinct profile of events as one
+    stacked aggregation pass (the pandas isna/nunique EDA sweep)."""
+    return D.column_profile(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "conversion_latency",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup'
+                      THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS s,
+             MIN(CASE WHEN event_type = 'purchase'
+                      THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS p
+      FROM events GROUP BY user_id)
+    SELECT COUNT(*)::BIGINT AS n_converted,
+           ROUND(quantile_cont(p - s, 0.5), 6) AS p50_s,
+           ROUND(quantile_cont(p - s, 0.9), 6) AS p90_s
+    FROM firsts WHERE s IS NOT NULL AND p IS NOT NULL AND p >= s
+    """,
+    tags=("AGG-8",),
+)
+def q_conversion_latency(spark, sf_dir):
+    """First-signup -> first-purchase latency: conditional-min
+    partial agg per user, then one percentile reduce."""
+    return AN.conversion_latency(load_table(spark, sf_dir, "events"))
+
+
+@register(
     "doc_chunks",
     TOKS_CTE
     + """
@@ -3864,6 +3958,9 @@ _DRIVER_FIRST = [
     "boilerplate_fraction",
     "kmeans_centroid_update",
     "doc_chunks",
+    "fk_orphans",
+    "column_profile",
+    "conversion_latency",
 ]
 
 
