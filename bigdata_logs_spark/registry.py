@@ -978,6 +978,60 @@ def q_store_roundtrip(spark, sf_dir):
 
 
 @register(
+    "store_schema_evolution",
+    """
+    SELECT event_type, COUNT(*)::BIGINT AS n,
+           COUNT(CASE WHEN event_id % 2 = 1 THEN value END)::BIGINT
+             AS n_with_value,
+           ROUND(MIN(CASE WHEN event_id % 2 = 1 THEN value END), 6)
+             AS min_value,
+           ROUND(MAX(CASE WHEN event_id % 2 = 1 THEN value END), 6)
+             AS max_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("S-11",),
+)
+def q_store_schema_evolution(spark, sf_dir):
+    """Schema-drift read (S-11): a v1 writer lands (event_id,
+    user_id, event_type); a later v2 writer appends the same plus a
+    new ``value`` column. ``mergeSchema`` reconciles the footers at
+    read time — v1 rows surface NULL ``value`` — and the aggregate
+    proves no rows or values were lost across the drift. This is the
+    append-only schema-evolution story a 100 TB store lives with
+    (never rewrite old files for a new column); min/max instead of
+    sum keeps the check exact under any row order."""
+    import os as _o
+
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events")
+    store = _scratch_path("bls_evostore", sf_dir)
+    done = _o.path.join(store, "_BOTH_VERSIONS_DONE")
+    if not _o.path.exists(done):
+        v1 = events.filter(F.col("event_id") % 2 == 0).select(
+            "event_id", "user_id", "event_type"
+        )
+        v2 = events.filter(F.col("event_id") % 2 == 1).select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        v1.write.mode("overwrite").parquet(store)
+        v2.write.mode("append").parquet(store)
+        with open(done, "w") as fh:
+            fh.write("ok")
+    back = spark.read.option("mergeSchema", "true").parquet(store)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("value").alias("n_with_value"),
+            F.round(F.min("value"), 6).alias("min_value"),
+            F.round(F.max("value"), 6).alias("max_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "csv_roundtrip",
     SSH_PARSE_CTE
     + """
@@ -3961,6 +4015,7 @@ _DRIVER_FIRST = [
     "fk_orphans",
     "column_profile",
     "conversion_latency",
+    "store_schema_evolution",
 ]
 
 
