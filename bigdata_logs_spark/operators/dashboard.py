@@ -396,9 +396,10 @@ def row_wise_total(df: DataFrame, cols: list[str], alias: str = "row_total") -> 
 
 def column_profile(events: DataFrame) -> DataFrame:
     """Per-column null + exact-distinct profile of the events table —
-    the `df.isna().sum()` / `nunique()` sweep every pandas EDA starts
-    with (the reference implicitly trusts its frame), as ONE
-    aggregation pass stacked to a row per column.
+    the `nunique()` / `dropna()` sweep the reference's dashboard
+    does column-by-column (`src/stats_dashboard.py:29,36-38`: dropna
+    on datetime, nunique per metric tile), as ONE aggregation pass
+    stacked to a row per column.
 
     Exact countDistinct across many columns expands the input
     (one replica per distinct-aggregate); that is acceptable where an
