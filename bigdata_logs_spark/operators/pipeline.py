@@ -371,3 +371,62 @@ def chunk_documents(
         )
         .orderBy("doc_id", "chunk_no")
     )
+
+
+def per_source_sample(docs: DataFrame, n_per_source: int = 5) -> DataFrame:
+    """Deterministic N-doc preview per source (PL-11): rank each
+    source's documents by a salted id-hash and keep the first N —
+    the "dataset card" sample every corpus release ships, and the
+    spot-check set reviewers pull per provider.
+
+    Hash-ranked, not ``LIMIT``-per-group: reproducible row-for-row
+    across engines, runs, and partitionings, and re-running over
+    100 TB + one new file changes at most which N win the hash race,
+    never the semantics. One shuffle on ``source`` (window top-N with
+    a running partial: only (source, hash) pairs and the N winners'
+    ids matter; doc text never shuffles)."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit("sample:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(h, F.col("doc_id"))
+    return (
+        docs.select("doc_id", "source", "lang", "n_chars")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= n_per_source)
+        .orderBy("source", "rnk")
+    )
+
+
+def key_skew_report(
+    fact: DataFrame, key: str, top: int = 10
+) -> DataFrame:
+    """Key-distribution skew diagnostic (SKEW-3): the top hot keys by
+    row count with their share of the table and the multiple of a
+    perfectly even key's load — the report you read BEFORE deciding
+    to salt a join or enable AQE skew handling on a 100 TB fact.
+
+    Two aggregations: per-key counts (map-side combined), then a
+    single-row total broadcast back; the output is ``top`` rows, so
+    nothing wide ever reaches the driver."""
+    counts = fact.groupBy(F.col(key).alias("key_value")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    totals = counts.agg(
+        F.sum("n_rows").alias("total_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            F.col("key_value").cast("string").alias("key_value"),
+            "n_rows",
+            F.round(F.col("n_rows") * 1.0 / F.col("total_rows"), 6).alias(
+                "share"
+            ),
+            F.round(
+                F.col("n_rows") * 1.0 * F.col("n_keys") / F.col("total_rows"), 6
+            ).alias("x_even_load"),
+        )
+        .orderBy(F.desc("n_rows"), F.asc("key_value"))
+        .limit(top)
+    )

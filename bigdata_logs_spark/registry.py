@@ -3748,6 +3748,49 @@ def q_qty_price_regression(spark, sf_dir):
 
 
 @register(
+    "per_source_sample",
+    """
+    WITH ranked AS (
+      SELECT doc_id, source, lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY md5('sample:' || doc_id::VARCHAR), doc_id) AS rnk
+      FROM documents)
+    SELECT doc_id, source, lang, n_chars, rnk::INT AS rnk
+    FROM ranked WHERE rnk <= 5 ORDER BY source, rnk
+    """,
+    tags=("PL-11",),
+)
+def q_per_source_sample(spark, sf_dir):
+    """Deterministic per-source N-doc preview: hash-ranked window
+    top-N, reproducible across engines/partitionings."""
+    return PL.per_source_sample(_docs(spark, sf_dir), n_per_source=5)
+
+
+@register(
+    "key_skew_report",
+    """
+    WITH counts AS (
+      SELECT l_orderkey AS key_value, COUNT(*)::BIGINT AS n_rows
+      FROM lineitem GROUP BY l_orderkey),
+    tot AS (SELECT SUM(n_rows) AS total_rows, COUNT(*) AS n_keys FROM counts)
+    SELECT key_value::VARCHAR AS key_value, n_rows,
+           ROUND(n_rows::DOUBLE / total_rows, 6) AS share,
+           ROUND(n_rows::DOUBLE * n_keys / total_rows, 6) AS x_even_load
+    FROM counts CROSS JOIN tot
+    ORDER BY n_rows DESC, key_value LIMIT 10
+    """,
+    tags=("SKEW-3",),
+)
+def q_key_skew_report(spark, sf_dir):
+    """Hot-key diagnostic over the lineitem fact: per-key counts
+    (map-side combined) + one broadcast totals row -> top-10 keys
+    with share and x-even-load multiple."""
+    return PL.key_skew_report(
+        load_table(spark, sf_dir, "lineitem"), key="l_orderkey", top=10
+    )
+
+
+@register(
     "fk_orphans",
     """
     SELECT 'lineitem.l_orderkey -> orders' AS fk,
@@ -4016,6 +4059,8 @@ _DRIVER_FIRST = [
     "column_profile",
     "conversion_latency",
     "store_schema_evolution",
+    "per_source_sample",
+    "key_skew_report",
 ]
 
 

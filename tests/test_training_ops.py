@@ -235,3 +235,17 @@ def test_chunking_covers_every_token_with_overlap(spark):
     assert [r["chunk_no"] for r in by_doc[0]] == [0, 1]
     assert [r["n_tokens"] for r in by_doc[1]] == [3]
     assert 2 not in by_doc
+
+
+def test_per_source_sample_bounded_and_partition_invariant(spark, sf_dir):
+    from bigdata_logs_spark.operators.pipeline import per_source_sample
+    from bigdata_logs_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = per_source_sample(docs, n_per_source=3)
+    per_src = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per_src and all(n <= 3 for n in per_src.values())
+    # hash-ranked, not arbitrary: identical membership under repartition
+    a = sorted(map(str, out.collect()))
+    b = sorted(map(str, per_source_sample(docs.repartition(7), n_per_source=3).collect()))
+    assert a == b
