@@ -338,8 +338,15 @@ def chunk_documents(
     or indexing wants the fingerprint, not a second copy of the
     corpus). Tail rule: the last window starts at the last stride
     step strictly inside the doc, so every token lands in >=1 chunk
-    and empty docs yield no rows.
+    and empty docs yield no rows. That coverage guarantee requires
+    ``stride <= chunk_size`` (a larger stride leaves inter-window
+    gaps), so the misconfiguration is rejected eagerly.
     """
+    if not 1 <= stride <= chunk_size:
+        raise ValueError(
+            f"need 1 <= stride ({stride}) <= chunk_size ({chunk_size}); "
+            "a larger stride drops the tokens between windows"
+        )
     from bigdata_logs_spark.operators.textops import with_tokens
 
     starts = F.expr(

@@ -162,3 +162,72 @@ def test_packing_matches_python_concat_chunk_reference(spark, sizes, budget):
         want[(s, b)][1] += sizes[i]
         running[s] += sizes[i]
     assert got == {k: tuple(v) for k, v in want.items()}
+
+
+# ---------------------------------------------------------------------------
+# Round-4 operators: chunking coverage and kmeans assignment totals on
+# generated corpora (one Spark job per hypothesis example).
+# ---------------------------------------------------------------------------
+
+docs_schema = "doc_id long, lang string, source string, n_chars int, text string"
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcd ", min_size=0, max_size=60), min_size=1, max_size=12
+    ),
+    st.integers(2, 6),
+    st.data(),
+)
+@settings(max_examples=12, deadline=None)
+def test_chunking_total_coverage_property(spark, texts, chunk_size, data):
+    stride = data.draw(st.integers(1, chunk_size))
+    """Every token of every doc appears in >= 1 chunk; chunk count per
+    doc is exactly len(starts) = ceil(n_tokens / stride) bounded; no
+    chunk exceeds chunk_size tokens."""
+    from bigdata_logs_spark.operators.pipeline import chunk_documents
+
+    rows = [(i, "en", "s", len(t), t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, docs_schema)
+    out = chunk_documents(docs, chunk_size=chunk_size, stride=stride).collect()
+    toks = {
+        i: ([] if t.strip() == "" else t.strip().split())
+        for i, t in enumerate(texts)
+    }
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+        assert 1 <= r["n_tokens"] <= chunk_size
+    for i, tk in toks.items():
+        n = len(tk)
+        if n == 0:
+            assert i not in by_doc
+            continue
+        got = by_doc[i]
+        expected_chunks = (n + stride - 1) // stride
+        assert len(got) == expected_chunks
+        # coverage: union of [start, start+size) spans every index
+        covered = set()
+        for r in sorted(got, key=lambda r: r["chunk_no"]):
+            start = r["chunk_no"] * stride
+            covered.update(range(start, min(start + chunk_size, n)))
+        assert covered == set(range(n))
+
+
+@given(st.integers(2, 6))
+@settings(max_examples=6, deadline=None)
+def test_kmeans_partition_of_corpus_property(spark, k):
+    """Cluster sizes sum to the corpus size; every cluster id is in
+    [0, k); per-dimension rows agree on n_vecs within a cluster."""
+    from bigdata_logs_spark.operators.similarity import kmeans_update
+    from bigdata_logs_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    out = kmeans_update(emb, k=k).collect()
+    n_corpus = emb.count()
+    by_cluster: dict[int, set] = {}
+    for r in out:
+        assert 0 <= r["cluster"] < k
+        by_cluster.setdefault(r["cluster"], set()).add(r["n_vecs"])
+    assert all(len(s) == 1 for s in by_cluster.values())
+    assert sum(next(iter(s)) for s in by_cluster.values()) == n_corpus

@@ -249,3 +249,16 @@ def test_per_source_sample_bounded_and_partition_invariant(spark, sf_dir):
     a = sorted(map(str, out.collect()))
     b = sorted(map(str, per_source_sample(docs.repartition(7), n_per_source=3).collect()))
     assert a == b
+
+
+def test_chunking_rejects_gapful_stride(spark):
+    import pytest as _pytest
+
+    from bigdata_logs_spark.operators.pipeline import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(0, "en", "s", 5, "a b c")],
+        "doc_id long, lang string, source string, n_chars int, text string",
+    )
+    with _pytest.raises(ValueError, match="stride"):
+        chunk_documents(docs, chunk_size=2, stride=3)
