@@ -3551,6 +3551,53 @@ def q_streaming_event_transitions(spark, sf_dir):
 
 
 @register(
+    "streaming_repeat_offenders",
+    SSH_PARSE_CTE
+    + """
+    , t AS (
+      SELECT ip, strptime('2024 ' || month || ' ' || day || ' ' || time,
+                          '%Y %b %d %H:%M:%S') AS ts
+      FROM parsed
+      WHERE ip IS NOT NULL
+        AND event IN ('failed_password', 'invalid_user', 'auth_failure')
+    )
+    SELECT f.ip, COUNT(*)::BIGINT AS n_pairs,
+           CAST(MAX(r.ts) AS VARCHAR) AS last_repeat
+    FROM t f JOIN t r
+      ON r.ip = f.ip
+     AND r.ts > f.ts AND r.ts <= f.ts + INTERVAL 24 HOUR
+    GROUP BY f.ip ORDER BY f.ip
+    """,
+    tags=("ST-10",),
+)
+def q_streaming_repeat_offenders(spark, sf_dir):
+    """Stream-STREAM interval self-join computed BY THE STREAMING
+    ENGINE (two watermarked unbounded sides, equality + event-time
+    range predicate, bounded state): each failed-auth event paired
+    with the same IP's strictly-later failures within 24 h; the
+    consumer aggregates the appended pairs per IP. Oracle is the
+    equivalent batch self-join."""
+    from pyspark.sql import functions as F
+
+    from bigdata_logs_spark.streaming import repeat_offender_pairs
+
+    src = _stream_source_dir(spark, sf_dir)
+    parsed = read_ssh_stream(spark, src)
+    pairs = repeat_offender_pairs(parsed)
+    name = "bls_ro_" + _os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    run_stream_to_memory(pairs, name, output_mode="append")
+    return (
+        spark.table(name)
+        .groupBy("ip")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.max("repeat_ts").cast("string").alias("last_repeat"),
+        )
+        .orderBy("ip")
+    )
+
+
+@register(
     "ssh_users_per_ip",
     SSH_PARSE_CTE
     + """
@@ -4061,6 +4108,7 @@ _DRIVER_FIRST = [
     "store_schema_evolution",
     "per_source_sample",
     "key_skew_report",
+    "streaming_repeat_offenders",
 ]
 
 

@@ -1,5 +1,6 @@
 from bigdata_logs_spark.streaming.ingest import (
     brute_force_detector,
+    repeat_offender_pairs,
     event_transitions_tws,
     read_ssh_stream,
     severity_enriched_counts,
@@ -12,6 +13,7 @@ from bigdata_logs_spark.streaming.ingest import (
 
 __all__ = [
     "brute_force_detector",
+    "repeat_offender_pairs",
     "event_transitions_tws",
     "read_ssh_stream",
     "severity_enriched_counts",

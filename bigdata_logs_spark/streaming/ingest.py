@@ -387,3 +387,48 @@ def event_transitions_tws(parsed: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def repeat_offender_pairs(
+    parsed: DataFrame,
+    within: str = "24 hours",
+    watermark: str = "48 hours",
+) -> DataFrame:
+    """Stream-STREAM interval self-join (ST-10): pair every failed-
+    auth event with the SAME IP's strictly-later failures inside the
+    ``within`` horizon — the repeat-offender statistic feeding ban
+    lists, and the one Structured Streaming join shape nothing else
+    in this module exercises (two unbounded watermarked sides,
+    equality key + event-time range predicate).
+
+    The range condition bounds each side's state retention: a failed
+    row is discardable once the other side's watermark passes
+    fail_ts + within, so state is bounded by watermark + join window
+    — the property that lets this run forever at 100 TB/day. Inner
+    join => append mode; the consumer aggregates pairs per IP from
+    the sink. Strict ``>`` keeps self-pairs and same-second
+    duplicates out, making the pair set deterministic.
+    """
+    fails = (
+        parsed.filter(F.col("event").isin(*FAILED_EVENTS))
+        .filter(F.col("ip").isNotNull())
+        .select(F.col("ip"), F.col("ts").alias("first_ts"))
+        .withWatermark("first_ts", watermark)
+    )
+    later = (
+        parsed.filter(F.col("event").isin(*FAILED_EVENTS))
+        .filter(F.col("ip").isNotNull())
+        .select(F.col("ip").alias("r_ip"), F.col("ts").alias("repeat_ts"))
+        .withWatermark("repeat_ts", watermark)
+    )
+    return fails.join(
+        later,
+        F.expr(
+            f"""
+            ip = r_ip AND
+            repeat_ts > first_ts AND
+            repeat_ts <= first_ts + interval {within}
+            """
+        ),
+        "inner",
+    ).select("ip", "first_ts", "repeat_ts")

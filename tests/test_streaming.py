@@ -315,3 +315,60 @@ def test_event_transitions_multi_batch_reaggregates(spark, events, tmp_path_fact
         .collect()
     }
     assert got == want
+
+
+def test_repeat_offender_join_accumulates_state_across_batches(
+    spark, events, tmp_path_factory
+):
+    """Stream-stream interval self-join: pairs whose two sides arrive
+    in DIFFERENT micro-batches must still be found (the fail side is
+    kept in join state until the watermark passes fail_ts + window).
+    Time-ordered two-file feed, one file per trigger."""
+    from pyspark.sql import functions as F
+
+    from bigdata_logs_spark.streaming import repeat_offender_pairs
+
+    d = str(tmp_path_factory.mktemp("sshstream_ro"))
+    bound = events.agg(F.expr("percentile_approx(ts, 0.5)")).first()[0]
+    synthesize_ssh_lines(events.filter(F.col("ts") <= F.lit(bound))).coalesce(
+        1
+    ).write.mode("append").text(d)
+    synthesize_ssh_lines(events.filter(F.col("ts") > F.lit(bound))).coalesce(
+        1
+    ).write.mode("append").text(d)
+
+    streamed = repeat_offender_pairs(
+        read_ssh_stream(spark, d, max_files_per_trigger=1)
+    )
+    run_stream_to_memory(streamed, "t_ro_mb", output_mode="append")
+    got = {
+        (r["ip"], str(r["first_ts"]), str(r["repeat_ts"]))
+        for r in spark.table("t_ro_mb").collect()
+    }
+
+    from bigdata_logs_spark.streaming.ingest import FAILED_EVENTS
+
+    batch = with_event_time(parse_ssh_lines(spark.read.text(d)))
+    fails = batch.filter(
+        F.col("event").isin(*FAILED_EVENTS) & F.col("ip").isNotNull()
+    ).select("ip", "ts")
+    want = {
+        (r["ip"], str(r["first_ts"]), str(r["repeat_ts"]))
+        for r in fails.alias("f")
+        .join(
+            fails.alias("r"),
+            F.expr(
+                "f.ip = r.ip AND r.ts > f.ts "
+                "AND r.ts <= f.ts + interval 24 hours"
+            ),
+        )
+        .select(
+            F.col("f.ip").alias("ip"),
+            F.col("f.ts").alias("first_ts"),
+            F.col("r.ts").alias("repeat_ts"),
+        )
+        .collect()
+    }
+    assert want, "fixture must produce at least one pair"
+    # cross-batch pairs exist in the oracle...
+    assert got == want
