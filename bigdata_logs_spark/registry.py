@@ -2784,6 +2784,104 @@ def q_corpus_curation(spark, sf_dir):
 
 
 @register(
+    "json_corrupt_handling",
+    """
+    SELECT SUM(CASE WHEN event_id % 10 <> 0 THEN 1 ELSE 0 END)::BIGINT
+             AS n_good,
+           SUM(CASE WHEN event_id % 10 = 0 THEN 1 ELSE 0 END)::BIGINT
+             AS n_corrupt,
+           COUNT(DISTINCT CASE WHEN event_id % 10 <> 0 THEN event_type END)
+             ::BIGINT AS n_event_types
+    FROM events
+    """,
+    tags=("S-12",),
+)
+def q_json_corrupt_handling(spark, sf_dir):
+    """Dirty-JSONL ingestion (S-12): every 10th record is rendered as
+    truncated, invalid JSON; the PERMISSIVE reader with an explicit
+    schema + ``_corrupt_record`` column must quarantine exactly those
+    lines and parse the rest — the contract that keeps a 100 TB feed
+    flowing when a producer ships garbage (fail-fast would kill the
+    job; silent DROPMALFORMED would lose the evidence). The oracle
+    knows by construction which ids were corrupted."""
+    import os as _o
+
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events")
+    src = _scratch_path("bls_dirtyjson", sf_dir)
+    if not _o.path.exists(_o.path.join(src, "_SUCCESS")):
+        good = F.to_json(F.struct("event_id", "event_type", "value"))
+        corrupt = F.concat(
+            F.lit('{"event_id": '),
+            F.col("event_id").cast("string"),
+            F.lit(', "event_type": "trunc'),
+        )
+        events.select(
+            F.when(F.col("event_id") % 10 == 0, corrupt)
+            .otherwise(good)
+            .alias("value")
+        ).coalesce(4).write.mode("overwrite").text(src)
+    parsed = (
+        spark.read.schema(
+            "event_id long, event_type string, value double, _corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(src)
+    )
+    return parsed.agg(
+        F.sum(F.col("_corrupt_record").isNull().cast("long")).alias("n_good"),
+        F.sum(F.col("_corrupt_record").isNotNull().cast("long")).alias(
+            "n_corrupt"
+        ),
+        F.countDistinct(
+            F.when(F.col("_corrupt_record").isNull(), F.col("event_type"))
+        ).alias("n_event_types"),
+    )
+
+
+@register(
+    "revenue_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*)::BIGINT AS n,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2)))::DOUBLE AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST
+    """,
+    tags=("AGG-9",),
+)
+def q_revenue_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (AGG-9) — the third grouping-lattice
+    shape next to ROLLUP (AGG-1) and CUBE (AGG-4): exactly the
+    marginals you ask for ((returnflag), (linestatus), grand total),
+    one shuffle with a grouping-id column, never the full cross
+    lattice. DECIMAL-accumulated revenue keeps the sum exact and
+    partition-order independent."""
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_last(),
+            F.col("l_linestatus").asc_nulls_last(),
+        )
+    )
+
+
+@register(
     "event_value_cube",
     """
     SELECT event_type,
@@ -4109,6 +4207,8 @@ _DRIVER_FIRST = [
     "per_source_sample",
     "key_skew_report",
     "streaming_repeat_offenders",
+    "revenue_grouping_sets",
+    "json_corrupt_handling",
 ]
 
 
