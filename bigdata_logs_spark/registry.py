@@ -2784,6 +2784,59 @@ def q_corpus_curation(spark, sf_dir):
 
 
 @register(
+    "store_dynamic_overwrite",
+    """
+    SELECT strftime(ts, '%Y-%m-%d') AS date,
+           SUM(CASE WHEN strftime(ts, '%Y-%m-%d') <> '2024-01-03'
+                      OR event_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n
+    FROM events
+    GROUP BY 1 HAVING SUM(CASE WHEN strftime(ts, '%Y-%m-%d') <> '2024-01-03'
+                      OR event_id % 2 = 0 THEN 1 ELSE 0 END) > 0
+    ORDER BY date
+    """,
+    tags=("S-13",),
+)
+def q_store_dynamic_overwrite(spark, sf_dir):
+    """Dynamic partition overwrite (S-13): the restate-one-day
+    pattern — a backfill job rewrites ONLY the partitions it produces
+    rows for (here 2024-01-03, thinned to even event ids), leaving
+    every other day's files untouched. With static overwrite (the
+    default) the same write would TRUNCATE THE WHOLE TABLE first —
+    the classic way a backfill deletes a year of data; pinning
+    ``partitionOverwriteMode=dynamic`` on the write is the contract
+    this query attests. Per-day counts after the surgical rewrite
+    are fully determined by construction, so the oracle reads the
+    original events."""
+    import os as _o
+
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events")
+    store = _scratch_path("bls_dynstore", sf_dir)
+    done = _o.path.join(store, "_RESTATED")
+    dated = events.withColumn("date", F.date_format("ts", "yyyy-MM-dd"))
+    if not _o.path.exists(done):
+        dated.write.mode("overwrite").partitionBy("date").parquet(store)
+        restated = dated.filter(
+            (F.col("date") == "2024-01-03") & (F.col("event_id") % 2 == 0)
+        )
+        (
+            restated.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("date")
+            .parquet(store)
+        )
+        with open(done, "w") as fh:
+            fh.write("ok")
+    return (
+        spark.read.parquet(store)
+        .groupBy(F.col("date").cast("string").alias("date"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("date")
+    )
+
+
+@register(
     "json_corrupt_handling",
     """
     SELECT SUM(CASE WHEN event_id % 10 <> 0 THEN 1 ELSE 0 END)::BIGINT
@@ -4209,6 +4262,7 @@ _DRIVER_FIRST = [
     "streaming_repeat_offenders",
     "revenue_grouping_sets",
     "json_corrupt_handling",
+    "store_dynamic_overwrite",
 ]
 
 
