@@ -101,3 +101,30 @@ def test_top_k_deterministic(events, k):
     a = top_k_by_count(events, "user_id", k).collect()
     b = top_k_by_count(events.repartition(7), "user_id", k).collect()
     assert a == b
+
+
+def test_column_profile_counts_nulls_and_distincts(spark):
+    import datetime
+
+    from bigdata_logs_spark.operators.dashboard import column_profile
+
+    rows = [
+        (1, datetime.datetime(2024, 1, 1), "u1", "click", 1.5, '{"a":1}'),
+        (2, datetime.datetime(2024, 1, 1), None, "click", None, None),
+        (3, None, "u1", "view", 1.5, None),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id string, event_type string,"
+        " value double, props string",
+    )
+    got = {
+        r["column_name"]: (r["n_nulls"], r["n_distinct"])
+        for r in column_profile(ev).collect()
+    }
+    assert got["user_id"] == (1, 1)
+    assert got["value"] == (1, 1)
+    assert got["props"] == (2, 1)
+    assert got["ts"] == (1, 1)
+    assert got["event_id"] == (0, 3)
+    assert got["event_type"] == (0, 2)

@@ -50,3 +50,35 @@ def test_upsert_keeps_one_latest_version_per_key(spark, events):
         events.select("event_id", F.col("value").alias("old_value")), "event_id"
     )
     assert chk.filter(F.col("value") != F.col("old_value") + 1000.0).count() == 0
+
+
+def test_fk_orphans_detects_injected_violations(spark):
+    """The fixture data is referentially clean (all-zero report), so
+    the oracle alone never proves detection — inject known orphans
+    and assert each check counts exactly them."""
+    from pyspark.sql import functions as F
+
+    from bigdata_logs_spark.operators.joins import fk_orphans
+
+    orders = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99)],  # custkey 99 has no customer row
+        "o_orderkey long, o_custkey long",
+    )
+    lineitem = spark.createDataFrame(
+        # orderkey 7 and 8 are orphans; partkey 5 unknown; suppkey ok
+        [(1, 100, 1000), (7, 100, 1000), (8, 5, 1000)],
+        "l_orderkey long, l_partkey long, l_suppkey long",
+    )
+    customer = spark.createDataFrame([(10,)], "c_custkey long")
+    part = spark.createDataFrame([(100,)], "p_partkey long")
+    supplier = spark.createDataFrame([(1000,)], "s_suppkey long")
+    got = {
+        r["fk"]: r["n_orphans"]
+        for r in fk_orphans(lineitem, orders, customer, part, supplier).collect()
+    }
+    assert got == {
+        "lineitem.l_orderkey -> orders": 2,
+        "lineitem.l_partkey -> part": 1,
+        "lineitem.l_suppkey -> supplier": 0,
+        "orders.o_custkey -> customer": 1,
+    }
