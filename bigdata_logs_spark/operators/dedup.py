@@ -515,3 +515,26 @@ def incremental_near_dup(
         .filter(F.col("jaccard") >= threshold)
         .orderBy("new_doc", "old_doc")
     )
+
+
+def component_size_histogram(
+    docs: DataFrame, threshold: float = 0.5, max_iter: int = 20
+) -> DataFrame:
+    """Distribution of near-dup component sizes (DD-10): how much of
+    the corpus is singletons vs pairs vs big template families — the
+    first chart a dedup report shows, and the number that decides
+    whether component-level removal is worth its cost over greedy
+    pair removal.
+
+    Two tiny aggregations over the component labels (size per
+    component, then count per size): the heavy lifting is
+    ``near_dup_components``; everything after it touches one row per
+    document, then one row per component."""
+    comp = near_dup_components(docs, threshold=threshold, max_iter=max_iter)
+    return (
+        comp.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("component_size"))
+        .groupBy("component_size")
+        .agg(F.count(F.lit(1)).alias("n_components"))
+        .orderBy("component_size")
+    )

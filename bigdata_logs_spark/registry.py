@@ -2299,6 +2299,42 @@ def q_near_dup_components(spark, sf_dir):
 
 
 @register(
+    "component_size_histogram",
+    ND_PAIRS_CTE.replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + """
+    , edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs WHERE jaccard >= 0.5
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs WHERE jaccard >= 0.5
+    )
+    , reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    )
+    , comp AS (
+      SELECT u AS doc_id, least(u, MIN(v)) AS component FROM reach GROUP BY u
+    )
+    , labeled AS (
+      SELECT COALESCE(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    )
+    , sizes AS (
+      SELECT component, COUNT(*) AS sz FROM labeled GROUP BY component
+    )
+    SELECT sz::BIGINT AS component_size, COUNT(*)::BIGINT AS n_components
+    FROM sizes GROUP BY sz ORDER BY component_size
+    """,
+    tags=("DD-10",),
+)
+def q_component_size_histogram(spark, sf_dir):
+    """Near-dup component size distribution: singletons vs pairs vs
+    template families — two one-row-per-component aggregations on top
+    of the label-propagation components."""
+    return DD.component_size_histogram(_docs(spark, sf_dir), threshold=0.5)
+
+
+@register(
     "embedding_quantize",
     """
     WITH dims AS (
@@ -4263,6 +4299,7 @@ _DRIVER_FIRST = [
     "revenue_grouping_sets",
     "json_corrupt_handling",
     "store_dynamic_overwrite",
+    "component_size_histogram",
 ]
 
 
