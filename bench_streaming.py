@@ -22,7 +22,14 @@ def measure_streaming(spark, sf_dir: str) -> dict:
     """Drain the synthesized syslog stream once and report wall time,
     input rows, and rows/s. Uses the registry's cached stream-source
     dir (deterministic render of the events table), so repeated
-    rounds measure the engine, not the one-time text write."""
+    rounds measure the engine, not the one-time text write.
+
+    ``output_rows`` systematically undercounts the true number of
+    1-hour windows: append mode only emits windows the 1-hour
+    watermark has closed, so windows inside the final watermark hour
+    are never flushed. That is fine here — the throughput headline
+    (``rows_per_sec``) is input-row based; output_rows is reported
+    only as a sanity signal, not a window count."""
     from bigdata_logs_spark.registry import _stream_source_dir
     from bigdata_logs_spark.streaming import (
         read_ssh_stream,

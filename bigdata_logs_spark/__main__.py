@@ -122,9 +122,20 @@ def cmd_dashboard(args) -> int:
             spark.table(name).orderBy(*order).show(args.rows, truncate=False)
 
     if args.once:
+        drained = True
         for q in queries:
-            q.awaitTermination(args.timeout)
+            drained = q.awaitTermination(args.timeout) and drained
+        stragglers = [q for q in queries if q.isActive]
+        for q in stragglers:
+            q.stop()
         render()
+        if not drained or stragglers:
+            print(
+                f"warning: drain timed out after {args.timeout}s; "
+                "panels above are partial",
+                file=sys.stderr,
+            )
+            return 1
         return 0
     deadline = time.monotonic() + args.duration if args.duration else None
     try:

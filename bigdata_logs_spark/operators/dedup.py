@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from bigdata_logs_spark.caching import tracked_cache
+from bigdata_logs_spark.caching import track_checkpoint_rdd, tracked_cache
 from bigdata_logs_spark.functions import spread_small_input
 
 SHINGLE_K = 3
@@ -368,18 +368,17 @@ def near_dup_components(
     label table stay pinned in executor memory for the life of the
     session, invisible to ``release_caches``. Only the final live
     snapshot stays pinned (the returned plan reads from it).
+    Tracking is per-DataFrame: each eager ``localCheckpoint`` plan is
+    a ``LogicalRDD`` over exactly the materialized RDD, so we read
+    that RDD off the checkpointed frame's own analyzed plan and
+    unpersist it directly — never by diffing the session-global
+    persistent-RDD map, which would race with concurrent queries
+    persisting their own blocks in the same session.
     """
-    sc = docs.sparkSession.sparkContext
 
-    def _persistent_ids() -> set[int]:
-        return {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
-
-    def _unpersist(rdd_ids: set[int]) -> None:
-        jmap = sc._jsc.getPersistentRDDs()
-        for rid in rdd_ids:
-            ref = jmap.get(rid)
-            if ref is not None:
-                ref.unpersist(False)
+    def _checkpoint_rdd(ck: DataFrame):
+        """The JVM RDD holding an eager localCheckpoint's blocks."""
+        return ck._jdf.queryExecution().analyzed().rdd()
 
     pairs = (
         near_dup_pairs(docs, threshold=threshold)
@@ -389,14 +388,13 @@ def near_dup_components(
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).transform(tracked_cache)
-    before = _persistent_ids()
     labels = (
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
         .withColumn("component", F.col("doc_id"))
         .localCheckpoint(eager=True)
     )
-    prev_snapshot = _persistent_ids() - before
+    prev_snapshot = _checkpoint_rdd(labels)
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(
@@ -411,7 +409,6 @@ def near_dup_components(
         )
         # eager localCheckpoint: materializes this round AND cuts the
         # lineage so the next round's plan starts from a leaf
-        before = _persistent_ids()
         updated = (
             labels.join(
                 neighbor_min, labels.doc_id == neighbor_min.doc_a, "left"
@@ -425,15 +422,19 @@ def near_dup_components(
             )
             .localCheckpoint(eager=True)
         )
-        new_snapshot = _persistent_ids() - before
+        new_snapshot = _checkpoint_rdd(updated)
         n_changed = updated.filter(F.col("changed")).count()
         labels = updated.select("doc_id", "component")
         # this round is materialized; last round's snapshot is now
         # unreferenced — free its blocks
-        _unpersist(prev_snapshot)
+        prev_snapshot.unpersist(False)
         prev_snapshot = new_snapshot
         if n_changed == 0:
             break
+    # the returned plan reads from the final snapshot — it must stay
+    # pinned until the caller has consumed the result, so hand it to
+    # the session-level tracker instead of leaking it
+    track_checkpoint_rdd(prev_snapshot)
     out = (
         docs.select("doc_id")
         .join(labels, "doc_id", "left")

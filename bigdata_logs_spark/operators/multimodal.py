@@ -3,11 +3,13 @@
 Images/audio/video are opaque ``binary`` columns with typed metadata
 structs. The Spark-side plumbing — schema, partition-parallel Arrow
 batches via ``mapInPandas``, UDF signatures, batch shapes — is real
-and tested; the actual codec work is STUBBED (``decoder="fake"`` is a
-deterministic byte-derived decode; ``decoder="real"`` raises
-``NotImplementedError`` because image/audio libraries are not
-available in this environment — plug Pillow/librosa there on a real
-cluster).
+and tested. Two decoder branches: ``decoder="fake"`` is a
+deterministic byte-derived decode (used by the oracle-checked
+queries so results are engine-independent); ``decoder="real"``
+decodes WAV audio with the stdlib ``wave`` module and images with
+Pillow when importable (undecodable/unsupported payloads yield NULL
+dims — the graceful dirty-crawl shape). Video remains plumbing-only:
+the demux hook is where ffmpeg/PyAV would plug in on a real cluster.
 
 Design for 100 TB of media:
 - binary payloads never shuffle: decode/feature steps are narrow
@@ -102,11 +104,13 @@ def decode_media(media: DataFrame, decoder: str = "fake") -> DataFrame:
     checksum over the payload) — exercises the full batch path.
     ``real``: actual codecs, imported at runtime inside the Arrow
     batch fn (so only executors need the libs): stdlib ``wave`` for
-    audio (always available), Pillow for images (optional — absent
-    lib or an undecodable payload yields NULL dims rather than
-    failing the stage, the graceful shape for a dirty 100 TB media
-    crawl); video demux would plug in the same way. ``n_bytes`` and
-    ``checksum`` are codec-independent and always populated.
+    audio (always available), Pillow for images (optional), and a
+    pure-python ISO BMFF box walk for MP4/MOV video dims (header
+    demux only — frame decode is where ffmpeg/PyAV would plug in on
+    a real cluster). An absent lib or an undecodable payload yields
+    NULL dims rather than failing the stage — the graceful shape for
+    a dirty 100 TB media crawl. ``n_bytes`` and ``checksum`` are
+    codec-independent and always populated.
     """
     if decoder == "real":
         return media.mapInPandas(_decode_real_batches, DECODED_SCHEMA)
@@ -147,6 +151,43 @@ def _decode_real_batches(
     except ImportError:
         Image = None
 
+    def mp4_dims(raw: bytes) -> tuple[int | None, int | None]:
+        """Pure-python ISO BMFF (MP4/MOV) demux: walk the box tree to
+        every ``tkhd`` and return the largest track's presentation
+        width/height (16.16 fixed-point, the last 8 bytes of the box
+        — an offset valid for both tkhd versions). No codec work,
+        just container headers: the same cheap stat a real demuxer
+        reads before deciding whether to decode frames."""
+        containers = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+        best: tuple[int, int] | None = None
+        stack = [(0, len(raw))]
+        while stack:
+            pos, end = stack.pop()
+            while pos + 8 <= end:
+                size = struct.unpack(">I", raw[pos : pos + 4])[0]
+                btype = raw[pos + 4 : pos + 8]
+                payload = pos + 8
+                if size == 1:  # 64-bit largesize follows the type
+                    if pos + 16 > end:
+                        break
+                    size = struct.unpack(">Q", raw[pos + 8 : pos + 16])[0]
+                    payload = pos + 16
+                elif size == 0:  # box extends to end of enclosing box
+                    size = end - pos
+                if size < 8 or pos + size > end:
+                    break  # corrupt length -> stop scanning this level
+                if btype in containers:
+                    stack.append((payload, pos + size))
+                elif btype == b"tkhd" and size >= 24:
+                    w16, h16 = struct.unpack(
+                        ">II", raw[pos + size - 8 : pos + size]
+                    )
+                    w, h = w16 >> 16, h16 >> 16
+                    if w > 0 and h > 0 and (best is None or w * h > best[0] * best[1]):
+                        best = (w, h)
+                pos += size
+        return best if best is not None else (None, None)
+
     def dims(kind: str, raw: bytes) -> tuple[int | None, int | None]:
         try:
             if kind == "image" and Image is not None:
@@ -157,6 +198,8 @@ def _decode_real_batches(
                     # schema is (width, height); for audio report
                     # (sample rate, channels) — documented mapping
                     return int(w.getframerate()), int(w.getnchannels())
+            if kind == "video" and raw[4:8] in (b"ftyp", b"moov", b"wide", b"free"):
+                return mp4_dims(raw)
         except Exception:
             pass  # undecodable payload -> NULL dims, row survives
         return None, None

@@ -833,7 +833,7 @@ def q_ssh_parse_drop_stats(spark, sf_dir):
     WHERE NOT regexp_matches(value, '{SSH_MASTER}')
     ORDER BY raw_line
     """,
-    tags=("P-1",),
+    tags=("P-1", "P-16"),
 )
 def q_ssh_parse_rejects(spark, sf_dir):
     """Dead-letter leg of the parse-or-drop filter (P-1): the raw
@@ -1435,10 +1435,10 @@ def q_doc_length_zscores(spark, sf_dir):
     TOKS_CTE
     + """
     SELECT doc_id, md5(text) AS md5_fingerprint,
-      list_sum(list_transform(range(1, len(tokens) + 1),
+      (list_sum(list_transform(range(1, len(tokens) + 1),
         i -> ((ascii(substr(tokens[i], 1, 1)) * 31 + length(tokens[i]))
               * ((i * 2654435761) % 2147483647)) % 2147483647)) % 2147483647
-        AS poly_fingerprint
+        )::BIGINT AS poly_fingerprint
     FROM toks ORDER BY doc_id
     """,
     tags=("T-6",),
@@ -2176,7 +2176,7 @@ SIMHASH_SQL = """
     ) WHERE hamming <= 3
     ORDER BY doc_a, doc_b
     """,
-    tags=("DD-3",),
+    tags=("DD-3", "DD-6"),
 )
 def q_simhash_near_dup(spark, sf_dir):
     """SimHash near-dup pairs: 4x8-bit band buckets supply candidates
@@ -2288,7 +2288,7 @@ def q_tfidf_top_terms(spark, sf_dir):
     FROM documents d LEFT JOIN comp c USING (doc_id)
     ORDER BY d.doc_id
     """,
-    tags=("DD-2", "DD-4"),
+    tags=("DD-2", "DD-4", "DD-8"),
 )
 def q_near_dup_components(spark, sf_dir):
     """Component-level dedup: iterative min-label propagation over
@@ -2686,7 +2686,7 @@ def _parsed_store(spark, sf_dir) -> str:
                             '%Y %b %d %H:%M:%S'), '%Y-%m-%d') = '2024-01-03'
     GROUP BY event ORDER BY event
     """,
-    tags=("S-5", "D-2"),
+    tags=("S-5", "S-8", "D-2"),
 )
 def q_store_pruned_day(spark, sf_dir):
     """Partition pruning on the canonical store: the single-day
@@ -2856,6 +2856,17 @@ def q_store_dynamic_overwrite(spark, sf_dir):
         restated = dated.filter(
             (F.col("date") == "2024-01-03") & (F.col("event_id") % 2 == 0)
         )
+        # Dynamic overwrite only rewrites partitions the job EMITS:
+        # an empty restatement would leave the old day's files intact
+        # while the oracle's HAVING drops the day — guard so the
+        # fixture assumption (the day thins but survives) is loud if
+        # a future data generator ever violates it.
+        if restated.limit(1).count() == 0:
+            raise AssertionError(
+                "store_dynamic_overwrite fixture violation: no even "
+                "event_id rows on 2024-01-03 — empty dynamic "
+                "overwrite would silently keep the old partition"
+            )
         (
             restated.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -4256,50 +4267,99 @@ def q_boilerplate_fraction(spark, sf_dir):
 # bench, and tests see a stable, readable ordering; the driver-facing
 # ``__spark_entry__.queries()`` re-keys by CERTIFICATION_ORDER.
 #
-# Round-4 rotation: front-load the 16 queries no driver window has
-# ever certified (judge-green in round 2 only) plus the 4 fixed this
-# round (user_sessions is in both sets -> 19 names), then the rest in
-# source order — they all carry driver-green rows from rounds 1-3.
+# Round-5 rotation: front-load ``fingerprints`` (oracle ::BIGINT
+# cast landed this round — needs a driver-signed green row), then the
+# 35 queries whose latest driver row is round 1 (code has churned
+# every round since; re-certify oldest first), then the 46 whose
+# latest row is round 3. The ~50-row window certifies fingerprints +
+# all r1-stale + the first ~14 r3-stale; the remainder roll to r6.
+# Round-4-certified entries sort last — their rows are freshest.
 _DRIVER_FIRST = [
-    # fixed this round — need a driver-signed row on the new code
-    "user_sessions",
-    "embedding_quantize",
-    "media_frame_offsets",
-    "media_features",
-    # never inside a driver window (judge-verified round 2 only)
-    "bigram_frequencies",
-    "doc_length_zscores",
-    "doc_semantic_neighbors",
-    "event_value_cube",
-    "events_daily_moving_avg",
-    "events_per_day_dense",
+    # fixed this round (oracle HUGEINT->BIGINT cast) — re-certify
     "fingerprints",
-    "funnel_conversion",
-    "jaccard_pairs",
-    "orc_roundtrip",
-    "qty_price_regression",
-    "salted_join_order_priority",
-    "ssh_users_per_ip",
-    "tfidf_top_terms",
-    "token_counts_pandas_udf",
-    # multi-batch streaming fix (round 4) — re-certify on new consumer
-    "streaming_event_transitions",
-    # new in round 4 — first certification
-    "boilerplate_ngrams",
-    "boilerplate_fraction",
-    "kmeans_centroid_update",
-    "doc_chunks",
-    "fk_orphans",
-    "column_profile",
-    "conversion_latency",
-    "store_schema_evolution",
-    "per_source_sample",
-    "key_skew_report",
-    "streaming_repeat_offenders",
-    "revenue_grouping_sets",
-    "json_corrupt_handling",
-    "store_dynamic_overwrite",
-    "component_size_histogram",
+    # latest driver row is round 1 (stalest first)
+    "events_of_type",
+    "entity_hourly_activity",
+    "top_events_with_others",
+    "profile_percentages_long",
+    "cumulative_daily_events",
+    "latest_event_per_user",
+    "daily_event_rollup",
+    "value_percentiles",
+    "salted_event_counts",
+    "returning_users",
+    "users_never_high_value",
+    "props_key_distribution",
+    "ssh_parse_full",
+    "ssh_event_counts",
+    "ssh_parse_drop_stats",
+    "ssh_events_per_day",
+    "ssh_root_admin_attempts",
+    "ssh_latest_events",
+    "store_roundtrip",
+    "csv_roundtrip",
+    "pricing_summary",
+    "top_revenue_customers",
+    "regional_revenue",
+    "customers_without_orders",
+    "customers_with_open_orders",
+    "part_type_revenue",
+    "top_order_per_customer",
+    "customer_order_stats",
+    "order_priority_counts",
+    "segment_nation_sales",
+    "doc_stats_by_lang",
+    "token_counts",
+    "word_frequencies",
+    "quality_scores",
+    "lang_id",
+    # latest driver row is round 3
+    "ssh_parse_rejects",
+    "exact_dedup",
+    "minhash_signatures",
+    "minhash_buckets",
+    "simhash",
+    "near_dup_pairs",
+    "embedding_norms",
+    "knn_brute_force",
+    "label_centroids",
+    "lsh_sign_buckets",
+    "embedding_near_dup",
+    "ann_ivf_topk",
+    "media_decode",
+    "media_stats",
+    "streaming_hourly_counts",
+    "streaming_brute_force_detector",
+    "attack_sessions",
+    "streaming_dedup_counts",
+    "train_val_test_split",
+    "stratified_sample",
+    "contamination_check",
+    "simhash_near_dup",
+    "near_dup_survivors",
+    "near_dup_components",
+    "json_roundtrip",
+    "knn_quantized",
+    "streaming_stateful_alerts",
+    "bucketed_order_revenue",
+    "asof_last_signup_before_error",
+    "store_pruned_day",
+    "media_resize",
+    "range_join_value_bands",
+    "corpus_curation",
+    "store_upsert",
+    "retention_cohorts",
+    "repetition_scores",
+    "pack_token_budget",
+    "source_mixing_weights",
+    "media_content_dedup",
+    "pii_redaction_stats",
+    "streaming_severity_counts",
+    "ann_recall",
+    "incremental_near_dup",
+    "token_length_percentile_gate",
+    "streaming_latest_per_ip",
+    "supplier_nation_revenue",
 ]
 
 

@@ -152,3 +152,53 @@ def test_real_decoder_decodes_images_with_pillow(spark):
         spark.createDataFrame(rows, MEDIA_SCHEMA), decoder="real"
     ).collect()
     assert (r["width"], r["height"]) == (7, 5)
+
+
+def _mp4_bytes(width: int, height: int, version: int = 0) -> bytes:
+    """Minimal valid ISO BMFF: ftyp + moov(trak(tkhd)). tkhd carries
+    presentation width/height as 16.16 fixed-point in its last 8
+    bytes — the only fields the demuxer reads."""
+    import struct
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    if version == 0:
+        head = b"\x00" + b"\x00\x00\x07" + b"\x00" * 20  # v0: 4B times/ids
+    else:
+        head = b"\x01" + b"\x00\x00\x07" + b"\x00" * 32  # v1: 8B times
+    tkhd_payload = (
+        head + b"\x00" * 8 + b"\x00" * 8 + b"\x00" * 36
+        + struct.pack(">II", width << 16, height << 16)
+    )
+    trak = box(b"trak", box(b"tkhd", tkhd_payload))
+    moov = box(b"moov", trak)
+    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    return ftyp + moov
+
+
+def test_real_decoder_demuxes_mp4_video_dims(spark):
+    """Video branch of decoder="real": pure-python MP4 box walk finds
+    tkhd and reports presentation dims for both tkhd versions; a
+    truncated/corrupt container degrades to NULL dims, not an error."""
+    from bigdata_logs_spark.operators.multimodal import MEDIA_SCHEMA, decode_media
+
+    good_v0 = _mp4_bytes(640, 360, version=0)
+    good_v1 = _mp4_bytes(1920, 1080, version=1)
+    rows = [
+        (0, "video", bytearray(good_v0), None, None),
+        (1, "video", bytearray(good_v1), None, None),
+        # valid ftyp magic, then a lying box length -> corrupt
+        (2, "video", bytearray(good_v0[:20]), None, None),
+        (3, "audio", bytearray(good_v0), None, None),  # wrong kind -> NULL
+    ]
+    out = {
+        r["media_id"]: r
+        for r in decode_media(
+            spark.createDataFrame(rows, MEDIA_SCHEMA), decoder="real"
+        ).collect()
+    }
+    assert (out[0]["width"], out[0]["height"]) == (640, 360)
+    assert (out[1]["width"], out[1]["height"]) == (1920, 1080)
+    assert (out[2]["width"], out[2]["height"]) == (None, None)
+    assert (out[3]["width"], out[3]["height"]) == (None, None)

@@ -49,3 +49,82 @@ def test_every_oracle_has_a_query_and_aliases_line_up(spark, sf_dir):
         if absent:
             missing[name] = absent
     assert not missing, f"Spark output columns never named in oracle SQL: {missing}"
+
+
+def test_oracle_dtypes_survive_pandas_canonicalization(spark, sf_dir):
+    """Guard the ORACLE side of the canonicalizer contract.
+
+    The driver renders both result sets through pandas before
+    hashing, and DuckDB wide types silently change representation
+    there: HUGEINT (e.g. ``list_sum`` over INTEGER) and DECIMAL
+    become float64, so a value Spark emits as int64 ``1382909123``
+    renders as ``1.382909e+09`` on the oracle side and hash-fails on
+    provably identical values (this shipped once: ``fingerprints``,
+    round 4). Run every oracle through ``duckdb...df()`` — the same
+    conversion the driver does — and reject any column that arrives
+    float-typed where the Spark schema is integral, unless the column
+    actually contains NULLs (pandas has no nullable int in that path,
+    so float64 is forced for BOTH engines and renders consistently —
+    ssh_parse_full.port/uid/euid and event_value_cube.dow are that
+    benign shape). Also reject object-dtype columns whose Spark type
+    isn't string/binary/date: those cells stringify via repr() and
+    diverge across engines.
+    """
+    import duckdb
+    from pyspark.sql.types import (
+        BinaryType,
+        ByteType,
+        DateType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+    )
+
+    from bigdata_logs_spark.sources import TABLES
+
+    integral = (ByteType, ShortType, IntegerType, LongType)
+    object_ok = (StringType, BinaryType, DateType)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    offenders: dict[str, list[str]] = {}
+    for name, spec in REGISTRY.items():
+        if spec.oracle is None:
+            continue
+        pdf = con.execute(spec.oracle).df()
+        spark_types = {
+            f.name: f.dataType for f in spec.fn(spark, sf_dir).schema.fields
+        }
+        bad = []
+        for col in pdf.columns:
+            stype = spark_types.get(col)
+            if stype is None:
+                continue  # alias drift is the previous test's job
+            kind = pdf[col].dtype.kind
+            if (
+                isinstance(stype, integral)
+                and kind == "f"
+                and int(pdf[col].isna().sum()) == 0
+            ):
+                bad.append(
+                    f"{col}: oracle float64 but Spark "
+                    f"{stype.simpleString()} with no NULLs — cast the "
+                    "SQL output (::BIGINT)"
+                )
+            if kind == "O" and not isinstance(stype, object_ok):
+                bad.append(
+                    f"{col}: oracle object dtype vs Spark "
+                    f"{stype.simpleString()}"
+                )
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        "oracle-side dtypes drift through the driver's pandas "
+        f"canonicalizer: {offenders}"
+    )
