@@ -19,10 +19,19 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def measure_streaming(spark, sf_dir: str) -> dict:
-    """Drain the synthesized syslog stream once and report wall time,
+    """Drain the synthesized syslog stream and report wall time,
     input rows, and rows/s. Uses the registry's cached stream-source
     dir (deterministic render of the events table), so repeated
     rounds measure the engine, not the one-time text write.
+
+    Same methodology as the batch side of bench.py: one untimed
+    warmup drain (streaming whole-stage-codegen + state-store
+    first-touch are 2-3x the steady cost and are a per-SESSION tax,
+    not a per-drain one), then the MIN of two timed drains as the
+    headline, with the cold figure reported alongside. Each drain is
+    a fresh query over a fresh memory sink (no state carries over —
+    availableNow re-reads every file), so the steady number measures
+    the engine, not residue.
 
     ``output_rows`` systematically undercounts the true number of
     1-hour windows: append mode only emits windows the 1-hour
@@ -40,16 +49,23 @@ def measure_streaming(spark, sf_dir: str) -> dict:
     src = _stream_source_dir(spark, sf_dir)
     n_rows = spark.read.text(src).count()
 
-    parsed = read_ssh_stream(spark, src)
-    counts = windowed_event_counts(parsed, window="1 hour", watermark="1 hour")
-    t0 = time.perf_counter()
-    run_stream_to_memory(counts, "bench_stream_counts", output_mode="append")
-    wall = time.perf_counter() - t0
+    def drain(sink: str) -> float:
+        parsed = read_ssh_stream(spark, src)
+        counts = windowed_event_counts(
+            parsed, window="1 hour", watermark="1 hour"
+        )
+        t0 = time.perf_counter()
+        run_stream_to_memory(counts, sink, output_mode="append")
+        return time.perf_counter() - t0
+
+    cold = drain("bench_stream_warmup")
+    wall = min(drain("bench_stream_counts"), drain("bench_stream_counts2"))
     out_rows = spark.table("bench_stream_counts").count()
     return {
         "input_rows": n_rows,
         "output_rows": out_rows,
         "wall_sec": round(wall, 4),
+        "cold_wall_sec": round(cold, 4),
         "rows_per_sec": round(n_rows / wall, 1) if wall > 0 else None,
     }
 

@@ -4,6 +4,8 @@ from bigdata_logs_spark.functions.columns import (
     null_if_empty,
     sorted_distinct_string,
     spread_small_input,
+    zorder_key,
+    zorder_terms_sql,
 )
 
 __all__ = [
@@ -12,4 +14,6 @@ __all__ = [
     "null_if_empty",
     "sorted_distinct_string",
     "spread_small_input",
+    "zorder_key",
+    "zorder_terms_sql",
 ]

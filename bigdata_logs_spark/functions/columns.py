@@ -39,6 +39,38 @@ def sorted_distinct_string(c: Column, sep: str = ",") -> Column:
     return F.array_join(F.sort_array(F.collect_set(c)), sep)
 
 
+def zorder_key(x_sql: str, y_sql: str, bits: int = 16) -> Column:
+    """Morton (Z-order) interleave of two non-negative ``bits``-wide
+    integer expressions — the multi-dimensional clustering key behind
+    lakehouse ``OPTIMIZE ... ZORDER BY``: rows sorted by this key land
+    so that each output file covers a NARROW range of BOTH dimensions,
+    making parquet footer min/max stats prune 2-D predicates (a plain
+    sort clusters only its leading column).
+
+    Pure bit arithmetic inside whole-stage codegen: bit i of x goes
+    to position 2i, bit i of y to 2i+1 (disjoint targets, so the
+    bit-ors reduce to a sum — the same construction an engine's
+    native z-order writer uses). Inputs must already be discretized
+    to [0, 2^bits); callers bucket continuous columns first.
+    """
+    return F.expr(zorder_terms_sql(x_sql, y_sql, bits))
+
+
+def zorder_terms_sql(x_sql: str, y_sql: str, bits: int = 16) -> str:
+    """The z-interleave as engine-neutral SQL text (plain >> & << +
+    arithmetic, fully parenthesized) — one generator feeds both the
+    Spark expression and the DuckDB oracle, so the two engines are
+    bit-identical by construction."""
+    # shifts happen on BIGINT: an INT-typed input would overflow to
+    # negative once a bit lands at position >= 31
+    terms = " + ".join(
+        f"((CAST(({x_sql}) AS BIGINT) >> {i}) & 1) * {1 << (2 * i)} + "
+        f"((CAST(({y_sql}) AS BIGINT) >> {i}) & 1) * {1 << (2 * i + 1)}"
+        for i in range(bits)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
 _SPREAD_MEMO: dict[tuple, bool] = {}
 
 # Below this many physical input bytes the spread never fires: one

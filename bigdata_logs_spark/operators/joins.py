@@ -474,3 +474,83 @@ def fk_orphans(
         )
         out = one if out is None else out.unionByName(one)
     return out.orderBy("fk")
+
+
+def bloom_pruned_order_priority(
+    customer: DataFrame,
+    orders: DataFrame,
+    segment: str = "BUILDING",
+    m_bits: int = 1 << 16,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Bloom-filter pre-filtered semi join (J-14): order counts and
+    spend per priority for customers in one market segment.
+
+    The 100 TB problem this solves: a plain semi join shuffles the
+    ENTIRE fact table on the join key even though only a fraction of
+    rows survive. The standard fix — what engines inject as runtime
+    filters, done here explicitly so the shape is visible and
+    tunable — is a Bloom filter built from the (already filtered)
+    build side, broadcast to the fact scan, which discards
+    non-members BEFORE the exchange. The exact semi join then runs on
+    the pruned remainder, so false positives (~0.6% at these
+    parameters) never reach the output: results are bit-identical to
+    the plain semi join, only the shuffled volume changes.
+
+    Plan shape: the filter collapses to ONE row (a word->bits map,
+    ``m_bits/64`` entries max) crossed in via broadcast — the same
+    single-broadcast-row pattern as ``kmeans_update``'s seeds; the
+    k membership probes are narrow hash/bit expressions inside the
+    scan stage (whole-stage codegen, no explode, no Python). Size
+    ``m_bits`` ~10x the expected build-side key count for a ~1%
+    false-positive rate; the map stays megabytes even at m=2^27.
+    """
+    keys = customer.filter(F.col("c_mktsegment") == segment).select(
+        F.col("c_custkey").alias("k")
+    )
+
+    def probes(key_sql: str) -> list[tuple[Column, Column]]:
+        out = []
+        for i in range(k_hashes):
+            pos = f"pmod(xxhash64({key_sql}, {i}), {m_bits})"
+            word = F.expr(f"CAST(({pos}) DIV 64 AS INT)")
+            mask = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(({pos}) % 64 AS INT))")
+            out.append((word, mask))
+        return out
+
+    bloom_words = None
+    for word, mask in probes("k"):
+        one = keys.select(word.alias("word"), mask.alias("mask"))
+        bloom_words = one if bloom_words is None else bloom_words.unionByName(one)
+    bloom_row = (
+        bloom_words.groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("word", "bits")))
+            ).alias("bloom")
+        )
+    )
+
+    candidate = F.lit(True)
+    for word, mask in probes("o_custkey"):
+        hit = (
+            F.element_at(F.col("bloom"), word).bitwiseAND(mask) == mask
+        )
+        candidate = candidate & F.coalesce(hit, F.lit(False))
+
+    pruned = (
+        orders.select("o_custkey", "o_orderpriority", "o_totalprice")
+        .crossJoin(F.broadcast(bloom_row))
+        .filter(candidate)
+        .drop("bloom")
+    )
+    return (
+        pruned.join(keys, pruned.o_custkey == keys.k, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_money(F.col("o_totalprice"))).cast("double").alias("total_spend"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -4075,6 +4075,63 @@ def q_fk_orphans(spark, sf_dir):
 
 
 @register(
+    "bloom_pruned_order_priority",
+    """
+    SELECT o_orderpriority, COUNT(*)::BIGINT AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_spend
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer
+                        WHERE c_mktsegment = 'BUILDING')
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("J-14",),
+)
+def q_bloom_pruned_order_priority(spark, sf_dir):
+    """Bloom-filter pre-filtered semi join: the fact side is pruned
+    by k narrow hash-probe expressions against ONE broadcast
+    word->bits row BEFORE any exchange; the exact semi join on the
+    survivors removes bloom false positives, so the oracle is the
+    plain semi join. The runtime-filter pattern Spark injects under
+    `spark.sql.optimizer.runtime.bloomFilter.enabled`, made explicit
+    and plan-tested."""
+    return J.bloom_pruned_order_priority(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
+from bigdata_logs_spark.functions import zorder_terms_sql as _zts
+from bigdata_logs_spark.sources.io import ZORDER_X_SQL as _ZX
+from bigdata_logs_spark.sources.io import ZORDER_Y_SQL as _ZY
+
+
+@register(
+    "zorder_cells",
+    f"""
+    SELECT (zkey >> 10) AS z_cell, COUNT(*)::BIGINT AS n_events,
+           MIN(xb)::BIGINT AS min_hour_bucket,
+           MAX(xb)::BIGINT AS max_hour_bucket,
+           MIN(yb)::BIGINT AS min_value_bucket,
+           MAX(yb)::BIGINT AS max_value_bucket
+    FROM (SELECT {_zts(_ZX, _ZY)} AS zkey,
+                 {_ZX} AS xb, {_ZY} AS yb FROM events)
+    GROUP BY 1 ORDER BY z_cell
+    """,
+    tags=("S-14",),
+)
+def q_zorder_cells(spark, sf_dir):
+    """Z-order (Morton) layout audit: per coarse z-cell, the span of
+    each interleaved dimension — the numeric proof that z-sorted
+    files are narrow 2-D tiles whose parquet min/max stats prune
+    two-column predicates. One generator emits the interleave SQL
+    for both engines (functions/columns.py: zorder_terms_sql)."""
+    from bigdata_logs_spark.sources.io import zorder_cells
+
+    return zorder_cells(_events(spark, sf_dir))
+
+
+@register(
     "column_profile",
     """
     SELECT * FROM (

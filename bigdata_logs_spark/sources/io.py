@@ -275,3 +275,52 @@ def compact_parquet(
     for _, _, files in os.walk(path):
         n += sum(1 for f in files if f.endswith(".parquet"))
     return n
+
+
+ZORDER_X_SQL = "(((day(ts) - 1) * 24 + hour(ts)) % 65536)"
+ZORDER_Y_SQL = "(CAST(floor(value) AS BIGINT) % 65536)"
+
+
+def zorder_cells(events: DataFrame, cell_shift: int = 10) -> DataFrame:
+    """Z-order layout audit (S-14): Morton-interleave (hour-of-month,
+    value-bucket) — two natural range-predicate dimensions — and
+    report, per coarse z-cell, how narrow a range of EACH dimension
+    the cell spans.
+
+    Why this is a first-class storage op at 100 TB: a table can be
+    sorted on only one column, so file-level min/max stats prune
+    predicates on that column alone. Writing in z-key order
+    (``df.repartitionByRange("zkey").sortWithinPartitions("zkey")
+    .write...``) makes every output file a small tile in BOTH
+    dimensions — each 2^10 z-range here is a 32x32 (x, y) tile — so
+    footer stats prune 2-D predicates without a second copy of the
+    data. This query is the audit that proves the tiling property
+    numerically (per-cell min/max spans), engine-independently; the
+    pytest twin performs the actual z-sorted write and checks
+    per-file spans via input_file_name().
+
+    The interleave is pure bit arithmetic in whole-stage codegen
+    (``zorder_key``); the audit is one hash-aggregate on the derived
+    cell key.
+    """
+    from pyspark.sql import functions as F
+
+    from bigdata_logs_spark.functions import zorder_key
+
+    z = zorder_key(ZORDER_X_SQL, ZORDER_Y_SQL)
+    return (
+        events.select(
+            z.alias("zkey"),
+            F.expr(ZORDER_X_SQL).alias("xb"),
+            F.expr(ZORDER_Y_SQL).alias("yb"),
+        )
+        .groupBy(F.expr(f"zkey >> {cell_shift}").cast("long").alias("z_cell"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("xb").alias("min_hour_bucket"),
+            F.max("xb").alias("max_hour_bucket"),
+            F.min("yb").alias("min_value_bucket"),
+            F.max("yb").alias("max_value_bucket"),
+        )
+        .orderBy("z_cell")
+    )

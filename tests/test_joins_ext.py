@@ -82,3 +82,45 @@ def test_fk_orphans_detects_injected_violations(spark):
         "lineitem.l_suppkey -> supplier": 0,
         "orders.o_custkey -> customer": 1,
     }
+
+
+def test_bloom_pruned_semi_join_exact_and_prunes_before_exchange(spark, sf_dir):
+    """J-14: the bloom pre-filter must change the PLAN (narrow probe
+    filter against one broadcast row, upstream of the semi join), and
+    must not change the RESULT (false positives die in the exact semi
+    join)."""
+    from bigdata_logs_spark.operators.joins import (
+        _money,
+        bloom_pruned_order_priority,
+    )
+
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    got = bloom_pruned_order_priority(customer, orders)
+
+    keys = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    want = (
+        orders.join(keys, orders.o_custkey == keys.c_custkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_money(F.col("o_totalprice"))).cast("double").alias("total_spend"),
+        )
+        .orderBy("o_orderpriority")
+    )
+    assert got.collect() == want.collect()
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # one-row bloom map arrives by broadcast, not shuffle
+    assert "BroadcastNestedLoopJoin" in plan
+    # membership probes are native hash expressions in a Filter
+    assert "xxhash64" in plan
+
+    # fixture sanity: the segment is selective, so the bloom has
+    # something to prune (with m=2^16 bits for the sf0.001 key count
+    # the false-positive rate is negligible)
+    n_orders = orders.count()
+    n_semi = orders.join(
+        keys, orders.o_custkey == keys.c_custkey, "left_semi"
+    ).count()
+    assert n_semi < n_orders

@@ -222,3 +222,68 @@ def test_kmeans_update_no_corpus_expansion(spark, sf_dir):
         l for l in plan.splitlines() if "Join" in l and ("+-" in l or ":-" in l)
     ]
     assert len(tree_joins) == 1 and "BroadcastNestedLoopJoin" in tree_joins[0]
+
+
+def test_zorder_key_bit_interleave_is_exact(spark):
+    """z(3,5): x=0b11 -> bits 0,2 (=5); y=0b101 -> bits 1,5 (=34);
+    plus known corners."""
+    from bigdata_logs_spark.functions import zorder_key
+
+    row = spark.range(1).select(
+        zorder_key("0", "0").alias("z00"),
+        zorder_key("1", "0").alias("z10"),
+        zorder_key("0", "1").alias("z01"),
+        zorder_key("3", "5").alias("z35"),
+        zorder_key("65535", "65535").alias("zmax"),
+    ).first()
+    assert (row.z00, row.z10, row.z01) == (0, 1, 2)
+    assert row.z35 == 39
+    assert row.zmax == (1 << 32) - 1
+
+
+def test_zorder_write_produces_two_dimensional_tiles(spark, sf_dir, tmp_path):
+    """The point of S-14: files written in z-key order cover a narrow
+    range of BOTH interleaved dimensions, so parquet footer min/max
+    stats prune predicates on either column. A single-column sort
+    gives narrow files in that column only — the other dimension
+    spans ~the full range per file."""
+    from pyspark.sql import functions as F
+
+    from bigdata_logs_spark.functions import zorder_key
+    from bigdata_logs_spark.sources import load_table
+    from bigdata_logs_spark.sources.io import ZORDER_X_SQL, ZORDER_Y_SQL
+
+    events = load_table(spark, sf_dir, "events")
+    z = (
+        events.select(
+            F.expr(ZORDER_X_SQL).alias("xb"),
+            F.expr(ZORDER_Y_SQL).alias("yb"),
+            zorder_key(ZORDER_X_SQL, ZORDER_Y_SQL).alias("zkey"),
+        )
+    )
+    out = str(tmp_path / "zsorted")
+    (
+        z.repartitionByRange(4, "zkey")
+        .sortWithinPartitions("zkey")
+        .write.option("maxRecordsPerFile", 64)
+        .parquet(out)
+    )
+
+    per_file = (
+        spark.read.parquet(out)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(
+            (F.max("xb") - F.min("xb")).alias("x_span"),
+            (F.max("yb") - F.min("yb")).alias("y_span"),
+        )
+        .agg(F.avg("x_span").alias("x"), F.avg("y_span").alias("y"))
+        .first()
+    )
+    glob = z.agg(
+        (F.max("xb") - F.min("xb")).alias("x"),
+        (F.max("yb") - F.min("yb")).alias("y"),
+    ).first()
+    # each file is a tile: mean span well under half the global range
+    # in BOTH dimensions simultaneously
+    assert per_file.x < 0.5 * glob.x, (per_file.x, glob.x)
+    assert per_file.y < 0.5 * glob.y, (per_file.y, glob.y)
