@@ -4325,7 +4325,8 @@ def q_boilerplate_fraction(spark, sf_dir):
 # ``__spark_entry__.queries()`` re-keys by CERTIFICATION_ORDER.
 #
 # Round-5 rotation: front-load ``fingerprints`` (oracle ::BIGINT
-# cast landed this round — needs a driver-signed green row), then the
+# cast landed this round — needs a driver-signed green row) and the
+# two queries new in round 5 (never certified), then the
 # 35 queries whose latest driver row is round 1 (code has churned
 # every round since; re-certify oldest first), then the 46 whose
 # latest row is round 3. The ~50-row window certifies fingerprints +
@@ -4334,6 +4335,9 @@ def q_boilerplate_fraction(spark, sf_dir):
 _DRIVER_FIRST = [
     # fixed this round (oracle HUGEINT->BIGINT cast) — re-certify
     "fingerprints",
+    # new this round — never driver-certified
+    "bloom_pruned_order_priority",
+    "zorder_cells",
     # latest driver row is round 1 (stalest first)
     "events_of_type",
     "entity_hourly_activity",
