@@ -3749,6 +3749,48 @@ def q_streaming_event_transitions(spark, sf_dir):
 
 
 @register(
+    "streaming_store_etl",
+    SSH_PARSE_CTE
+    + """
+    SELECT event, COUNT(*)::BIGINT AS n,
+           COUNT(DISTINCT ip)::BIGINT AS distinct_ips
+    FROM parsed GROUP BY event ORDER BY event
+    """,
+    tags=("ST-11", "S-4"),
+)
+def q_streaming_store_etl(spark, sf_dir):
+    """Exactly-once streaming ETL to parquet (ST-11): the syslog
+    stream lands in a columnar bronze store via the file sink's
+    checkpoint + metadata-log contract. The query DRAINS TWICE on
+    purpose — the second drain consumes nothing (idempotent restart),
+    so the batch aggregate over the store matches the one-pass batch
+    oracle exactly; duplicated delivery would double every count."""
+    from pyspark.sql import functions as F
+
+    from bigdata_logs_spark.streaming import stream_parsed_to_parquet
+
+    src = _stream_source_dir(spark, sf_dir)
+    store = _scratch_path("bls_stream_store", sf_dir)
+    ckpt = _scratch_path("bls_stream_store_ckpt", sf_dir)
+    parsed = read_ssh_stream(spark, src).select("ip", "event")
+    stream_parsed_to_parquet(parsed, store, ckpt)
+    # idempotence attestation: a restart over the same checkpoint
+    # must add nothing
+    stream_parsed_to_parquet(
+        read_ssh_stream(spark, src).select("ip", "event"), store, ckpt
+    )
+    return (
+        spark.read.parquet(store)
+        .groupBy("event")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("ip").alias("distinct_ips"),
+        )
+        .orderBy("event")
+    )
+
+
+@register(
     "streaming_repeat_offenders",
     SSH_PARSE_CTE
     + """
@@ -4338,6 +4380,7 @@ _DRIVER_FIRST = [
     # new this round — never driver-certified
     "bloom_pruned_order_priority",
     "zorder_cells",
+    "streaming_store_etl",
     # latest driver row is round 1 (stalest first)
     "events_of_type",
     "entity_hourly_activity",

@@ -6,6 +6,7 @@ from bigdata_logs_spark.streaming.ingest import (
     severity_enriched_counts,
     stateful_alerts,
     run_stream_to_memory,
+    stream_parsed_to_parquet,
     stream_dedup,
     streaming_latest_per_ip,
     windowed_event_counts,
@@ -19,6 +20,7 @@ __all__ = [
     "severity_enriched_counts",
     "stateful_alerts",
     "run_stream_to_memory",
+    "stream_parsed_to_parquet",
     "stream_dedup",
     "streaming_latest_per_ip",
     "windowed_event_counts",

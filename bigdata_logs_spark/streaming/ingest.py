@@ -123,6 +123,42 @@ def run_stream_to_memory(
         q.stop()
 
 
+def stream_parsed_to_parquet(
+    parsed: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    timeout_sec: int = 120,
+) -> None:
+    """Exactly-once streaming ETL into a parquet table (ST-11): the
+    raw-log stream lands as query-ready columnar files.
+
+    Exactly-once comes from two Spark mechanisms working together —
+    no custom dedup logic: the CHECKPOINT records which source files
+    each micro-batch consumed (a re-run never re-reads them), and the
+    file sink's METADATA LOG records which output files each batch
+    committed (a reader ignores orphans from a batch that died
+    mid-write). Draining the same source against the same checkpoint
+    twice is therefore a no-op second time — the idempotence contract
+    a production ingest job restarts on, attested by the registry
+    query (double drain) and the kill-resume test.
+
+    At 100 TB/day: append-only parquet with this contract is the
+    bronze layer; downstream compaction (S-10) and CDC upserts (S-9)
+    take it from there.
+    """
+    q = (
+        parsed.writeStream.format("parquet")
+        .option("path", store_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:
+        q.stop()
+
+
 def stateful_alerts(
     parsed: DataFrame, threshold: int = 5, timeout_minutes: int = 30
 ) -> DataFrame:

@@ -372,3 +372,44 @@ def test_repeat_offender_join_accumulates_state_across_batches(
     assert want, "fixture must produce at least one pair"
     # cross-batch pairs exist in the oracle...
     assert got == want
+
+
+def test_parquet_sink_exactly_once_and_orphan_files_invisible(
+    spark, stream_dir, tmp_path
+):
+    """ST-11 contract, both halves:
+    1. restart idempotence — draining the same source against the
+       same checkpoint twice adds nothing (batch IDs are recorded);
+    2. crash atomicity — a parquet file in the sink dir that no
+       committed batch wrote (what a batch dying mid-write leaves
+       behind) is invisible to readers, because reads go through the
+       sink's _spark_metadata log, not a directory listing."""
+    from bigdata_logs_spark.streaming import stream_parsed_to_parquet
+
+    store = str(tmp_path / "bronze")
+    ckpt = str(tmp_path / "bronze_ckpt")
+
+    def drain():
+        parsed = read_ssh_stream(spark, stream_dir).select("ip", "event")
+        stream_parsed_to_parquet(parsed, store, ckpt)
+
+    drain()
+    n_batch = parse_ssh_lines(spark.read.text(stream_dir)).count()
+    assert spark.read.parquet(store).count() == n_batch
+
+    drain()  # restart over the same checkpoint: no new input, no rows
+    assert spark.read.parquet(store).count() == n_batch
+
+    # forge an uncommitted (orphan) output file — readers must not see it
+    orphan = (
+        parse_ssh_lines(spark.read.text(stream_dir))
+        .select("ip", "event")
+        .limit(17)
+    )
+    orphan.coalesce(1).write.mode("append").parquet(str(tmp_path / "forge"))
+    import glob
+    import shutil
+
+    (src_file,) = glob.glob(str(tmp_path / "forge" / "*.parquet"))
+    shutil.copy(src_file, os.path.join(store, "part-99999-orphan.parquet"))
+    assert spark.read.parquet(store).count() == n_batch
