@@ -45,6 +45,26 @@ def _tokens(text: Column) -> Column:
     return F.split(F.trim(text), r"\s+")
 
 
+def _scope_verify(docs: DataFrame) -> bool:
+    """True when the corpus is big enough that re-exploding it for
+    Jaccard verification costs more than gating the explode behind
+    the LSH candidate set (see comment at the use site). Local-file
+    probe mirrors spread_small_input; unknown size (non-local fs,
+    in-memory frame) means production scale — scope."""
+    import os
+
+    from bigdata_logs_spark.functions.columns import _local_input_bytes
+
+    threshold = int(
+        os.environ.get("BLS_SCOPE_VERIFY_MIN_BYTES", 64 * 1024 * 1024)
+    )
+    files = tuple(docs.inputFiles())
+    if not files:
+        return False  # in-memory test frames: tiny by construction
+    total = _local_input_bytes(files)
+    return total is None or total >= threshold
+
+
 def _shingles() -> Column:
     """k-word shingles as strings (requires `tokens` column)."""
     return F.expr(
@@ -223,8 +243,33 @@ def near_dup_pairs(
     # intersection size is a pair-gram equi-join count, and the union
     # follows from per-doc set sizes. Everything that shuffles is a
     # small fixed-width row.
+    #
+    # Above the size threshold, the explode is scoped to DOCS THAT
+    # APPEAR IN A CANDIDATE PAIR (semi join on the pair id set):
+    # Jaccard needs gram sets and sizes only for those docs, and
+    # after LSH + the bucket cap they are a small fraction of the
+    # corpus — without the scoping this is a SECOND full-corpus
+    # shingle explode, the dominant verify cost at 100 TB. Below the
+    # threshold the full explode wins instead: the semi join makes
+    # the gram stage depend on the whole LSH DAG (serializing stages
+    # that otherwise overlap), which costs more than re-exploding a
+    # small corpus (measured at sf0.1: 3.3 s full vs 5.5 s scoped;
+    # same adaptive-physical-plan pattern as spread_small_input).
+    # Results are identical either way, so the switch is invisible
+    # to oracles and callers.
+    verify_src = spread_small_input(docs)
+    if _scope_verify(docs):
+        # the pair set feeds three consumers on this path (its two id
+        # projections and the intersection join) — pin it
+        cand = cand.transform(tracked_cache)
+        cand_ids = (
+            cand.select(F.col("doc_a").alias("doc_id"))
+            .union(cand.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        verify_src = verify_src.join(cand_ids, "doc_id", "left_semi")
     grams = (
-        spread_small_input(docs)
+        verify_src
         .withColumn("tokens", _tokens(F.col("text")))
         .select("doc_id", F.explode(F.array_distinct(_shingles())).alias("gram"))
         .transform(tracked_cache)
