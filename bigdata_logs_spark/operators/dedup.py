@@ -528,8 +528,21 @@ def incremental_near_dup(
         .select("new_doc", "old_doc")
         .distinct()
     )
+    # same adaptive verify scoping as near_dup_pairs: on a large
+    # corpus, explode grams only for docs in a candidate pair (the
+    # delta and its bucket-mates — a sliver of the corpus); on a
+    # small one, skip the gating semi join and overlap the stages
+    verify_src = spread_small_input(docs)
+    if _scope_verify(docs):
+        cand = cand.transform(tracked_cache)
+        cand_ids = (
+            cand.select(F.col("new_doc").alias("doc_id"))
+            .union(cand.select(F.col("old_doc").alias("doc_id")))
+            .distinct()
+        )
+        verify_src = verify_src.join(cand_ids, "doc_id", "left_semi")
     grams = (
-        spread_small_input(docs)
+        verify_src
         .withColumn("tokens", _tokens(F.col("text")))
         .select("doc_id", F.explode(F.array_distinct(_shingles())).alias("gram"))
         .transform(tracked_cache)
