@@ -287,3 +287,24 @@ def test_zorder_write_produces_two_dimensional_tiles(spark, sf_dir, tmp_path):
     # in BOTH dimensions simultaneously
     assert per_file.x < 0.5 * glob.x, (per_file.x, glob.x)
     assert per_file.y < 0.5 * glob.y, (per_file.y, glob.y)
+
+
+def test_scoped_verify_gates_gram_explode_behind_semi_join(
+    spark, sf_dir, monkeypatch
+):
+    """Forced over the size threshold, near_dup_pairs' verify stage
+    must read grams from a candidate-scoped semi join (the 100 TB
+    plan: no second full-corpus explode); under it, no semi join."""
+    from bigdata_logs_spark.operators.dedup import near_dup_pairs
+    from bigdata_logs_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def plan_of() -> str:
+        df = near_dup_pairs(docs)
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    monkeypatch.setenv("BLS_SCOPE_VERIFY_MIN_BYTES", "1")
+    assert "LeftSemi" in plan_of()
+    monkeypatch.setenv("BLS_SCOPE_VERIFY_MIN_BYTES", str(1 << 40))
+    assert "LeftSemi" not in plan_of()
