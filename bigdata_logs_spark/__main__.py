@@ -91,19 +91,19 @@ def cmd_dashboard(args) -> int:
     panels = [
         ("event volume per window", "dash_counts",
          windowed_event_counts(parsed, window=args.window, watermark=None),
-         ["window", "event"]),
+         ["window", "event"], "n"),
         ("severity mix per window", "dash_severity",
          severity_enriched_counts(parsed, window=args.window),
-         ["window", "severity"]),
+         ["window", "severity"], "n"),
         ("latest state per ip", "dash_latest",
          streaming_latest_per_ip(parsed),
-         ["ip"]),
+         ["ip"], None),
         (f"brute-force hits (>={args.threshold} fails / 10 min)", "dash_brute",
          brute_force_detector(parsed, threshold=args.threshold, watermark=None),
-         ["window", "ip"]),
+         ["window", "ip"], "failed_count"),
     ]
     queries = []
-    for _, name, df, _ in panels:
+    for _, name, df, _, _ in panels:
         w = (
             df.writeStream.format("memory")
             .queryName(name)
@@ -115,11 +115,51 @@ def cmd_dashboard(args) -> int:
             w = w.trigger(processingTime=f"{args.refresh} seconds")
         queries.append(w.start())
 
+    def bar_chart(rows, label_cols, value_col, width: int = 36) -> None:
+        """Proportional ANSI bars — the terminal counterpart of the
+        reference's Plotly bar/pie panels (src/stats_dashboard.py:
+        160-240). Rows come from a bounded in-memory sink table, so
+        the driver-side fetch is panel-sized, never corpus-sized."""
+        if not rows:
+            print("  (no data)")
+            return
+        vmax = max(r[value_col] for r in rows) or 1
+        label_w = max(len(" ".join(str(r[c]) for c in label_cols)) for r in rows)
+        for r in rows:
+            label = " ".join(str(r[c]) for c in label_cols)
+            n = r[value_col]
+            filled = max(1 if n else 0, round(width * n / vmax))
+            print(f"  {label:<{label_w}}  {'█' * filled:<{width}}  {n}")
+
     def render() -> None:
         print(f"\n=== bigdata_logs_spark dashboard @ {time.strftime('%H:%M:%S')} ===")
-        for title, name, _, order in panels:
+        for title, name, _, order, metric in panels:
             print(f"\n-- {title} --")
-            spark.table(name).orderBy(*order).show(args.rows, truncate=False)
+            table = spark.table(name).orderBy(*order)
+            if metric is None:
+                table.show(args.rows, truncate=False)
+                continue
+            # chart panels lead with the biggest bars (the reference's
+            # top-N distribution charts), ties broken by the key order
+            from pyspark.sql import functions as F
+
+            table = table.orderBy(F.desc(metric), *order)
+            labels = [c for c in table.columns if c != metric]
+            flat = [
+                {
+                    **{
+                        c: (
+                            r[c]["start"].strftime("%m-%d %H:%M")
+                            if c == "window"
+                            else r[c]
+                        )
+                        for c in labels
+                    },
+                    metric: r[metric],
+                }
+                for r in table.limit(args.rows).collect()
+            ]
+            bar_chart(flat, labels, metric)
 
     if args.once:
         drained = True
