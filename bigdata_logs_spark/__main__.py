@@ -131,8 +131,41 @@ def cmd_dashboard(args) -> int:
             filled = max(1 if n else 0, round(width * n / vmax))
             print(f"  {label:<{label_w}}  {'█' * filled:<{width}}  {n}")
 
+    def heatmap() -> None:
+        """Day × hour activity grid (the reference's Plotly heatmap,
+        src/stats_dashboard.py) — intensity ramp over the hourly
+        count sink; one bounded fetch, aggregated driver-side."""
+        from pyspark.sql import functions as F
+
+        rows = (
+            spark.table("dash_counts")
+            .groupBy(
+                F.date_format(F.col("window.start"), "MM-dd").alias("day"),
+                F.hour(F.col("window.start")).alias("hr"),
+            )
+            .agg(F.sum("n").alias("n"))
+            .collect()
+        )
+        if not rows:
+            print("  (no data)")
+            return
+        grid: dict[str, dict[int, int]] = {}
+        for r in rows:
+            grid.setdefault(r["day"], {})[r["hr"]] = r["n"]
+        vmax = max(v for d in grid.values() for v in d.values()) or 1
+        ramp = " ░▒▓█"
+        print("        " + "".join(f"{h:>2}" for h in range(0, 24, 2)))
+        for day in sorted(grid)[-args.rows :]:
+            cells = "".join(
+                ramp[min(len(ramp) - 1, (grid[day].get(h, 0) * (len(ramp) - 1) + vmax - 1) // vmax)] * 2
+                for h in range(24)
+            )
+            print(f"  {day}  {cells}")
+
     def render() -> None:
         print(f"\n=== bigdata_logs_spark dashboard @ {time.strftime('%H:%M:%S')} ===")
+        print("\n-- activity heatmap (day × hour) --")
+        heatmap()
         for title, name, _, order, metric in panels:
             print(f"\n-- {title} --")
             table = spark.table(name).orderBy(*order)

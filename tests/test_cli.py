@@ -117,6 +117,7 @@ def test_dashboard_once_renders_all_panels(capsys, tmp_path, spark, events):
         main(["dashboard", "--input", str(logdir), "--once", "--rows", "3"]) == 0
     )
     out = capsys.readouterr().out
+    assert "activity heatmap" in out
     assert "event volume per window" in out
     assert "severity mix per window" in out
     assert "latest state per ip" in out
