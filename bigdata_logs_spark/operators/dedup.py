@@ -157,22 +157,41 @@ def minhash_buckets(docs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
 def simhash(docs: DataFrame) -> DataFrame:
     """32-bit simhash as a bitstring: bit i = majority vote over
     tokens of (i-th md5 hex nibble >= 8). Near-duplicate docs have
-    small Hamming distance between bitstrings."""
-    bits = F.expr(
-        """
-        concat_ws('', transform(sequence(1, 32),
-          i -> CASE WHEN aggregate(tokens,
-                 0L,
-                 (acc, t) -> acc + (CASE WHEN substr(md5(t), i, 1) IN
-                   ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END))
-               > 0 THEN '1' ELSE '0' END))
-        """
+    small Hamming distance between bitstrings.
+
+    Same single-pass construction as ``minhash_signatures``: explode
+    to (doc_id, token) rows, hash each token ONCE, and take all 32
+    majority votes as conditional sums in one whole-stage-codegen
+    hash aggregate. The naive higher-order-lambda form
+    (``transform(sequence(1,32), i -> aggregate(tokens, ...))``)
+    recomputes md5 32x per token AND evaluates on the interpreted
+    expression path — measured 118 s vs ~4 s at sf0.1. Duplicate
+    tokens keep their multiplicity (explode, not array_distinct),
+    matching the per-occurrence vote of the aggregate form and the
+    DuckDB oracle."""
+    toks = (
+        spread_small_input(docs)
+        .withColumn("tokens", _tokens(F.col("text")))
+        .select("doc_id", F.explode("tokens").alias("t"))
+        .withColumn("h", F.md5(F.col("t")))
     )
-    return (
-        docs.withColumn("tokens", _tokens(F.col("text")))
-        .select("doc_id", bits.alias("simhash"))
-        .orderBy("doc_id")
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.substring("h", i, 1).isin(*"89abcdef"), F.lit(1)
+                ).otherwise(F.lit(-1))
+            ).alias(f"v{i}")
+            for i in range(1, 33)
+        ]
     )
+    bits = F.concat(
+        *[
+            F.when(F.col(f"v{i}") > 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(1, 33)
+        ]
+    )
+    return votes.select("doc_id", bits.alias("simhash")).orderBy("doc_id")
 
 
 def jaccard_pairs(
@@ -319,39 +338,39 @@ def simhash_near_dup(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     MinHash-LSH shape. Verification recomputes the exact Hamming
     distance on the candidate pairs only.
     """
-    sh = simhash(docs)  # (doc_id, simhash bitstring)
+    # fingerprints ride through the join as BIGINTs: the Hamming
+    # verify is then one xor + popcount per candidate (codegen
+    # intrinsics) instead of 32 interpreted substr comparisons, and
+    # the dedup of band-duplicated candidates moves AFTER the
+    # Hamming cut, where the surviving set is orders of magnitude
+    # smaller than the candidate set (measured 96 s -> seconds at
+    # sf0.1, where clustered synthetic docs make candidates huge)
+    sh = simhash(docs).withColumn(
+        "iv", F.expr("CAST(conv(simhash, 2, 10) AS BIGINT)")
+    )
     chunks = sh.select(
         "doc_id",
-        "simhash",
+        "iv",
         F.explode(
             F.expr(
                 "transform(sequence(0, 3), b -> "
                 "struct(b AS band, substr(simhash, b * 8 + 1, 8) AS chunk))"
             )
         ).alias("bc"),
-    ).select("doc_id", "simhash", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))
+    ).select("doc_id", "iv", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))
     left = chunks.select(
-        "band", "chunk", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a")
+        "band", "chunk", F.col("doc_id").alias("doc_a"), F.col("iv").alias("iv_a")
     )
     right = chunks.select(
-        "band", "chunk", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b")
+        "band", "chunk", F.col("doc_id").alias("doc_b"), F.col("iv").alias("iv_b")
     )
-    cand = (
+    hamming = F.expr("CAST(bit_count(iv_a ^ iv_b) AS INT)")
+    return (
         left.join(right, ["band", "chunk"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "sh_a", "doc_b", "sh_b")
-        .distinct()
-    )
-    hamming = F.expr(
-        """
-        aggregate(sequence(1, 32), 0,
-          (acc, i) -> acc + CASE WHEN substr(sh_a, i, 1) <> substr(sh_b, i, 1)
-                            THEN 1 ELSE 0 END)
-        """
-    )
-    return (
-        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
         .orderBy("doc_a", "doc_b")
     )
 

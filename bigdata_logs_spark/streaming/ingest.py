@@ -110,7 +110,20 @@ def run_stream_to_memory(
 ) -> None:
     """Run a streaming query to a memory sink until all currently
     available input is processed (availableNow), then stop. The result
-    is readable as ``spark.table(name)``."""
+    is readable as ``spark.table(name)``.
+
+    Stateless and watermark-only queries self-terminate under
+    availableNow. Queries holding state with a PROCESSING-TIME
+    timeout (``stateful_alerts``) do not: the engine keeps scheduling
+    empty no-data micro-batches forever so pending timeouts can fire,
+    and the drain would sit at ``awaitTermination(timeout_sec)`` every
+    single call (observed: ~1 empty batch/s for the full 120 s). The
+    poll below stops the query at the first empty batch after data
+    flowed — by then every available row is in the sink, and our
+    stateful operators emit on DATA, never on timeout (timeouts only
+    evict state), so nothing is lost."""
+    import time as _time
+
     q = (
         df.writeStream.format("memory")
         .queryName(name)
@@ -118,7 +131,18 @@ def run_stream_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    deadline = _time.monotonic() + timeout_sec
+    saw_data = False
+    while q.isActive and _time.monotonic() < deadline:
+        if q.awaitTermination(1):
+            break
+        p = q.lastProgress
+        if p is None:
+            continue
+        if p.get("numInputRows", 0) > 0:
+            saw_data = True
+        elif saw_data or p.get("batchId", 0) > 0:
+            break  # backlog drained; only timeout no-data batches remain
     if q.isActive:
         q.stop()
 
