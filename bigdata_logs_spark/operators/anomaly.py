@@ -1,0 +1,181 @@
+"""Batch anomaly-detection operators (SURVEY.md §2 AD-1..AD-3).
+
+The reference's stated purpose is "Detección de anomalías en los logs
+del sistema" (``/root/reference/README.md:2``), but its dashboard only
+*renders* counts and leaves the anomaly call to the viewer
+(``src/stats_dashboard.py:61-101`` draws the per-hour/per-day series;
+``stats_dashboard.py:119-125`` scores IPs with a hand-tuned linear
+formula). These operators close that loop with explicit statistical
+detectors, batch twins of the streaming detectors in
+``streaming/ingest.py``:
+
+- AD-1 ``hourly_count_anomalies``: seasonal baseline per hour-of-day,
+  z-score each (day, hour) cell against its hour's cross-day
+  mean/stddev — the classic "is 3am today unusually busy for 3am"
+  check the reference's heatmap visualizes but never computes.
+- AD-2 ``brute_force_ips``: per-IP sliding-window failed-auth burst
+  detector (batch twin of ``streaming_brute_force_detector``).
+- AD-3 ``order_price_outliers``: robust MAD outlier gate per customer
+  segment — median/MAD instead of mean/stddev so the detector itself
+  isn't skewed by the outliers it hunts.
+
+Scale notes: all three aggregate the fact table down to a tiny keyed
+summary (720 day-hour cells, one row per IP, one row per segment)
+before any window/join math, so the second-stage statistics never see
+raw-event cardinality. Float determinism follows the registry
+conventions: variance/z-score arithmetic is written with an explicit
+operation order mirrored in the DuckDB oracles, over exact integer
+sums (AD-1) or exact percentiles of raw doubles (AD-3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# MAD -> sigma-equivalent scale for normal data, times the usual 3-sigma
+# gate. Written as one literal so Spark and the oracle parse the same
+# double.
+MAD_GATE = 4.4478
+
+FAIL_EVENTS = ("failed_password", "invalid_user", "auth_failure")
+
+
+def hourly_count_anomalies(events: DataFrame, sigma: float = 3.0) -> DataFrame:
+    """AD-1: z-score each (date, hour) event-count cell against the
+    cross-day baseline for that hour-of-day.
+
+    Two stages, both tiny after the first agg: (1) count events per
+    (date, hour) — the only pass over the fact table, a single
+    map-side-combinable groupBy; (2) window over the hour-of-day
+    partition (24 groups x n_days rows) computing mean/variance from
+    exact integer sums (n, sum, sum-of-squares), so the baseline is
+    order-independent and hash-stable across engines.
+
+    Variance uses the textbook (sumsq - s*s/n)/(n-1) form with the
+    exact operation order mirrored in the oracle. Cells with a
+    degenerate baseline (var <= 0 or a single day) get NULL z and are
+    never flagged.
+
+    The baseline sums stay in BIGINT for cross-engine exactness; s*s
+    overflows 63 bits only past ~3e9 events per (hour-of-day) slice —
+    beyond that scale cast ``s``/``ss`` to double before the variance
+    arithmetic (the n is then large enough that float error is
+    irrelevant to a 3-sigma gate).
+    """
+    per_cell = events.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("date"),
+        F.hour("ts").alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+    w = Window.partitionBy("hour")
+    stats = (
+        per_cell.withColumn("days", F.count(F.lit(1)).over(w))
+        .withColumn("s", F.sum("n").over(w))
+        .withColumn("ss", F.sum(F.col("n") * F.col("n")).over(w))
+    )
+    mean = F.col("s") / F.col("days")
+    var = (F.col("ss") - F.col("s") * F.col("s") / F.col("days")) / (
+        F.col("days") - 1
+    )
+    z = F.when(
+        (F.col("days") > 1) & (var > 0.0),
+        F.round((F.col("n") - mean) / F.sqrt(var), 6),
+    )
+    return (
+        stats.withColumn("zscore", z)
+        .withColumn(
+            "is_anomaly", F.coalesce(F.col("zscore") > F.lit(sigma), F.lit(False))
+        )
+        .select("date", "hour", "n", F.round(mean, 6).alias("hour_mean"), "zscore", "is_anomaly")
+        .orderBy("date", "hour")
+    )
+
+
+def brute_force_ips(
+    parsed_with_ts: DataFrame,
+    window_s: int = 600,
+    threshold: int = 4,
+) -> DataFrame:
+    """AD-2: per-IP sliding-window burst detector over failed-auth
+    events — batch twin of the streaming detector
+    (``streaming/ingest.py`` ST-2), same semantics the reference's
+    suspicious-score formula gestures at (``stats_dashboard.py:119``)
+    made precise: an IP is brute-forcing if any ``window_s``-second
+    trailing window holds >= ``threshold`` failures.
+
+    Shape for scale: filter to failures first (small fraction), then a
+    rangeBetween window keyed by (ip, epoch) — state per IP is the
+    trailing window only, and the final per-IP agg collapses to one
+    row per IP. No self-join, no explode.
+    """
+    fails = parsed_with_ts.filter(
+        F.col("event").isin(*FAIL_EVENTS)
+        & F.col("ip").isNotNull()
+        & F.col("ts").isNotNull()
+    ).withColumn("epoch", F.unix_timestamp("ts"))
+
+    w = (
+        Window.partitionBy("ip")
+        .orderBy("epoch")
+        .rangeBetween(-(window_s - 1), 0)
+    )
+    bursts = fails.withColumn("burst", F.count(F.lit(1)).over(w))
+    return (
+        bursts.groupBy("ip")
+        .agg(
+            F.count(F.lit(1)).alias("n_failures"),
+            F.max("burst").alias("max_burst"),
+            # Rendered as a wall-clock string, not an epoch: the input
+            # is TIMESTAMP_NTZ, and an absolute epoch would inherit
+            # whatever session timezone the host harness configured.
+            F.date_format(
+                F.min(F.when(F.col("burst") >= threshold, F.col("ts"))),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("first_burst_at"),
+        )
+        .withColumn("is_brute_force", F.col("max_burst") >= threshold)
+        .orderBy(F.desc("max_burst"), F.desc("n_failures"), F.asc("ip"))
+    )
+
+
+def order_price_outliers(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """AD-3: robust per-segment price-outlier gate. Median and MAD
+    (median absolute deviation) per customer market segment; an order
+    is an outlier when |price - median| > MAD_GATE * mad.
+
+    Median/MAD need two exact-percentile passes; both run on the
+    (segment, price) projection — two narrow shuffles on a 5-value
+    key. The customer dim joins broadcast (it is orders-side small by
+    TPC-H construction). Exact ``percentile`` here; at 100 TB swap
+    for ``approx_percentile`` with the same call shape.
+    """
+    seg_price = orders.join(
+        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        orders.o_custkey == customer.c_custkey,
+    ).select(F.col("c_mktsegment").alias("segment"), F.col("o_totalprice").alias("price"))
+
+    med = seg_price.groupBy("segment").agg(
+        F.expr("percentile(price, 0.5)").alias("med")
+    )
+    with_med = seg_price.join(F.broadcast(med), "segment").withColumn(
+        "absdev", F.abs(F.col("price") - F.col("med"))
+    )
+    mad = with_med.groupBy("segment").agg(
+        F.expr("percentile(absdev, 0.5)").alias("mad")
+    )
+    return (
+        with_med.join(F.broadcast(mad), "segment")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("med"), 6).alias("med_price"),
+            F.round(F.min("mad"), 6).alias("mad_price"),
+            F.sum(
+                F.when(
+                    F.col("absdev") > F.lit(MAD_GATE) * F.col("mad"), F.lit(1)
+                ).otherwise(F.lit(0))
+            ).alias("n_outliers"),
+        )
+        .orderBy("segment")
+    )

@@ -644,3 +644,44 @@ def kmeans_update(emb: DataFrame, k: int = 8) -> DataFrame:
         )
         .orderBy("cluster", "pos")
     )
+
+
+def random_projection(emb: DataFrame, d_out: int = 8) -> DataFrame:
+    """E-10: Johnson–Lindenstrauss sign random projection — reduce the
+    64-dim embedding to ``d_out`` coordinates y_j = sum_i sign(i,j) *
+    x_i with a pseudo-random but fully deterministic ±1 sign matrix
+    derived from Knuth-hash arithmetic on (i, j). The projection
+    preserves pairwise distances within JL bounds, so it is the cheap
+    front-end for clustering / visualisation / pre-filtering before
+    exact scoring.
+
+    Cross-engine exactness: each input component is first quantized to
+    an integer (round(x * 1e6) in BIGINT), so the 64-term fold per
+    output coordinate is pure integer arithmetic — no float sum-order
+    sensitivity — and the final scale-back to double is ONE division.
+    The sign matrix is arithmetic (no engine hash function):
+    sign(i,j) = +1 if ((i*2654435761 + j*40503) % 2147483647) is even.
+
+    Scale shape: per-row narrow expression, zero shuffles, zero
+    broadcast state; whole-stage codegen end to end. Output is
+    ``d_out`` scalar columns (canonicalizer-safe, no arrays).
+    """
+    quantized = emb.withColumn(
+        "qv",
+        F.expr(
+            "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
+        ),
+    )
+    cols = [
+        F.expr(
+            f"""
+            aggregate(
+              transform(sequence(1, size(qv)), i ->
+                element_at(qv, i)
+                * (1 - 2 * (((i * 2654435761 + {j} * 40503) % 2147483647) % 2))),
+              0L, (acc, v) -> acc + v) / CAST(1000000.0 AS DOUBLE)
+            """
+        ).alias(f"proj_{j}")
+        for j in range(1, d_out + 1)
+    ]
+    return quantized.select("vec_id", "label", *cols).orderBy("vec_id")

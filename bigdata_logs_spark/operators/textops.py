@@ -422,3 +422,49 @@ def boilerplate_fraction(
         )
         .orderBy("doc_id")
     )
+
+
+def commonness_scores(docs: DataFrame) -> DataFrame:
+    """T-12: per-document mean corpus-unigram probability — a
+    language-model-free "perplexity proxy" quality signal: documents
+    of mostly rare tokens score low, boilerplate of corpus-dominant
+    tokens scores high. Training-data curation pairs this with
+    ``quality_scores`` (surface heuristics) and
+    ``repetition_scores`` (self-similarity).
+
+    Exact-rational math: score = sum(corpus_count(tok)) /
+    (n_tokens * corpus_total). Every intermediate is an integer sum —
+    no log() (libm differs across engines) and no float accumulation
+    order — with ONE final int/int division, so the double is
+    bit-identical in any engine and any partitioning.
+
+    Scale shape: one explode to (doc_id, token), a token-count agg
+    (map-side combinable), a join back on the token key, and a per-doc
+    sum. The vocabulary agg output is Zipf-small relative to the
+    corpus; the join is token-keyed and skew-handled by AQE.
+    """
+    toks = with_tokens(docs).select(
+        "doc_id", F.explode("tokens").alias("token")
+    )
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("corpus_total"))
+    per_doc = (
+        toks.join(vocab, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("cnt").alias("sum_counts"),
+        )
+    )
+    return (
+        per_doc.crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                F.col("sum_counts")
+                / (F.col("n_tokens") * F.col("corpus_total"))
+            ).alias("commonness"),
+        )
+        .orderBy("doc_id")
+    )

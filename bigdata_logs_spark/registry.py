@@ -4356,6 +4356,166 @@ def q_boilerplate_fraction(spark, sf_dir):
     return TX.boilerplate_fraction(_docs(spark, sf_dir), k=3, min_df=20)
 
 
+from bigdata_logs_spark.operators import anomaly as AD  # noqa: E402
+
+
+@register(
+    "hourly_event_anomalies",
+    """
+    WITH cells AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS date, hour(ts)::INT AS hour,
+             COUNT(*)::BIGINT AS n
+      FROM events GROUP BY 1, 2
+    ), stats AS (
+      SELECT *, (COUNT(*) OVER w)::BIGINT AS days,
+             (SUM(n) OVER w)::BIGINT AS s,
+             (SUM(n * n) OVER w)::BIGINT AS ss
+      FROM cells WINDOW w AS (PARTITION BY hour)
+    )
+    SELECT date, hour, n,
+      ROUND(s / days, 6) AS hour_mean,
+      CASE WHEN days > 1 AND (ss - s * s / days) / (days - 1) > 0.0::DOUBLE
+           THEN ROUND((n - s / days)
+                      / sqrt((ss - s * s / days) / (days - 1)), 6) END AS zscore,
+      COALESCE(
+        CASE WHEN days > 1 AND (ss - s * s / days) / (days - 1) > 0.0::DOUBLE
+             THEN ROUND((n - s / days)
+                        / sqrt((ss - s * s / days) / (days - 1)), 6) END
+        > 3.0::DOUBLE, FALSE) AS is_anomaly
+    FROM stats ORDER BY date, hour
+    """,
+    tags=("AD-1",),
+)
+def q_hourly_event_anomalies(spark, sf_dir):
+    """Seasonal per-hour-of-day z-score anomaly cells — the detector
+    the reference's activity heatmap (stats_dashboard.py:61-101)
+    implies but never computes."""
+    return AD.hourly_count_anomalies(_events(spark, sf_dir))
+
+
+@register(
+    "brute_force_ips",
+    SSH_PARSE_CTE
+    + """
+    , fails AS (
+      SELECT ip, strptime('2024 ' || month || ' ' || day || ' ' || time,
+                          '%Y %b %d %H:%M:%S') AS ts
+      FROM parsed
+      WHERE event IN ('failed_password', 'invalid_user', 'auth_failure')
+        AND ip IS NOT NULL
+    ), bursts AS (
+      SELECT ip, ts,
+             (COUNT(*) OVER (PARTITION BY ip ORDER BY epoch(ts)::BIGINT
+                RANGE BETWEEN 599 PRECEDING AND CURRENT ROW))::BIGINT AS burst
+      FROM fails
+    )
+    SELECT ip, COUNT(*)::BIGINT AS n_failures, MAX(burst)::BIGINT AS max_burst,
+           strftime(MIN(CASE WHEN burst >= 2 THEN ts END),
+                    '%Y-%m-%d %H:%M:%S') AS first_burst_at,
+           MAX(burst) >= 2 AS is_brute_force
+    FROM bursts GROUP BY ip
+    ORDER BY max_burst DESC, n_failures DESC, ip
+    """,
+    tags=("AD-2",),
+)
+def q_brute_force_ips(spark, sf_dir):
+    """Batch twin of streaming_brute_force_detector: per-IP 10-minute
+    sliding failed-auth burst maxima over the parsed SSH stream."""
+    parsed = with_event_time(parse_ssh_lines(_ssh_lines(spark, sf_dir)))
+    # threshold=2: the synthetic corpus is burst-sparse (max observed
+    # trailing-10-min count is 2), so the fixture-facing registration
+    # lowers the gate to exercise BOTH branches of the detector; the
+    # operator's production default stays at 4.
+    return AD.brute_force_ips(parsed, threshold=2)
+
+
+@register(
+    "order_price_outliers",
+    """
+    WITH seg AS (
+      SELECT c_mktsegment AS segment, o_totalprice AS price
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ), med AS (
+      SELECT segment, quantile_cont(price, 0.5) AS med FROM seg GROUP BY segment
+    ), dev AS (
+      SELECT s.segment, abs(s.price - m.med) AS absdev, m.med AS med
+      FROM seg s JOIN med m ON s.segment = m.segment
+    ), mad AS (
+      SELECT segment, quantile_cont(absdev, 0.5) AS mad FROM dev GROUP BY segment
+    )
+    SELECT d.segment, COUNT(*)::BIGINT AS n_orders,
+           ROUND(MIN(d.med), 6) AS med_price,
+           ROUND(MIN(m.mad), 6) AS mad_price,
+           SUM(CASE WHEN d.absdev > 4.4478::DOUBLE * m.mad
+                    THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+    FROM dev d JOIN mad m ON d.segment = m.segment
+    GROUP BY d.segment ORDER BY d.segment
+    """,
+    tags=("AD-3",),
+)
+def q_order_price_outliers(spark, sf_dir):
+    """Robust (median/MAD) per-segment price outlier gate."""
+    return AD.order_price_outliers(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+    )
+
+
+@register(
+    "commonness_scores",
+    TOKS_CTE
+    + """
+    , tok AS (SELECT doc_id, unnest(tokens) AS token FROM toks)
+    , vocab AS (SELECT token, COUNT(*)::BIGINT AS cnt FROM tok GROUP BY token)
+    , tot AS (SELECT SUM(cnt)::BIGINT AS corpus_total FROM vocab)
+    , per_doc AS (
+      SELECT doc_id, COUNT(*)::BIGINT AS n_tokens,
+             SUM(cnt)::BIGINT AS sum_counts
+      FROM tok JOIN vocab USING (token) GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens,
+           sum_counts / (n_tokens * corpus_total) AS commonness
+    FROM per_doc CROSS JOIN tot ORDER BY doc_id
+    """,
+    tags=("T-12",),
+)
+def q_commonness_scores(spark, sf_dir):
+    """Mean corpus-unigram probability per document (perplexity proxy
+    without log(): exact integer sums, one final division)."""
+    return TX.commonness_scores(_docs(spark, sf_dir))
+
+
+def _rp_oracle(d_out: int = 8) -> str:
+    projs = ",\n      ".join(
+        f"list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i]"
+        f" * (1 - 2 * (((i * 2654435761 + {j} * 40503) % 2147483647) % 2))"
+        f"))::BIGINT / 1000000.0::DOUBLE AS proj_{j}"
+        for j in range(1, d_out + 1)
+    )
+    return f"""
+    WITH q AS (
+      SELECT vec_id, label,
+        list_transform(embedding,
+          x -> CAST(round(x::DOUBLE * 1000000.0::DOUBLE) AS BIGINT)) AS qv
+      FROM embeddings
+    )
+    SELECT vec_id, label,
+      {projs}
+    FROM q ORDER BY vec_id
+    """
+
+
+@register(
+    "embedding_random_projection",
+    _rp_oracle(),
+    tags=("E-10",),
+)
+def q_embedding_random_projection(spark, sf_dir):
+    """JL sign random projection 64 -> 8 dims; integer-quantized fold
+    so both engines produce bit-identical doubles."""
+    return SIM.random_projection(_emb(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Driver-certification order
 # ---------------------------------------------------------------------------
@@ -4381,6 +4541,11 @@ _DRIVER_FIRST = [
     "bloom_pruned_order_priority",
     "zorder_cells",
     "streaming_store_etl",
+    "hourly_event_anomalies",
+    "brute_force_ips",
+    "order_price_outliers",
+    "commonness_scores",
+    "embedding_random_projection",
     # latest driver row is round 1 (stalest first)
     "events_of_type",
     "entity_hourly_activity",

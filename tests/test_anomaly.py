@@ -1,0 +1,196 @@
+"""Unit tests for the batch anomaly-detection operators (AD-1..AD-3)
+and the round-5 text/embedding additions (T-12, E-10).
+
+Each detector gets a hand-built micro-fixture with a KNOWN anomaly so
+the statistical gate itself is asserted, not just plumbing — the
+sf0.001 oracle sweep already covers engine parity on real tables.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from bigdata_logs_spark.operators import anomaly as AD
+
+
+def _ts(day: int, hour: int, minute: int = 0, second: int = 0):
+    return datetime.datetime(2024, 1, day, hour, minute, second)
+
+
+class TestHourlyCountAnomalies:
+    def test_flags_planted_spike_only(self, spark):
+        # 15 days x 2 hours of calm (3-4 events/cell), one cell with a
+        # large spike. NB the spike inflates its own baseline stddev
+        # (self-inclusion caps z at (n-1)/sqrt(n)), so >= 15 days are
+        # needed for a single outlier to clear the 3-sigma gate.
+        rows = []
+        eid = 0
+        for day in range(1, 16):
+            for hour in (4, 5):
+                n = 3 + (1 if day % 5 == 0 else 0)  # mild jitter
+                if day == 7 and hour == 4:
+                    n = 200
+                for _ in range(n):
+                    rows.append(Row(event_id=eid, ts=_ts(day, hour)))
+                    eid += 1
+        df = spark.createDataFrame(rows)
+        out = AD.hourly_count_anomalies(df).collect()
+        assert len(out) == 30
+        flagged = [r for r in out if r.is_anomaly]
+        assert [(r.date, r.hour) for r in flagged] == [("2024-01-07", 4)]
+        spike = flagged[0]
+        assert spike.n == 200 and spike.zscore > 3.0
+
+    def test_degenerate_baseline_never_flags(self, spark):
+        # Constant counts -> zero variance -> NULL z, no flags.
+        rows = [
+            Row(event_id=d * 10 + i, ts=_ts(d, 8))
+            for d in range(1, 6)
+            for i in range(4)
+        ]
+        out = AD.hourly_count_anomalies(spark.createDataFrame(rows)).collect()
+        assert all(r.zscore is None and not r.is_anomaly for r in out)
+
+
+class TestBruteForceIps:
+    def _parsed(self, spark, rows):
+        return spark.createDataFrame(
+            rows,
+            "ip string, event string, ts timestamp",
+        )
+
+    def test_detects_tight_burst_and_ignores_slow_drip(self, spark):
+        rows = []
+        # attacker: 5 failures in 4 minutes
+        for i in range(5):
+            rows.append(("10.0.0.1", "failed_password", _ts(1, 12, i)))
+        # slow drip: 5 failures one hour apart
+        for i in range(5):
+            rows.append(("10.0.0.2", "failed_password", _ts(1, i)))
+        # noise: successes never counted
+        rows.append(("10.0.0.3", "accepted_password", _ts(1, 12)))
+        out = {r.ip: r for r in AD.brute_force_ips(self._parsed(spark, rows), threshold=4).collect()}
+        assert out["10.0.0.1"].is_brute_force
+        assert out["10.0.0.1"].max_burst == 5
+        assert out["10.0.0.1"].first_burst_at == "2024-01-01 12:03:00"
+        assert not out["10.0.0.2"].is_brute_force
+        assert out["10.0.0.2"].max_burst == 1
+        assert "10.0.0.3" not in out  # non-failure events excluded
+
+    def test_window_boundary_is_exclusive_of_exactly_window_s(self, spark):
+        # Two failures exactly window_s apart must NOT count together
+        # (trailing window is [t - (window_s - 1), t]).
+        rows = [
+            ("10.0.0.9", "invalid_user", _ts(1, 0, 0, 0)),
+            ("10.0.0.9", "invalid_user", _ts(1, 0, 10, 0)),  # +600 s
+        ]
+        out = AD.brute_force_ips(
+            self._parsed(spark, rows), window_s=600, threshold=2
+        ).collect()
+        assert out[0].max_burst == 1 and not out[0].is_brute_force
+
+
+class TestOrderPriceOutliers:
+    def test_mad_gate_flags_planted_outlier(self, spark):
+        orders = spark.createDataFrame(
+            [(i, 1, 100.0 + (i % 7)) for i in range(40)]
+            + [(99, 1, 10_000.0)],
+            "o_orderkey long, o_custkey long, o_totalprice double",
+        )
+        customer = spark.createDataFrame(
+            [(1, "BUILDING")], "c_custkey long, c_mktsegment string"
+        )
+        out = AD.order_price_outliers(orders, customer).collect()
+        assert len(out) == 1
+        row = out[0]
+        assert row.n_orders == 41
+        assert row.n_outliers == 1
+        assert abs(row.med_price - 103.0) < 1e-6
+
+    def test_uniform_prices_have_no_outliers(self, spark):
+        orders = spark.createDataFrame(
+            [(i, 1, 50.0) for i in range(10)],
+            "o_orderkey long, o_custkey long, o_totalprice double",
+        )
+        customer = spark.createDataFrame(
+            [(1, "AUTO")], "c_custkey long, c_mktsegment string"
+        )
+        row = AD.order_price_outliers(orders, customer).collect()[0]
+        assert row.n_outliers == 0 and row.mad_price == 0.0
+
+
+class TestCommonnessScores:
+    def test_exact_rational_scores(self, spark):
+        from bigdata_logs_spark.operators import textops as TX
+
+        docs = spark.createDataFrame(
+            [
+                (0, "a a b"),   # counts: a=4, b=2, z=1; total=7
+                (1, "a b z"),
+                (2, "a"),
+                (3, ""),        # empty -> excluded
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in TX.commonness_scores(docs).collect()}
+        assert 3 not in out
+        assert out[0].n_tokens == 3
+        # doc0: (4+4+2)/(3*7)
+        assert out[0].commonness == pytest.approx(10 / 21, abs=0)
+        # doc2: 4/(1*7)
+        assert out[2].commonness == pytest.approx(4 / 7, abs=0)
+        # boilerplate of common tokens scores higher than rare-token doc
+        assert out[2].commonness > out[1].commonness
+
+
+class TestRandomProjection:
+    def test_projection_matches_numpy_reference(self, spark):
+        import numpy as np
+
+        from bigdata_logs_spark.operators import similarity as SIM
+
+        vecs = [
+            (0, [0.5, -1.25, 2.0, 0.125], 0),
+            (1, [0.0, 0.0, 0.0, 0.0], 1),
+        ]
+        emb = spark.createDataFrame(
+            vecs, "vec_id long, embedding array<float>, label int"
+        )
+        out = {r.vec_id: r for r in SIM.random_projection(emb, d_out=3).collect()}
+
+        def sign(i, j):
+            return 1 - 2 * (((i * 2654435761 + j * 40503) % 2147483647) % 2)
+
+        for vec_id, v, _ in vecs:
+            q = [round(x * 1e6) for x in v]
+            for j in range(1, 4):
+                want = sum(q[i - 1] * sign(i, j) for i in range(1, len(v) + 1)) / 1e6
+                assert getattr(out[vec_id], f"proj_{j}") == pytest.approx(want, abs=0)
+        # zero vector projects to zero in every coordinate
+        assert all(getattr(out[1], f"proj_{j}") == 0.0 for j in range(1, 4))
+
+    def test_distance_preservation_direction(self, spark):
+        """Identical vectors project identically; the projection is
+        linear, so the difference of projections equals the projection
+        of the difference."""
+        import numpy as np
+
+        from bigdata_logs_spark.operators import similarity as SIM
+
+        rng = np.random.RandomState(7)
+        a = rng.randn(8).astype("float32")
+        emb = spark.createDataFrame(
+            [
+                (0, [float(x) for x in a], 0),
+                (1, [float(x) for x in a], 0),
+            ],
+            "vec_id long, embedding array<float>, label int",
+        )
+        out = SIM.random_projection(emb, d_out=4).collect()
+        assert [out[0][f"proj_{j}"] for j in range(1, 5)] == [
+            out[1][f"proj_{j}"] for j in range(1, 5)
+        ]
