@@ -139,6 +139,60 @@ def brute_force_ips(
     )
 
 
+def event_type_drift(events: DataFrame, split_date: str = "2024-01-16") -> DataFrame:
+    """AD-4: two-sample distribution-drift report over ``event_type``
+    — the dataset-drift monitor a training-data pipeline runs between
+    ingestion batches (and the formal version of "does this week look
+    like last week", which the reference's per-day chart leaves to the
+    eye, ``src/stats_dashboard.py:76-91``).
+
+    Splits the table at ``split_date`` and computes, per type, the
+    chi-square homogeneity contribution
+    (a - e_a)^2 / e_a + (b - e_b)^2 / e_b where e_* are the expected
+    counts under the no-drift hypothesis. The total over rows is the
+    chi-square statistic with (k-1) dof.
+
+    Scale shape: ONE map-side-combinable groupBy over the fact table
+    (conditional sums), then arithmetic against a single broadcast
+    totals row — the k-row contingency table never re-scans the
+    corpus. All inputs to the float math are exact integer counts and
+    the operation order is mirrored by the oracle.
+    """
+    # Date-string comparison, not a timestamp literal: the input is
+    # TIMESTAMP_NTZ and a LTZ literal comparison would pull in the
+    # session timezone of whatever harness is driving.
+    is_b = F.date_format("ts", "yyyy-MM-dd") >= F.lit(split_date)
+    per_type = events.groupBy("event_type").agg(
+        F.sum(F.when(~is_b, 1).otherwise(0)).alias("n_first"),
+        F.sum(F.when(is_b, 1).otherwise(0)).alias("n_second"),
+    )
+    # Totals come from an unpartitioned window over the ALREADY
+    # AGGREGATED k-row table (k = #event types), not a second pass
+    # over events — one fact-table scan total. The single-partition
+    # window is safe: it only ever sees k rows.
+    w = Window.partitionBy()
+    with_tot = per_type.withColumn("tot_a", F.sum("n_first").over(w)).withColumn(
+        "tot_b", F.sum("n_second").over(w)
+    )
+    a, b = F.col("n_first"), F.col("n_second")
+    ta, tb = F.col("tot_a"), F.col("tot_b")
+    e_a = (ta * (a + b)) / (ta + tb)
+    e_b = (tb * (a + b)) / (ta + tb)
+    chi2 = (a - e_a) * (a - e_a) / e_a + (b - e_b) * (b - e_b) / e_b
+    return (
+        with_tot
+        .select(
+            "event_type",
+            "n_first",
+            "n_second",
+            F.round(a / ta, 6).alias("share_first"),
+            F.round(b / tb, 6).alias("share_second"),
+            F.round(chi2, 6).alias("chi2_contrib"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def order_price_outliers(orders: DataFrame, customer: DataFrame) -> DataFrame:
     """AD-3: robust per-segment price-outlier gate. Median and MAD
     (median absolute deviation) per customer market segment; an order

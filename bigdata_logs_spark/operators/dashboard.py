@@ -96,6 +96,30 @@ def global_metrics_approx(events: DataFrame) -> DataFrame:
     )
 
 
+def value_percentiles_approx(
+    events: DataFrame, accuracy: int = 10000
+) -> DataFrame:
+    """100 TB variant of AGG-2: KLL/GK-sketch percentiles via
+    ``approx_percentile`` — mergeable fixed-size state per partition
+    instead of a full sort of the value column. No cross-engine
+    oracle (sketch internals differ); the error bound vs the exact
+    twin is pytest-pinned (rank error <= 1/accuracy)."""
+    pcts = F.expr(
+        f"approx_percentile(value, array(0.5D, 0.95D, 0.99D), {accuracy})"
+    )
+    return (
+        events.groupBy("event_type")
+        .agg(pcts.alias("p"))
+        .select(
+            "event_type",
+            F.round(F.element_at("p", 1), 6).alias("p50"),
+            F.round(F.element_at("p", 2), 6).alias("p95"),
+            F.round(F.element_at("p", 3), 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # --------------------------------------------------------------------- D-21
 
 def event_type_counts(events: DataFrame) -> DataFrame:

@@ -4430,6 +4430,41 @@ def q_brute_force_ips(spark, sf_dir):
 
 
 @register(
+    "event_type_drift",
+    """
+    WITH per_type AS (
+      SELECT event_type,
+        SUM(CASE WHEN strftime(ts, '%Y-%m-%d') >= '2024-01-16'
+                 THEN 0 ELSE 1 END)::BIGINT AS n_first,
+        SUM(CASE WHEN strftime(ts, '%Y-%m-%d') >= '2024-01-16'
+                 THEN 1 ELSE 0 END)::BIGINT AS n_second
+      FROM events GROUP BY event_type
+    ), tot AS (
+      SELECT SUM(n_first)::BIGINT AS tot_a, SUM(n_second)::BIGINT AS tot_b
+      FROM per_type
+    )
+    SELECT event_type, n_first, n_second,
+      ROUND(n_first / tot_a, 6) AS share_first,
+      ROUND(n_second / tot_b, 6) AS share_second,
+      ROUND(
+        (n_first - (tot_a * (n_first + n_second)) / (tot_a + tot_b))
+          * (n_first - (tot_a * (n_first + n_second)) / (tot_a + tot_b))
+          / ((tot_a * (n_first + n_second)) / (tot_a + tot_b))
+        + (n_second - (tot_b * (n_first + n_second)) / (tot_a + tot_b))
+          * (n_second - (tot_b * (n_first + n_second)) / (tot_a + tot_b))
+          / ((tot_b * (n_first + n_second)) / (tot_a + tot_b)), 6
+      ) AS chi2_contrib
+    FROM per_type CROSS JOIN tot ORDER BY event_type
+    """,
+    tags=("AD-4",),
+)
+def q_event_type_drift(spark, sf_dir):
+    """Chi-square homogeneity drift report: first vs second half of
+    the month — the between-batch dataset-drift monitor."""
+    return AD.event_type_drift(_events(spark, sf_dir))
+
+
+@register(
     "order_price_outliers",
     """
     WITH seg AS (
@@ -4544,6 +4579,7 @@ _DRIVER_FIRST = [
     "hourly_event_anomalies",
     "brute_force_ips",
     "order_price_outliers",
+    "event_type_drift",
     "commonness_scores",
     "embedding_random_projection",
     # latest driver row is round 1 (stalest first)

@@ -194,3 +194,61 @@ class TestRandomProjection:
         assert [out[0][f"proj_{j}"] for j in range(1, 5)] == [
             out[1][f"proj_{j}"] for j in range(1, 5)
         ]
+
+
+class TestEventTypeDrift:
+    def test_planted_drift_dominates_chi2(self, spark):
+        # 'click' is balanced across halves; 'error' appears only in
+        # the second half -> its chi2 contribution dominates.
+        rows = []
+        for d in (1, 2, 20, 21):
+            for i in range(50):
+                rows.append((f"2024-01-{d:02d} 10:00:{i % 60:02d}", "click"))
+        for i in range(50):
+            rows.append((f"2024-01-2{i % 5} 11:00:00", "error"))
+        df = spark.createDataFrame(rows, "ts_s string, event_type string").select(
+            F.to_timestamp("ts_s").alias("ts"), "event_type"
+        )
+        out = {r.event_type: r for r in AD.event_type_drift(df).collect()}
+        assert out["click"].n_first == 100 and out["click"].n_second == 100
+        assert out["error"].n_first == 0 and out["error"].n_second == 50
+        assert out["error"].chi2_contrib > 3 * out["click"].chi2_contrib
+        # shares are per-half distributions and sum to 1 per column
+        assert out["click"].share_first == 1.0
+
+    def test_no_drift_means_zero_chi2(self, spark):
+        rows = [("2024-01-01 00:00:00", "a"), ("2024-01-20 00:00:00", "a")]
+        df = spark.createDataFrame(rows, "ts_s string, event_type string").select(
+            F.to_timestamp("ts_s").alias("ts"), "event_type"
+        )
+        out = AD.event_type_drift(df).collect()
+        assert len(out) == 1 and out[0].chi2_contrib == 0.0
+
+
+class TestApproxPercentilesBounded:
+    def test_sketch_within_rank_error_of_exact(self, spark, events):
+        """AGG-2 approx twin: approx_percentile guarantees a RANK
+        error <= 1/accuracy and returns an actual data element (no
+        interpolation, unlike exact ``percentile``), so the bound is:
+        the reported value lies between the sorted elements at ranks
+        floor((q - eps) * n) and ceil((q + eps) * n)."""
+        import math
+
+        from bigdata_logs_spark.operators import dashboard as D
+
+        approx = {r.event_type: r for r in D.value_percentiles_approx(events).collect()}
+        eps = 1.0 / 10000
+        groups = {
+            r.event_type: sorted(r.vals)
+            for r in events.groupBy("event_type")
+            .agg(F.collect_list("value").alias("vals"))
+            .collect()
+        }
+        for q, col in ((0.5, "p50"), (0.95, "p95"), (0.99, "p99")):
+            for et, row in approx.items():
+                vals = groups[et]
+                n = len(vals)
+                lo_i = max(0, math.floor((q - eps) * n) - 1)
+                hi_i = min(n - 1, math.ceil((q + eps) * n))
+                got = getattr(row, col)
+                assert vals[lo_i] - 1e-6 <= got <= vals[hi_i] + 1e-6, (et, col)

@@ -308,3 +308,51 @@ def test_scoped_verify_gates_gram_explode_behind_semi_join(
     assert "LeftSemi" in plan_of()
     monkeypatch.setenv("BLS_SCOPE_VERIFY_MIN_BYTES", str(1 << 40))
     assert "LeftSemi" not in plan_of()
+
+
+def test_price_outliers_broadcast_stats_never_shuffle_on_segment(spark, sf_dir):
+    """AD-3's 5-row median/MAD tables must come back as broadcasts —
+    a hash/range repartition of raw prices on the 5-value segment key
+    would serialize the corpus through 5 tasks at scale."""
+    plan = _plan(spark, "order_price_outliers", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_drift_report_is_single_agg_plus_broadcast_totals(spark, sf_dir):
+    """AD-4: exactly one pass over the fact table (one partial_count
+    family over events) and a 1-row broadcast for the totals — the
+    contingency table must not rescan events."""
+    import re
+
+    plan = _plan(spark, "event_type_drift", sf_dir)
+    # formatted plans mention each node twice (tree + detail section)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Join" not in plan  # totals via k-row window, no rescan
+    assert "CartesianProduct" not in plan
+
+
+def test_random_projection_is_narrow_before_presentation_sort(spark, sf_dir):
+    """E-10 is a per-row expression: no aggregation, no join; the only
+    exchange allowed is the final presentation orderBy."""
+    import re
+
+    plan = _plan(spark, "embedding_random_projection", sf_dir)
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+    assert "hashpartitioning" not in plan  # no compute shuffle
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1  # orderBy only
+
+
+def test_commonness_join_is_token_keyed_no_nested_loop_over_corpus(spark, sf_dir):
+    """T-12's vocab join back must be an equi-join on token (shuffle
+    or broadcast hash), never a nested loop; the only BNL allowed is
+    the 1-row corpus-total broadcast."""
+    import re
+
+    plan = _plan(spark, "commonness_scores", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)) <= 1
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
