@@ -166,14 +166,24 @@ def event_type_drift(events: DataFrame, split_date: str = "2024-01-16") -> DataF
         F.sum(F.when(~is_b, 1).otherwise(0)).alias("n_first"),
         F.sum(F.when(is_b, 1).otherwise(0)).alias("n_second"),
     )
-    # Totals come from an unpartitioned window over the ALREADY
-    # AGGREGATED k-row table (k = #event types), not a second pass
-    # over events — one fact-table scan total. The single-partition
-    # window is safe: it only ever sees k rows.
+    return chi2_drift_report(per_type, key_col="event_type")
+
+
+def chi2_drift_report(contingency: DataFrame, key_col: str) -> DataFrame:
+    """Shared chi-square tail of the drift monitors: takes a k-row
+    contingency table (key, n_first, n_second) — however produced
+    (batch agg for AD-4, streaming complete-mode agg for ST-12) — and
+    appends shares and per-key chi-square contributions.
+
+    Totals come from an unpartitioned window over the ALREADY
+    AGGREGATED k-row table, not a second pass over the fact data —
+    one fact-table scan total. The single-partition window is safe:
+    it only ever sees k rows.
+    """
     w = Window.partitionBy()
-    with_tot = per_type.withColumn("tot_a", F.sum("n_first").over(w)).withColumn(
-        "tot_b", F.sum("n_second").over(w)
-    )
+    with_tot = contingency.withColumn(
+        "tot_a", F.sum("n_first").over(w)
+    ).withColumn("tot_b", F.sum("n_second").over(w))
     a, b = F.col("n_first"), F.col("n_second")
     ta, tb = F.col("tot_a"), F.col("tot_b")
     e_a = (ta * (a + b)) / (ta + tb)
@@ -182,14 +192,14 @@ def event_type_drift(events: DataFrame, split_date: str = "2024-01-16") -> DataF
     return (
         with_tot
         .select(
-            "event_type",
+            key_col,
             "n_first",
             "n_second",
             F.round(a / ta, 6).alias("share_first"),
             F.round(b / tb, 6).alias("share_second"),
             F.round(chi2, 6).alias("chi2_contrib"),
         )
-        .orderBy("event_type")
+        .orderBy(key_col)
     )
 
 

@@ -437,3 +437,34 @@ def key_skew_report(
         .orderBy(F.desc("n_rows"), F.asc("key_value"))
         .limit(top)
     )
+
+
+def corpus_manifest(docs: DataFrame) -> DataFrame:
+    """PL-12: deterministic dataset-card manifest per (source, lang)
+    stratum — the reproducibility artifact published next to an
+    exported training corpus: row/char/token totals, the doc_id range,
+    and an order-independent content fingerprint (bit_xor of a 32-bit
+    md5 prefix per document), so two exports can be compared for
+    identical CONTENT without re-reading either.
+
+    bit_xor, not sum: commutative/associative like sum, but can never
+    overflow and never needs ANSI wraparound care at any corpus size.
+    One map-side-combinable groupBy; output is strata-sized.
+    """
+    toks = F.when(
+        F.trim(F.col("text")) == "", F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(F.col("text")), r"\s+"))
+    return (
+        docs.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+            F.sum(F.size(toks)).alias("n_tokens"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+            F.expr(
+                "bit_xor(cast(conv(substr(md5(text), 1, 8), 16, 10) as bigint))"
+            ).alias("content_fingerprint"),
+        )
+        .orderBy("source", "lang")
+    )

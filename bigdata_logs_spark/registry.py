@@ -4497,6 +4497,79 @@ def q_order_price_outliers(spark, sf_dir):
 
 
 @register(
+    "corpus_manifest",
+    TOKS_CTE
+    + """
+    SELECT source, lang, COUNT(*)::BIGINT AS n_docs,
+           SUM(n_chars)::BIGINT AS n_chars,
+           SUM(len(tokens))::BIGINT AS n_tokens,
+           MIN(doc_id)::BIGINT AS min_doc_id,
+           MAX(doc_id)::BIGINT AS max_doc_id,
+           bit_xor(('0x' || substr(md5(text), 1, 8))::BIGINT)
+             AS content_fingerprint
+    FROM toks GROUP BY source, lang ORDER BY source, lang
+    """,
+    tags=("PL-12",),
+)
+def q_corpus_manifest(spark, sf_dir):
+    """Dataset-card manifest with an order-independent bit_xor content
+    fingerprint per (source, lang) stratum."""
+    return PL.corpus_manifest(_docs(spark, sf_dir))
+
+
+@register(
+    "streaming_event_drift",
+    SSH_PARSE_CTE
+    + """
+    , per_type AS (
+      SELECT event,
+        SUM(CASE WHEN strftime(strptime('2024 ' || month || ' ' || day || ' '
+                                        || time, '%Y %b %d %H:%M:%S'),
+                               '%Y-%m-%d') >= '2024-01-16'
+                 THEN 0 ELSE 1 END)::BIGINT AS n_first,
+        SUM(CASE WHEN strftime(strptime('2024 ' || month || ' ' || day || ' '
+                                        || time, '%Y %b %d %H:%M:%S'),
+                               '%Y-%m-%d') >= '2024-01-16'
+                 THEN 1 ELSE 0 END)::BIGINT AS n_second
+      FROM parsed GROUP BY event
+    ), tot AS (
+      SELECT SUM(n_first)::BIGINT AS tot_a, SUM(n_second)::BIGINT AS tot_b
+      FROM per_type
+    )
+    SELECT event, n_first, n_second,
+      ROUND(n_first / tot_a, 6) AS share_first,
+      ROUND(n_second / tot_b, 6) AS share_second,
+      ROUND(
+        (n_first - (tot_a * (n_first + n_second)) / (tot_a + tot_b))
+          * (n_first - (tot_a * (n_first + n_second)) / (tot_a + tot_b))
+          / ((tot_a * (n_first + n_second)) / (tot_a + tot_b))
+        + (n_second - (tot_b * (n_first + n_second)) / (tot_a + tot_b))
+          * (n_second - (tot_b * (n_first + n_second)) / (tot_a + tot_b))
+          / ((tot_b * (n_first + n_second)) / (tot_a + tot_b)), 6
+      ) AS chi2_contrib
+    FROM per_type CROSS JOIN tot ORDER BY event
+    """,
+    tags=("ST-12",),
+)
+def q_streaming_event_drift(spark, sf_dir):
+    """ST-12: the drift monitor's streaming leg — the engine maintains
+    the (event, n_first, n_second) contingency state incrementally
+    (complete mode, availableNow drain), then the chi-square tail runs
+    over the k-row sink. Full SQL oracle: with every available file
+    drained, the sink equals the batch contingency exactly, so this is
+    one of the few ST entries with a value-hash check."""
+    from bigdata_logs_spark.operators.anomaly import chi2_drift_report
+    from bigdata_logs_spark.streaming import event_drift_counts
+
+    src = _stream_source_dir(spark, sf_dir)
+    parsed = read_ssh_stream(spark, src)
+    counts = event_drift_counts(parsed)
+    name = "bls_drift_" + _os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    run_stream_to_memory(counts, name, output_mode="complete")
+    return chi2_drift_report(spark.table(name), key_col="event")
+
+
+@register(
     "commonness_scores",
     TOKS_CTE
     + """
@@ -4580,6 +4653,8 @@ _DRIVER_FIRST = [
     "brute_force_ips",
     "order_price_outliers",
     "event_type_drift",
+    "streaming_event_drift",
+    "corpus_manifest",
     "commonness_scores",
     "embedding_random_projection",
     # latest driver row is round 1 (stalest first)

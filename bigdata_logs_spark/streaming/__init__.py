@@ -2,6 +2,7 @@ from bigdata_logs_spark.streaming.ingest import (
     brute_force_detector,
     repeat_offender_pairs,
     event_transitions_tws,
+    event_drift_counts,
     read_ssh_stream,
     severity_enriched_counts,
     stateful_alerts,
@@ -16,6 +17,7 @@ __all__ = [
     "brute_force_detector",
     "repeat_offender_pairs",
     "event_transitions_tws",
+    "event_drift_counts",
     "read_ssh_stream",
     "severity_enriched_counts",
     "stateful_alerts",

@@ -102,6 +102,26 @@ def stream_dedup(parsed: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def event_drift_counts(
+    parsed: DataFrame, split_date: str = "2024-01-16"
+) -> DataFrame:
+    """ST-12: streaming leg of the chi-square drift monitor (AD-4's
+    twin) — a complete-mode contingency aggregation (event, n_first,
+    n_second) maintained incrementally by the streaming engine. The
+    k-row state is the ONLY state held (no window buffering); the
+    chi-square tail runs as a batch expression over the drained sink
+    via ``operators.anomaly.chi2_drift_report``.
+
+    Same date-string split as the batch op: TIMESTAMP_NTZ-safe,
+    session-timezone independent.
+    """
+    is_b = F.date_format("ts", "yyyy-MM-dd") >= F.lit(split_date)
+    return parsed.filter(F.col("ts").isNotNull()).groupBy("event").agg(
+        F.sum(F.when(~is_b, 1).otherwise(0)).alias("n_first"),
+        F.sum(F.when(is_b, 1).otherwise(0)).alias("n_second"),
+    )
+
+
 def run_stream_to_memory(
     df: DataFrame,
     name: str,

@@ -252,3 +252,60 @@ class TestApproxPercentilesBounded:
                 hi_i = min(n - 1, math.ceil((q + eps) * n))
                 got = getattr(row, col)
                 assert vals[lo_i] - 1e-6 <= got <= vals[hi_i] + 1e-6, (et, col)
+
+
+class TestChi2DriftReport:
+    def test_shares_sum_to_one_and_statistic_additivity(self, spark):
+        from bigdata_logs_spark.operators.anomaly import chi2_drift_report
+
+        cont = spark.createDataFrame(
+            [("a", 10, 30), ("b", 20, 20), ("c", 70, 50)],
+            "k string, n_first long, n_second long",
+        )
+        out = chi2_drift_report(cont, key_col="k").collect()
+        assert abs(sum(r.share_first for r in out) - 1.0) < 1e-9
+        assert abs(sum(r.share_second for r in out) - 1.0) < 1e-9
+        # hand-computed chi-square statistic for this 3x2 table
+        import math
+
+        a = {"a": (10, 30), "b": (20, 20), "c": (70, 50)}
+        ta, tb = 100, 100
+        chi2 = 0.0
+        for n1, n2 in a.values():
+            e1 = ta * (n1 + n2) / (ta + tb)
+            e2 = tb * (n1 + n2) / (ta + tb)
+            chi2 += (n1 - e1) ** 2 / e1 + (n2 - e2) ** 2 / e2
+        assert abs(sum(r.chi2_contrib for r in out) - chi2) < 1e-5
+
+
+class TestCorpusManifest:
+    def test_fingerprint_is_row_order_independent_and_content_sensitive(
+        self, spark
+    ):
+        from bigdata_logs_spark.operators import pipeline as PL
+
+        rows = [
+            (0, "alpha beta", "en", "s1", 10),
+            (1, "gamma", "en", "s1", 5),
+            (2, "delta", "de", "s1", 5),
+        ]
+        schema = "doc_id long, text string, lang string, source string, n_chars long"
+        base = PL.corpus_manifest(spark.createDataFrame(rows, schema)).collect()
+        flipped = PL.corpus_manifest(
+            spark.createDataFrame(list(reversed(rows)), schema).repartition(3)
+        ).collect()
+        assert base == flipped  # order/partitioning never changes the manifest
+        en = next(r for r in base if r.lang == "en")
+        assert en.n_docs == 2 and en.n_tokens == 3
+        assert en.min_doc_id == 0 and en.max_doc_id == 1
+        # changing one document's content flips the stratum fingerprint
+        mutated = [(0, "alpha CHANGED", "en", "s1", 10)] + rows[1:]
+        mut = {
+            (r.source, r.lang): r
+            for r in PL.corpus_manifest(
+                spark.createDataFrame(mutated, schema)
+            ).collect()
+        }
+        assert mut[("s1", "en")].content_fingerprint != en.content_fingerprint
+        de = next(r for r in base if r.lang == "de")
+        assert mut[("s1", "de")].content_fingerprint == de.content_fingerprint
