@@ -6,6 +6,7 @@ query layer, `src/stats_dashboard.py`) with one command:
 
     python -m bigdata_logs_spark parse   --input SSH.log --output /store
     python -m bigdata_logs_spark stream  --input /logdir --name live
+    python -m bigdata_logs_spark detect  --sf-dir /data
     python -m bigdata_logs_spark query   events_per_day --sf-dir /data
     python -m bigdata_logs_spark sql     "SELECT ... FROM <any query view>"
     python -m bigdata_logs_spark explain regional_revenue
@@ -13,9 +14,10 @@ query layer, `src/stats_dashboard.py`) with one command:
 
 `parse` is the reference's whole ETL (parse -> typed schema -> store)
 as ONE lazy plan — no CSV hop, no Mongo hop, no type re-inference.
-`query` runs any of the 115 registry queries; `explain` prints a
-query's physical plan. `stream` runs the incremental ingestion the
-reference could only fake by polling.
+`query` runs any registry query; `explain` prints a query's physical
+plan. `stream` runs the incremental ingestion the reference could
+only fake by polling. `detect` prints the batch anomaly report (the
+reference's stated purpose, computed rather than eyeballed).
 """
 
 from __future__ import annotations
@@ -236,6 +238,36 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_detect(args) -> int:
+    """One-shot batch anomaly report — the reference's stated purpose
+    ("Detección de anomalías", README.md:2) as a single command
+    instead of a dashboard the viewer must eyeball: seasonal count
+    spikes, brute-force sources, robust price outliers, and
+    distribution drift, each from the AD-* operators."""
+    from pyspark.sql import functions as F
+
+    from bigdata_logs_spark.registry import REGISTRY
+
+    spark = _spark("detect")
+    sections = [
+        ("hourly count anomalies (z > 3 vs same-hour baseline)",
+         REGISTRY["hourly_event_anomalies"].fn(spark, args.sf_dir)
+         .filter("is_anomaly")),
+        ("brute-force sources (failed-auth bursts)",
+         REGISTRY["brute_force_ips"].fn(spark, args.sf_dir)
+         .filter("is_brute_force")),
+        ("order price outliers per segment (median/MAD gate)",
+         REGISTRY["order_price_outliers"].fn(spark, args.sf_dir)),
+        ("event-type drift, first vs second half (chi-square)",
+         REGISTRY["event_type_drift"].fn(spark, args.sf_dir)
+         .orderBy(F.desc("chi2_contrib"), "event_type")),
+    ]
+    for title, df in sections:
+        print(f"\n== {title} ==")
+        df.show(args.rows, truncate=False)
+    return 0
+
+
 def cmd_sql(args) -> int:
     import re
 
@@ -311,6 +343,13 @@ def main(argv: list[str] | None = None) -> int:
         help="drain available input, render one frame, exit (CI mode)",
     )
     pd.set_defaults(fn=cmd_dashboard)
+
+    pa = sub.add_parser(
+        "detect", help="batch anomaly report (AD-* detector family)"
+    )
+    pa.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    pa.add_argument("--rows", type=int, default=20)
+    pa.set_defaults(fn=cmd_detect)
 
     pq = sub.add_parser("query", help="run a registry query")
     pq.add_argument("name")

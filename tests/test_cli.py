@@ -124,3 +124,13 @@ def test_dashboard_once_renders_all_panels(capsys, tmp_path, spark, events):
     assert "brute-force hits" in out
     # panels actually rendered rows, not empty headers
     assert "only showing top" in out or "|" in out
+
+
+def test_detect_prints_all_four_anomaly_sections(capsys, spark, sf_dir):
+    assert main(["detect", "--sf-dir", sf_dir, "--rows", "5"]) == 0
+    out = capsys.readouterr().out
+    assert "hourly count anomalies" in out
+    assert "brute-force sources" in out
+    assert "price outliers" in out
+    assert "event-type drift" in out
+    assert "chi2_contrib" in out
