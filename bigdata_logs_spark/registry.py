@@ -4497,6 +4497,54 @@ def q_order_price_outliers(spark, sf_dir):
 
 
 @register(
+    "rollup_incremental_maintenance",
+    """
+    SELECT strftime(ts, '%Y-%m-%d') AS date, event_type,
+           COUNT(*)::BIGINT AS n,
+           SUM(CAST(value AS DECIMAL(18,2)))::DOUBLE AS total_value
+    FROM events GROUP BY 1, 2 ORDER BY date, event_type
+    """,
+    tags=("S-15",),
+)
+def q_rollup_incremental_maintenance(spark, sf_dir):
+    """S-15: materialized-rollup maintenance — the historical day×type
+    rollup is written to the store ONCE (decimal partials), then an
+    append delta (the last week) is aggregated to the same grain and
+    combined grain-wise. Per refresh the work is O(|delta|+|rollup|),
+    never O(|history|). The oracle is the FULL recompute over all of
+    events: proving combine(stored partials, delta partials) equals
+    it is exactly the associativity the pattern rests on."""
+    from pyspark.sql import functions as F
+
+    from bigdata_logs_spark.sources import (
+        daily_rollup_partials,
+        incremental_rollup_update,
+        write_parquet,
+    )
+
+    ev = _events(spark, sf_dir)
+    cutoff = "2024-01-25"
+    date = F.date_format("ts", "yyyy-MM-dd")
+    path = _scratch_path("bls_rollup", sf_dir)
+    import os as _o
+
+    if not _o.path.exists(_o.path.join(path, "_SUCCESS")):
+        write_parquet(
+            daily_rollup_partials(ev.filter(date < cutoff)),
+            path,
+            mode="overwrite",
+        )
+    stored = spark.read.parquet(path)
+    merged = incremental_rollup_update(stored, ev.filter(date >= cutoff))
+    return merged.select(
+        "date",
+        "event_type",
+        "n",
+        F.col("value_partial").cast("double").alias("total_value"),
+    ).orderBy("date", "event_type")
+
+
+@register(
     "corpus_manifest",
     TOKS_CTE
     + """
@@ -4655,6 +4703,7 @@ _DRIVER_FIRST = [
     "event_type_drift",
     "streaming_event_drift",
     "corpus_manifest",
+    "rollup_incremental_maintenance",
     "commonness_scores",
     "embedding_random_projection",
     # latest driver row is round 1 (stalest first)

@@ -324,3 +324,46 @@ def zorder_cells(events: DataFrame, cell_shift: int = 10) -> DataFrame:
         )
         .orderBy("z_cell")
     )
+
+
+def daily_rollup_partials(events: DataFrame) -> DataFrame:
+    """Day×type grain partial aggregate used by the incremental
+    rollup: count plus an EXACT decimal value sum, so partials from
+    different maintenance runs combine associatively without float
+    drift (sum-of-partial-decimals == decimal-sum-of-all)."""
+    from pyspark.sql import functions as F
+
+    return events.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("date"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("value_partial"),
+    )
+
+
+def incremental_rollup_update(
+    stored_rollup: DataFrame, delta_events: DataFrame
+) -> DataFrame:
+    """S-15: maintain a materialized day×type rollup from an append
+    delta WITHOUT rescanning history — aggregate only the delta to
+    the rollup grain, then combine partials grain-wise (counts add;
+    decimal partial sums add exactly).
+
+    This is the 100 TB dashboard-maintenance pattern: per refresh the
+    work is O(|delta| + |rollup|), never O(|history|). The combine is
+    a union + re-agg on the day grain, so Catalyst plans it as one
+    narrow hash aggregate over two small inputs; correctness is
+    oracle-proven as combine(partials) == full recompute.
+    """
+    from pyspark.sql import functions as F
+
+    delta = daily_rollup_partials(delta_events)
+    return (
+        stored_rollup.unionByName(delta)
+        .groupBy("date", "event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("value_partial").alias("value_partial"),
+        )
+    )

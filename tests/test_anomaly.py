@@ -309,3 +309,47 @@ class TestCorpusManifest:
         assert mut[("s1", "en")].content_fingerprint != en.content_fingerprint
         de = next(r for r in base if r.lang == "de")
         assert mut[("s1", "de")].content_fingerprint == de.content_fingerprint
+
+
+class TestIncrementalRollup:
+    def test_combine_equals_full_recompute_and_skips_history(
+        self, spark, events, tmp_path
+    ):
+        from bigdata_logs_spark.sources import (
+            daily_rollup_partials,
+            incremental_rollup_update,
+        )
+
+        date = F.date_format("ts", "yyyy-MM-dd")
+        cutoff = "2024-01-20"
+        hist_path = str(tmp_path / "rollup")
+        daily_rollup_partials(events.filter(date < cutoff)).write.parquet(
+            hist_path
+        )
+        stored = spark.read.parquet(hist_path)
+        merged = incremental_rollup_update(stored, events.filter(date >= cutoff))
+
+        full = daily_rollup_partials(events)
+        got = {
+            (r.date, r.event_type): (r.n, r.value_partial)
+            for r in merged.collect()
+        }
+        want = {
+            (r.date, r.event_type): (r.n, r.value_partial)
+            for r in full.collect()
+        }
+        assert got == want  # decimal partials combine EXACTLY
+
+        # the maintenance plan reads the STORED rollup parquet plus a
+        # date-filtered delta — history is never re-aggregated (its
+        # partials come from the store, pre-reduced to rollup grain)
+        plan = merged._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        # the materialized store is scanned (the only parquet relation
+        # here — the events fixture is cached as InMemoryRelation)...
+        assert "Scan parquet" in plan and "rollup" in plan
+        # ...and the delta side is date-filtered before aggregation
+        assert "date_format" in plan and "Filter" in plan
