@@ -261,6 +261,8 @@ def cmd_detect(args) -> int:
         ("event-type drift, first vs second half (chi-square)",
          REGISTRY["event_type_drift"].fn(spark, args.sf_dir)
          .orderBy(F.desc("chi2_contrib"), "event_type")),
+        ("ssh incident report (flagged IPs, ranked)",
+         REGISTRY["ssh_incident_report"].fn(spark, args.sf_dir)),
     ]
     for title, df in sections:
         print(f"\n== {title} ==")

@@ -203,6 +203,67 @@ def chi2_drift_report(contingency: DataFrame, key_col: str) -> DataFrame:
     )
 
 
+def ssh_incident_report(
+    parsed_with_ts: DataFrame,
+    window_s: int = 600,
+    threshold: int = 4,
+) -> DataFrame:
+    """AD-5: the composed security-investigation flagship — what an
+    analyst actually opens after an alert. One lazy plan joins the
+    burst detector's flagged IPs with the per-IP behavioral profile
+    (event volume, distinct users/ports probed, most-attempted user)
+    into a ranked incident table: the reference's per-IP drill-down
+    (``src/stats_dashboard.py:188-240``) with the anomaly call made
+    explicit instead of left to the viewer.
+
+    Scale shape: the flagged-IP set is alert-sized, so it BROADCASTS
+    into the behavior aggregation's output; the behavior profile
+    itself is one groupBy over the parse (map-side combinable) plus
+    the ssh_users_per_ip-style windowed top-1 — nothing outside the
+    (ip,) and (ip, user) keys ever shuffles.
+    """
+    incidents = brute_force_ips(parsed_with_ts, window_s, threshold).filter(
+        F.col("is_brute_force")
+    )
+    by_ip = parsed_with_ts.filter(F.col("ip").isNotNull())
+    behavior = by_ip.groupBy("ip").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user").alias("distinct_users"),
+        F.countDistinct("port").alias("distinct_ports"),
+    )
+    user_counts = (
+        by_ip.filter(F.col("user").isNotNull())
+        .groupBy("ip", "user")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top_user = (
+        user_counts.withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("ip").orderBy(F.desc("n"), F.asc("user"))
+            ),
+        )
+        .filter(F.col("rnk") == 1)
+        .select("ip", F.col("user").alias("top_user"))
+    )
+    return (
+        F.broadcast(incidents.drop("is_brute_force"))
+        .join(behavior, "ip")
+        .join(top_user, "ip", "left")
+        .select(
+            "ip",
+            "n_failures",
+            "max_burst",
+            "first_burst_at",
+            "n_events",
+            "distinct_users",
+            "distinct_ports",
+            "top_user",
+        )
+        .orderBy(F.desc("max_burst"), F.desc("n_failures"), F.asc("ip"))
+    )
+
+
 def order_price_outliers(orders: DataFrame, customer: DataFrame) -> DataFrame:
     """AD-3: robust per-segment price-outlier gate. Median and MAD
     (median absolute deviation) per customer market segment; an order

@@ -4497,6 +4497,56 @@ def q_order_price_outliers(spark, sf_dir):
 
 
 @register(
+    "ssh_incident_report",
+    SSH_PARSE_CTE
+    + """
+    , fails AS (
+      SELECT ip, strptime('2024 ' || month || ' ' || day || ' ' || time,
+                          '%Y %b %d %H:%M:%S') AS ts
+      FROM parsed
+      WHERE event IN ('failed_password', 'invalid_user', 'auth_failure')
+        AND ip IS NOT NULL
+    ), bursts AS (
+      SELECT ip, ts,
+             (COUNT(*) OVER (PARTITION BY ip ORDER BY epoch(ts)::BIGINT
+                RANGE BETWEEN 599 PRECEDING AND CURRENT ROW))::BIGINT AS burst
+      FROM fails
+    ), incidents AS (
+      SELECT ip, COUNT(*)::BIGINT AS n_failures, MAX(burst)::BIGINT AS max_burst,
+             strftime(MIN(CASE WHEN burst >= 2 THEN ts END),
+                      '%Y-%m-%d %H:%M:%S') AS first_burst_at
+      FROM bursts GROUP BY ip HAVING MAX(burst) >= 2
+    ), behavior AS (
+      SELECT ip, COUNT(*)::BIGINT AS n_events,
+             COUNT(DISTINCT user)::BIGINT AS distinct_users,
+             COUNT(DISTINCT port)::BIGINT AS distinct_ports
+      FROM parsed WHERE ip IS NOT NULL GROUP BY ip
+    ), top_user AS (
+      SELECT ip, user AS top_user FROM (
+        SELECT ip, user, ROW_NUMBER() OVER (PARTITION BY ip
+          ORDER BY COUNT(*) DESC, user) AS rnk
+        FROM parsed WHERE ip IS NOT NULL AND user IS NOT NULL
+        GROUP BY ip, user
+      ) WHERE rnk = 1
+    )
+    SELECT i.ip, i.n_failures, i.max_burst, i.first_burst_at,
+           b.n_events, b.distinct_users, b.distinct_ports, t.top_user
+    FROM incidents i
+    JOIN behavior b ON i.ip = b.ip
+    LEFT JOIN top_user t ON i.ip = t.ip
+    ORDER BY i.max_burst DESC, i.n_failures DESC, i.ip
+    """,
+    tags=("AD-5",),
+)
+def q_ssh_incident_report(spark, sf_dir):
+    """Composed incident table: flagged burst IPs × behavioral
+    profile × most-attempted user (threshold=2 on the burst-sparse
+    fixture, as in brute_force_ips)."""
+    parsed = with_event_time(parse_ssh_lines(_ssh_lines(spark, sf_dir)))
+    return AD.ssh_incident_report(parsed, threshold=2)
+
+
+@register(
     "rollup_incremental_maintenance",
     """
     SELECT strftime(ts, '%Y-%m-%d') AS date, event_type,
@@ -4704,6 +4754,7 @@ _DRIVER_FIRST = [
     "streaming_event_drift",
     "corpus_manifest",
     "rollup_incremental_maintenance",
+    "ssh_incident_report",
     "commonness_scores",
     "embedding_random_projection",
     # latest driver row is round 1 (stalest first)

@@ -353,3 +353,27 @@ class TestIncrementalRollup:
         assert "Scan parquet" in plan and "rollup" in plan
         # ...and the delta side is date-filtered before aggregation
         assert "date_format" in plan and "Filter" in plan
+
+
+class TestSshIncidentReport:
+    def test_composed_report_profiles_only_flagged_ips(self, spark):
+        rows = []
+        # attacker: burst of 5 in 4 min, probing 3 users and 2 ports
+        users = ["root", "admin", "root", "guest", "root"]
+        for i in range(5):
+            rows.append(
+                ("6.6.6.6", "failed_password", users[i], 22 + (i % 2), _ts(1, 9, i))
+            )
+        # quiet ip: single failure, never flagged
+        rows.append(("9.9.9.9", "failed_password", "bob", 22, _ts(2, 1)))
+        parsed = spark.createDataFrame(
+            rows, "ip string, event string, user string, port int, ts timestamp"
+        )
+        out = AD.ssh_incident_report(parsed, threshold=4).collect()
+        assert [r.ip for r in out] == ["6.6.6.6"]
+        inc = out[0]
+        assert inc.max_burst == 5 and inc.n_failures == 5
+        assert inc.n_events == 5
+        assert inc.distinct_users == 3 and inc.distinct_ports == 2
+        assert inc.top_user == "root"  # 3 of 5 attempts
+        assert inc.first_burst_at == "2024-01-01 09:03:00"

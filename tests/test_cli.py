@@ -134,3 +134,4 @@ def test_detect_prints_all_four_anomaly_sections(capsys, spark, sf_dir):
     assert "price outliers" in out
     assert "event-type drift" in out
     assert "chi2_contrib" in out
+    assert "ssh incident report" in out
