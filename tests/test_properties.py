@@ -231,3 +231,69 @@ def test_kmeans_partition_of_corpus_property(spark, k):
         by_cluster.setdefault(r["cluster"], set()).add(r["n_vecs"])
     assert all(len(s) == 1 for s in by_cluster.values())
     assert sum(next(iter(s)) for s in by_cluster.values()) == n_corpus
+
+
+@given(
+    st.lists(
+        st.tuples(words, st.integers(0, 500), st.integers(0, 500)),
+        min_size=2,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    ).filter(lambda rows: sum(r[1] for r in rows) > 0 and sum(r[2] for r in rows) > 0)
+)
+@settings(max_examples=8, deadline=None)
+def test_chi2_statistic_invariant_and_matches_scipy_free_reference(spark, rows):
+    """chi2_drift_report: the total statistic must match a pure-Python
+    reference on any contingency table and be invariant to row order
+    and partitioning (sums/window over a k-row table)."""
+    from bigdata_logs_spark.operators.anomaly import chi2_drift_report
+
+    df = spark.createDataFrame(rows, "k string, n_first long, n_second long")
+    out = chi2_drift_report(df, key_col="k").collect()
+    flipped = chi2_drift_report(
+        spark.createDataFrame(list(reversed(rows)), "k string, n_first long, n_second long")
+        .repartition(3),
+        key_col="k",
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, flipped))
+
+    ta = sum(r[1] for r in rows)
+    tb = sum(r[2] for r in rows)
+    want = 0.0
+    for _, n1, n2 in rows:
+        e1 = ta * (n1 + n2) / (ta + tb)
+        e2 = tb * (n1 + n2) / (ta + tb)
+        if e1 > 0:
+            want += (n1 - e1) ** 2 / e1
+        if e2 > 0:
+            want += (n2 - e2) ** 2 / e2
+    got = sum(r.chi2_contrib for r in out)
+    assert abs(got - want) < 1e-4
+
+
+@given(st.lists(st.integers(0, 2**31 - 1), min_size=1, max_size=6))
+@settings(max_examples=8, deadline=None)
+def test_random_projection_is_linear_property(spark, seeds):
+    """E-10 linearity: proj(a) + proj(b) == proj(a + b) exactly, for
+    integer-valued embeddings (quantization is identity on integers,
+    and the fold is pure integer arithmetic)."""
+    import numpy as np
+
+    from bigdata_logs_spark.operators.similarity import random_projection
+
+    rng = np.random.RandomState(seeds[0] % (2**31))
+    a = rng.randint(-50, 50, size=8).astype("float64")
+    b = rng.randint(-50, 50, size=8).astype("float64")
+    emb = spark.createDataFrame(
+        [
+            (0, [float(x) for x in a], 0),
+            (1, [float(x) for x in b], 0),
+            (2, [float(x) for x in (a + b)], 0),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {r.vec_id: r for r in random_projection(emb, d_out=4).collect()}
+    for j in range(1, 5):
+        assert (
+            out[0][f"proj_{j}"] + out[1][f"proj_{j}"] == out[2][f"proj_{j}"]
+        )
