@@ -131,3 +131,33 @@ def conversion_latency(events: DataFrame) -> DataFrame:
         F.round(F.expr("percentile(latency_s, 0.5)"), 6).alias("p50_s"),
         F.round(F.expr("percentile(latency_s, 0.9)"), 6).alias("p90_s"),
     )
+
+
+def interarrival_stats(events: DataFrame) -> DataFrame:
+    """W-6: inter-arrival-time distribution per event type — the gap
+    percentiles behind rate monitoring and burst detection thresholds
+    (pick the brute-force window from the p99 of normal arrival gaps,
+    not from folklore).
+
+    One window pass partitioned by event_type (lag of the epoch,
+    ties broken by event_id so the gap sequence is deterministic),
+    then an exact-percentile aggregate per type. ``unix_timestamp``
+    differences only — TIMESTAMP_NTZ-safe under any session timezone.
+    At 100 TB: swap ``percentile`` for ``approx_percentile``; the
+    window shuffles once on the same key the aggregate reuses.
+    """
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    ts_s = F.unix_timestamp(F.col("ts"))
+    gap = (ts_s - F.lag(ts_s).over(w)).alias("gap_s")
+    gaps = events.select("event_type", gap).filter(F.col("gap_s").isNotNull())
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.min("gap_s").alias("min_gap_s"),
+            F.round(F.expr("percentile(gap_s, 0.5)"), 6).alias("p50_gap_s"),
+            F.round(F.expr("percentile(gap_s, 0.99)"), 6).alias("p99_gap_s"),
+            F.max("gap_s").alias("max_gap_s"),
+        )
+        .orderBy("event_type")
+    )

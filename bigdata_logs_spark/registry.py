@@ -4497,6 +4497,31 @@ def q_order_price_outliers(spark, sf_dir):
 
 
 @register(
+    "interarrival_stats",
+    """
+    WITH gaps AS (
+      SELECT event_type,
+             floor(epoch(ts))::BIGINT - LAG(floor(epoch(ts))::BIGINT) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id) AS gap_s
+      FROM events
+    )
+    SELECT event_type, COUNT(*)::BIGINT AS n_gaps,
+           MIN(gap_s)::BIGINT AS min_gap_s,
+           ROUND(quantile_cont(gap_s, 0.5), 6) AS p50_gap_s,
+           ROUND(quantile_cont(gap_s, 0.99), 6) AS p99_gap_s,
+           MAX(gap_s)::BIGINT AS max_gap_s
+    FROM gaps WHERE gap_s IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("W-6",),
+)
+def q_interarrival_stats(spark, sf_dir):
+    """Per-type inter-arrival gap percentiles — the empirical basis
+    for rate-monitor thresholds (e.g. the brute-force window)."""
+    return AN.interarrival_stats(_events(spark, sf_dir))
+
+
+@register(
     "ssh_incident_report",
     SSH_PARSE_CTE
     + """
@@ -4755,6 +4780,7 @@ _DRIVER_FIRST = [
     "corpus_manifest",
     "rollup_incremental_maintenance",
     "ssh_incident_report",
+    "interarrival_stats",
     "commonness_scores",
     "embedding_random_projection",
     # latest driver row is round 1 (stalest first)

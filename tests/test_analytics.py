@@ -87,3 +87,26 @@ def test_user_sessions_accepts_timestamp_ntz(spark):
     assert rows["u1"].max_session_events == 2
     assert rows["u1"].max_session_duration_s == 600
     assert rows["u2"].n_sessions == 1
+
+
+def test_interarrival_gaps_match_hand_computed(spark):
+    import datetime
+
+    from bigdata_logs_spark.operators.analytics import interarrival_stats
+
+    def ts(m, s=0):
+        return datetime.datetime(2024, 1, 1, 0, m, s)
+
+    rows = [
+        (0, ts(0), "click"),
+        (1, ts(1), "click"),    # gap 60
+        (2, ts(4), "click"),    # gap 180
+        (3, ts(0), "error"),    # single event -> no gaps -> excluded
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    out = {r.event_type: r for r in interarrival_stats(df).collect()}
+    assert "error" not in out
+    c = out["click"]
+    assert c.n_gaps == 2
+    assert c.min_gap_s == 60 and c.max_gap_s == 180
+    assert c.p50_gap_s == 120.0  # interpolated median of {60, 180}
