@@ -107,6 +107,29 @@ def main() -> None:
     release_caches()
     spark.catalog.clearCache()
 
+    # Round-5 extension families, reported OUTSIDE the headline total
+    # so `value` stays comparable round-over-round: one warm pass each.
+    EXTENDED = [
+        "hourly_event_anomalies",
+        "brute_force_ips",
+        "event_type_drift",
+        "ssh_incident_report",
+        "commonness_scores",
+        "embedding_random_projection",
+        "corpus_manifest",
+        "rollup_incremental_maintenance",
+        "interarrival_stats",
+    ]
+    extended: dict[str, float] = {}
+    for name in EXTENDED:
+        if name not in REGISTRY:
+            continue
+        t0 = time.perf_counter()
+        assert REGISTRY[name].fn(spark, sf_dir).count() >= 0
+        extended[name] = round(time.perf_counter() - t0, 4)
+    release_caches()
+    spark.catalog.clearCache()
+
     from bench_streaming import measure_streaming
 
     streaming = measure_streaming(spark, sf_dir)
@@ -127,6 +150,8 @@ def main() -> None:
                 "cold_value": cold_total,
                 "cold_queries": cold,
                 "sf": sf,
+                "extended_queries": extended,
+                "extended_value": round(sum(extended.values()), 4),
                 "streaming": streaming,
                 "machine": {
                     "cpus": os.cpu_count(),
