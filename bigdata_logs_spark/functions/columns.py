@@ -168,3 +168,30 @@ def _estimated_splits(spark, total_bytes: int | None, n_files: int) -> int | Non
     bytes_per_core = padded // max(cores, 1)
     max_split = min(max_part, max(open_cost, bytes_per_core))
     return max(1, -(-padded // max(max_split, 1)))
+
+
+def pushdown_barrier(df, cols: tuple[str, ...] | None = None):
+    """Identity projection that BLOCKS filter pushdown below this
+    point, by wrapping each column in a nondeterministic-but-identity
+    expression (``when(spark_partition_id() >= -1, col)``).
+
+    Why: Catalyst pushes filters through ``repartition``. For a
+    CPU-heavy derived input (the synthesized SSH lines: every filter
+    on parsed fields drags 12 regex extractors and a timestamp parse
+    with it), that re-serializes the expensive expressions into the
+    single-split scan stage that ``spread_small_input`` just paid an
+    exchange to escape — observed 6x slowdown. Placing this barrier
+    between the repartition and the parse keeps the parse (and any
+    filter above it) on the parallel side of the exchange.
+
+    At production scale (well-split input, no repartition) it is a
+    per-row no-op branch; filters on regex-derived fields were never
+    scan-pushable anyway, so nothing is lost.
+    """
+    names = cols or tuple(df.columns)
+    return df.select(
+        *[
+            F.when(F.spark_partition_id() >= -1, F.col(c)).alias(c)
+            for c in names
+        ]
+    )

@@ -222,10 +222,19 @@ def ssh_incident_report(
     the ssh_users_per_ip-style windowed top-1 — nothing outside the
     (ip,) and (ip, user) keys ever shuffles.
     """
-    incidents = brute_force_ips(parsed_with_ts, window_s, threshold).filter(
+    from bigdata_logs_spark.caching import tracked_cache
+
+    # Three branches (burst detector, behavior profile, top user) all
+    # consume the parse; cache the PRUNED projection once instead of
+    # re-running the extractor chain per branch. tracked_cache so
+    # sweep drivers release the pin between queries.
+    parsed_slim = tracked_cache(
+        parsed_with_ts.select("ip", "user", "port", "event", "ts")
+    )
+    incidents = brute_force_ips(parsed_slim, window_s, threshold).filter(
         F.col("is_brute_force")
     )
-    by_ip = parsed_with_ts.filter(F.col("ip").isNotNull())
+    by_ip = parsed_slim.filter(F.col("ip").isNotNull())
     behavior = by_ip.groupBy("ip").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user").alias("distinct_users"),

@@ -767,7 +767,22 @@ SSH_PARSE_CTE = (
 
 
 def _ssh_lines(spark, sf_dir):
-    return synthesize_ssh_lines(load_table(spark, sf_dir, "events"))
+    # The sf0.1 events parquet is a single file, so every downstream
+    # regex extractor and timestamp parse would otherwise run in ONE
+    # task; spread_small_input round-robins the lines across the
+    # session's slots (metadata-gated no-op on well-split inputs) —
+    # the same treatment the minhash shingle stage gets.
+    # ...and a pushdown barrier keeps the parse there: Catalyst
+    # otherwise pushes every filter-on-parsed-fields (dragging the
+    # extractors with it) back below the exchange into the one-split
+    # scan stage (observed 6x).
+    from bigdata_logs_spark.functions import pushdown_barrier, spread_small_input
+
+    return pushdown_barrier(
+        spread_small_input(
+            synthesize_ssh_lines(load_table(spark, sf_dir, "events"))
+        )
+    )
 
 
 @register(
