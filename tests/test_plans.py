@@ -356,3 +356,28 @@ def test_commonness_join_is_token_keyed_no_nested_loop_over_corpus(spark, sf_dir
     assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
         "ShuffledHashJoin" in plan
     )
+
+
+def test_ssh_detector_filter_stays_above_the_spread_exchange(
+    spark, sf_dir, monkeypatch
+):
+    """The pushdown barrier must keep filters on parsed fields (and
+    the extractor chain they drag along) on the PARALLEL side of the
+    spread repartition — pushed below it, the whole parse serializes
+    through the single-split scan task (the 6x regression this
+    pins). The sf0.001 fixture is under the spread bytes gate, so
+    force the spread on to exercise the barrier."""
+    from bigdata_logs_spark.functions import columns as C
+    from bigdata_logs_spark.registry import REGISTRY
+
+    monkeypatch.setenv("BLS_SPREAD_MIN_BYTES", "1")
+    monkeypatch.setattr(C, "_SPREAD_MEMO", {})
+    df = REGISTRY["brute_force_ips"].fn(spark, sf_dir)
+    lines = (
+        df._jdf.queryExecution().optimizedPlan().toString().splitlines()
+    )
+    filter_idx = [i for i, l in enumerate(lines) if "Filter" in l]
+    repart_idx = [i for i, l in enumerate(lines) if "Repartition" in l]
+    assert filter_idx and repart_idx
+    # top-down tree print: every Filter line above every Repartition
+    assert max(filter_idx) < min(repart_idx)
