@@ -112,6 +112,7 @@ def main() -> None:
     EXTENDED = [
         "hourly_event_anomalies",
         "brute_force_ips",
+        "order_price_outliers",
         "event_type_drift",
         "ssh_incident_report",
         "commonness_scores",
@@ -119,6 +120,8 @@ def main() -> None:
         "corpus_manifest",
         "rollup_incremental_maintenance",
         "interarrival_stats",
+        # streaming_event_drift is deliberately absent: streaming-drain
+        # throughput is measured by the bench_streaming section.
     ]
     extended: dict[str, float] = {}
     for name in EXTENDED:
@@ -127,8 +130,11 @@ def main() -> None:
         t0 = time.perf_counter()
         assert REGISTRY[name].fn(spark, sf_dir).count() >= 0
         extended[name] = round(time.perf_counter() - t0, 4)
-    release_caches()
-    spark.catalog.clearCache()
+        # same honesty rule as the cold loop: no operator-internal
+        # cache (e.g. the incident report's parsed projection) may
+        # serve a later extended query's plan-equal intermediates
+        release_caches()
+        spark.catalog.clearCache()
 
     from bench_streaming import measure_streaming
 

@@ -33,12 +33,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from bigdata_logs_spark.operators.parse import FAILED_AUTH_EVENTS as FAIL_EVENTS
+
 # MAD -> sigma-equivalent scale for normal data, times the usual 3-sigma
 # gate. Written as one literal so Spark and the oracle parse the same
 # double.
 MAD_GATE = 4.4478
-
-FAIL_EVENTS = ("failed_password", "invalid_user", "auth_failure")
 
 
 def hourly_count_anomalies(events: DataFrame, sigma: float = 3.0) -> DataFrame:
@@ -189,15 +189,18 @@ def chi2_drift_report(contingency: DataFrame, key_col: str) -> DataFrame:
     e_a = (ta * (a + b)) / (ta + tb)
     e_b = (tb * (a + b)) / (ta + tb)
     chi2 = (a - e_a) * (a - e_a) / e_a + (b - e_b) * (b - e_b) / e_b
+    # Degenerate-split guard: with an empty half there is no drift
+    # question to ask — emit NULL rather than the engine-dependent
+    # 0/0 artifact (Spark NaN vs DuckDB inf); mirrored in the oracle.
     return (
         with_tot
         .select(
             key_col,
             "n_first",
             "n_second",
-            F.round(a / ta, 6).alias("share_first"),
-            F.round(b / tb, 6).alias("share_second"),
-            F.round(chi2, 6).alias("chi2_contrib"),
+            F.when(ta > 0, F.round(a / ta, 6)).alias("share_first"),
+            F.when(tb > 0, F.round(b / tb, 6)).alias("share_second"),
+            F.when((ta > 0) & (tb > 0), F.round(chi2, 6)).alias("chi2_contrib"),
         )
         .orderBy(key_col)
     )
@@ -284,10 +287,20 @@ def order_price_outliers(orders: DataFrame, customer: DataFrame) -> DataFrame:
     TPC-H construction). Exact ``percentile`` here; at 100 TB swap
     for ``approx_percentile`` with the same call shape.
     """
-    seg_price = orders.join(
-        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
-        orders.o_custkey == customer.c_custkey,
-    ).select(F.col("c_mktsegment").alias("segment"), F.col("o_totalprice").alias("price"))
+    from bigdata_logs_spark.caching import tracked_cache
+
+    # Three consumers (median, MAD, final gate) re-derive this 2-column
+    # projection; cache it once — Spark does not dedup common subtrees,
+    # so uncached this would scan-and-join the fact table three times.
+    seg_price = tracked_cache(
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == customer.c_custkey,
+        ).select(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_totalprice").alias("price"),
+        )
+    )
 
     med = seg_price.groupBy("segment").agg(
         F.expr("percentile(price, 0.5)").alias("med")

@@ -56,6 +56,11 @@ EVENT_LADDER: tuple[tuple[str, str], ...] = (
 )
 EVENT_TAGS = tuple(tag for _, tag in EVENT_LADDER) + ("other",)
 
+# The failed-authentication subset both brute-force detectors key on
+# (batch operators/anomaly.py, streaming/ingest.py) — one definition
+# so the twins can never silently diverge.
+FAILED_AUTH_EVENTS = ("failed_password", "invalid_user", "auth_failure")
+
 # Disconnect-reason ladder (reference `parse_logs.py:74-82`); the
 # timeout arm is case-insensitive.
 DISCONNECT_LADDER: tuple[tuple[str, str], ...] = (

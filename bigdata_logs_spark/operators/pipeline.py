@@ -451,9 +451,9 @@ def corpus_manifest(docs: DataFrame) -> DataFrame:
     overflow and never needs ANSI wraparound care at any corpus size.
     One map-side-combinable groupBy; output is strata-sized.
     """
-    toks = F.when(
-        F.trim(F.col("text")) == "", F.array().cast("array<string>")
-    ).otherwise(F.split(F.trim(F.col("text")), r"\s+"))
+    from bigdata_logs_spark.operators.textops import _tokens
+
+    toks = _tokens(F.col("text"))
     return (
         docs.groupBy("source", "lang")
         .agg(

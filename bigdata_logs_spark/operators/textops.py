@@ -442,6 +442,13 @@ def commonness_scores(docs: DataFrame) -> DataFrame:
     (map-side combinable), a join back on the token key, and a per-doc
     sum. The vocabulary agg output is Zipf-small relative to the
     corpus; the join is token-keyed and skew-handled by AQE.
+
+    Overflow bound: the n_tokens * corpus_total BIGINT product holds
+    while n_tokens * corpus_total < 2^63 — e.g. million-token docs
+    against a ~9e12-token corpus. Past that, cast both factors to
+    double before the division (the score is a probability; float
+    error at that scale is irrelevant) — same escape hatch as AD-1's
+    variance sums.
     """
     toks = with_tokens(docs).select(
         "doc_id", F.explode("tokens").alias("token")

@@ -4435,7 +4435,12 @@ def q_hourly_event_anomalies(spark, sf_dir):
 )
 def q_brute_force_ips(spark, sf_dir):
     """Batch twin of streaming_brute_force_detector: per-IP 10-minute
-    sliding failed-auth burst maxima over the parsed SSH stream."""
+    sliding failed-auth burst maxima over the parsed SSH stream.
+
+    The Spark op drops NULL-ts rows; the oracle has no equivalent
+    guard because DuckDB's strptime THROWS on unparseable input
+    rather than yielding NULL — on the synthesized corpus every line
+    parses, so the two filters are vacuously equivalent."""
     parsed = with_event_time(parse_ssh_lines(_ssh_lines(spark, sf_dir)))
     # threshold=2: the synthetic corpus is burst-sparse (max observed
     # trailing-10-min count is 2), so the fixture-facing registration
@@ -4444,33 +4449,51 @@ def q_brute_force_ips(spark, sf_dir):
     return AD.brute_force_ips(parsed, threshold=2)
 
 
-@register(
-    "event_type_drift",
-    """
-    WITH per_type AS (
-      SELECT event_type,
-        SUM(CASE WHEN strftime(ts, '%Y-%m-%d') >= '2024-01-16'
-                 THEN 0 ELSE 1 END)::BIGINT AS n_first,
-        SUM(CASE WHEN strftime(ts, '%Y-%m-%d') >= '2024-01-16'
-                 THEN 1 ELSE 0 END)::BIGINT AS n_second
-      FROM events GROUP BY event_type
-    ), tot AS (
+def _chi2_oracle(key: str, per_type_cte: str) -> str:
+    """Shared chi-square oracle tail (mirrors
+    ``operators.anomaly.chi2_drift_report``, including the
+    degenerate-empty-half NULL guard) — one generator for the AD-4 /
+    ST-12 twins so a fix to the arithmetic can never drift between
+    them. ``per_type_cte`` must end with a CTE named ``per_type``
+    exposing (key, n_first, n_second); note the first-half counter
+    must use ``< split THEN 1 ELSE 0`` so a NULL timestamp counts in
+    NEITHER half (the ELSE-1 form would sweep NULLs into n_first,
+    diverging from the Spark ops)."""
+    e_a = f"((tot_a * (n_first + n_second)) / (tot_a + tot_b))"
+    e_b = f"((tot_b * (n_first + n_second)) / (tot_a + tot_b))"
+    return (
+        per_type_cte
+        + f"""
+    , tot AS (
       SELECT SUM(n_first)::BIGINT AS tot_a, SUM(n_second)::BIGINT AS tot_b
       FROM per_type
     )
-    SELECT event_type, n_first, n_second,
-      ROUND(n_first / tot_a, 6) AS share_first,
-      ROUND(n_second / tot_b, 6) AS share_second,
-      ROUND(
-        (n_first - (tot_a * (n_first + n_second)) / (tot_a + tot_b))
-          * (n_first - (tot_a * (n_first + n_second)) / (tot_a + tot_b))
-          / ((tot_a * (n_first + n_second)) / (tot_a + tot_b))
-        + (n_second - (tot_b * (n_first + n_second)) / (tot_a + tot_b))
-          * (n_second - (tot_b * (n_first + n_second)) / (tot_a + tot_b))
-          / ((tot_b * (n_first + n_second)) / (tot_a + tot_b)), 6
-      ) AS chi2_contrib
-    FROM per_type CROSS JOIN tot ORDER BY event_type
-    """,
+    SELECT {key}, n_first, n_second,
+      CASE WHEN tot_a > 0 THEN ROUND(n_first / tot_a, 6) END AS share_first,
+      CASE WHEN tot_b > 0 THEN ROUND(n_second / tot_b, 6) END AS share_second,
+      CASE WHEN tot_a > 0 AND tot_b > 0 THEN ROUND(
+        (n_first - {e_a}) * (n_first - {e_a}) / {e_a}
+        + (n_second - {e_b}) * (n_second - {e_b}) / {e_b}, 6
+      ) END AS chi2_contrib
+    FROM per_type CROSS JOIN tot ORDER BY {key}
+    """
+    )
+
+
+@register(
+    "event_type_drift",
+    _chi2_oracle(
+        "event_type",
+        """
+    WITH per_type AS (
+      SELECT event_type,
+        SUM(CASE WHEN strftime(ts, '%Y-%m-%d') < '2024-01-16'
+                 THEN 1 ELSE 0 END)::BIGINT AS n_first,
+        SUM(CASE WHEN strftime(ts, '%Y-%m-%d') >= '2024-01-16'
+                 THEN 1 ELSE 0 END)::BIGINT AS n_second
+      FROM events GROUP BY event_type
+    )""",
+    ),
     tags=("AD-4",),
 )
 def q_event_type_drift(spark, sf_dir):
@@ -4657,36 +4680,23 @@ def q_corpus_manifest(spark, sf_dir):
 
 @register(
     "streaming_event_drift",
-    SSH_PARSE_CTE
-    + """
+    _chi2_oracle(
+        "event",
+        SSH_PARSE_CTE
+        + """
     , per_type AS (
       SELECT event,
         SUM(CASE WHEN strftime(strptime('2024 ' || month || ' ' || day || ' '
                                         || time, '%Y %b %d %H:%M:%S'),
-                               '%Y-%m-%d') >= '2024-01-16'
-                 THEN 0 ELSE 1 END)::BIGINT AS n_first,
+                               '%Y-%m-%d') < '2024-01-16'
+                 THEN 1 ELSE 0 END)::BIGINT AS n_first,
         SUM(CASE WHEN strftime(strptime('2024 ' || month || ' ' || day || ' '
                                         || time, '%Y %b %d %H:%M:%S'),
                                '%Y-%m-%d') >= '2024-01-16'
                  THEN 1 ELSE 0 END)::BIGINT AS n_second
       FROM parsed GROUP BY event
-    ), tot AS (
-      SELECT SUM(n_first)::BIGINT AS tot_a, SUM(n_second)::BIGINT AS tot_b
-      FROM per_type
-    )
-    SELECT event, n_first, n_second,
-      ROUND(n_first / tot_a, 6) AS share_first,
-      ROUND(n_second / tot_b, 6) AS share_second,
-      ROUND(
-        (n_first - (tot_a * (n_first + n_second)) / (tot_a + tot_b))
-          * (n_first - (tot_a * (n_first + n_second)) / (tot_a + tot_b))
-          / ((tot_a * (n_first + n_second)) / (tot_a + tot_b))
-        + (n_second - (tot_b * (n_first + n_second)) / (tot_a + tot_b))
-          * (n_second - (tot_b * (n_first + n_second)) / (tot_a + tot_b))
-          / ((tot_b * (n_first + n_second)) / (tot_a + tot_b)), 6
-      ) AS chi2_contrib
-    FROM per_type CROSS JOIN tot ORDER BY event
-    """,
+    )""",
+    ),
     tags=("ST-12",),
 )
 def q_streaming_event_drift(spark, sf_dir):

@@ -32,7 +32,7 @@ from bigdata_logs_spark.operators.enrich import with_event_time
 from bigdata_logs_spark.operators.parse import parse_ssh_lines
 
 # The reference's suspicious set (src/stats_dashboard.py:82).
-FAILED_EVENTS = ("failed_password", "invalid_user", "auth_failure")
+from bigdata_logs_spark.operators.parse import FAILED_AUTH_EVENTS as FAILED_EVENTS
 
 
 def read_ssh_stream(
