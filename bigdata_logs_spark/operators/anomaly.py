@@ -1,4 +1,4 @@
-"""Batch anomaly-detection operators (SURVEY.md §2 AD-1..AD-3).
+"""Batch anomaly-detection operators (SURVEY.md §2 AD-1..AD-5).
 
 The reference's stated purpose is "Detección de anomalías en los logs
 del sistema" (``/root/reference/README.md:2``), but its dashboard only
@@ -18,8 +18,13 @@ detectors, batch twins of the streaming detectors in
 - AD-3 ``order_price_outliers``: robust MAD outlier gate per customer
   segment — median/MAD instead of mean/stddev so the detector itself
   isn't skewed by the outliers it hunts.
+- AD-4 ``event_type_drift``: two-sample chi-square distribution-drift
+  report (``chi2_drift_report`` is the shared tail the ST-12
+  streaming twin reuses).
+- AD-5 ``ssh_incident_report``: the composed post-alert drill-down —
+  flagged burst IPs joined with their behavioral profile.
 
-Scale notes: all three aggregate the fact table down to a tiny keyed
+Scale notes: every detector aggregates the fact table down to a tiny keyed
 summary (720 day-hour cells, one row per IP, one row per segment)
 before any window/join math, so the second-stage statistics never see
 raw-event cardinality. Float determinism follows the registry
