@@ -364,3 +364,116 @@ def media_content_dedup(media: DataFrame) -> DataFrame:
         )
         .orderBy("checksum")
     )
+
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("b0", IntegerType()),
+        StructField("b1", IntegerType()),
+        StructField("b2", IntegerType()),
+        StructField("b3", IntegerType()),
+    ]
+)
+
+
+def perceptual_hashes(media: DataFrame) -> DataFrame:
+    """M-7: aHash-style perceptual fingerprint over the payload — 64
+    evenly-sampled bytes thresholded against their mean, packed into
+    four 16-bit bands (b0..b3). Byte-identical copies collide on all
+    four bands; NEAR-identical payloads (re-encodes, crops, small
+    edits) land within a few flipped bits, which banding turns into
+    bucket collisions for LSH pairing (same construction as the text
+    SimHash tiers, ``dedup.py``).
+
+    Pure integer math — sample index ``i * n // 64``, threshold
+    ``64 * byte > sum(bytes)`` (no division), band packing by shifts —
+    so the DuckDB oracle reproduces it bit-for-bit on the
+    text-derived media fixture. A real image pipeline inserts a
+    decode+grayscale+resize in front (``decode_media``'s real branch);
+    the hash construction and everything downstream is unchanged.
+
+    Scale shape: narrow Arrow ``mapInPandas`` over the scan; payload
+    never shuffles — only (media_id, 4 smallint-sized bands) leave
+    the stage. Empty payloads yield NULL bands (excluded from dedup).
+    """
+
+    def phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def bands(b) -> list:
+            raw = bytes(b)
+            n = len(raw)
+            if n == 0:
+                return [None, None, None, None]
+            codes = [raw[i * n // 64] for i in range(64)]
+            total = sum(codes)
+            bits = [1 if 64 * c > total else 0 for c in codes]
+            return [
+                sum(bits[16 * j + t] << t for t in range(16)) for j in range(4)
+            ]
+
+        for pdf in batches:
+            out = pdf["content"].map(bands)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "b0": out.map(lambda v: v[0]),
+                    "b1": out.map(lambda v: v[1]),
+                    "b2": out.map(lambda v: v[2]),
+                    "b3": out.map(lambda v: v[3]),
+                }
+            )
+
+    return media.mapInPandas(phash, PHASH_SCHEMA)
+
+
+def media_perceptual_dedup(media: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """M-7: perceptual near-duplicate pairs — candidate generation by
+    any-band equality (pigeonhole: <= 3 bands of 4 can differ only if
+    total Hamming >= ... a pair within ``max_hamming`` <= 48 bits can
+    still share no band, so this tier trades a little recall for
+    never comparing all pairs, exactly like banded MinHash), then an
+    exact 64-bit Hamming verify (``bit_count`` of per-band XOR) on
+    the candidates only.
+
+    Only (band value, media_id) keys shuffle; candidate volume is
+    bucket-bounded. Output is the verified pair list with distances.
+    """
+    hashes = perceptual_hashes(media).filter(F.col("b0").isNotNull())
+    long = hashes.select(
+        "media_id",
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("band", "val"),
+    )
+    cand = (
+        long.alias("l")
+        .join(
+            long.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.val") == F.col("r.val"))
+            & (F.col("l.media_id") < F.col("r.media_id")),
+        )
+        .select(
+            F.col("l.media_id").alias("media_a"),
+            F.col("r.media_id").alias("media_b"),
+        )
+        .distinct()
+    )
+    la = hashes.select(
+        F.col("media_id").alias("media_a"),
+        *[F.col(c).alias(f"{c}_a") for c in ("b0", "b1", "b2", "b3")],
+    )
+    rb = hashes.select(
+        F.col("media_id").alias("media_b"),
+        *[F.col(c).alias(f"{c}_b") for c in ("b0", "b1", "b2", "b3")],
+    )
+    hamming = sum(
+        F.bit_count(F.expr(f"int({c}_a ^ {c}_b)"))
+        for c in ("b0", "b1", "b2", "b3")
+    )
+    return (
+        cand.join(la, "media_a")
+        .join(rb, "media_b")
+        .withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("media_a", "media_b", "hamming")
+        .orderBy("media_a", "media_b")
+    )

@@ -4609,6 +4609,95 @@ def q_ssh_incident_report(spark, sf_dir):
     return AD.ssh_incident_report(parsed, threshold=2)
 
 
+PHASH_ORACLE_CTE = """
+WITH base AS (
+  SELECT doc_id AS media_id, text, length(text) AS n FROM documents
+), codes AS (
+  SELECT media_id, n,
+    CASE WHEN n = 0 THEN NULL
+         ELSE list_transform(range(0, 64),
+                i -> ascii(substr(text, (i * n // 64) + 1, 1))) END AS cs
+  FROM base
+), hashed AS (
+  SELECT media_id,
+    CASE WHEN cs IS NULL THEN NULL
+         ELSE list_transform(range(0, 64),
+                i -> CASE WHEN 64 * cs[i + 1] > list_sum(cs)::BIGINT
+                     THEN 1 ELSE 0 END) END AS bits
+  FROM codes
+), bands AS (
+  SELECT media_id,
+    CASE WHEN bits IS NULL THEN NULL ELSE list_sum(list_transform(range(0, 16),
+      t -> bits[t + 1] << t))::INT END AS b0,
+    CASE WHEN bits IS NULL THEN NULL ELSE list_sum(list_transform(range(0, 16),
+      t -> bits[16 + t + 1] << t))::INT END AS b1,
+    CASE WHEN bits IS NULL THEN NULL ELSE list_sum(list_transform(range(0, 16),
+      t -> bits[32 + t + 1] << t))::INT END AS b2,
+    CASE WHEN bits IS NULL THEN NULL ELSE list_sum(list_transform(range(0, 16),
+      t -> bits[48 + t + 1] << t))::INT END AS b3
+  FROM hashed
+)"""
+
+
+@register(
+    "media_phash",
+    PHASH_ORACLE_CTE
+    + """
+    SELECT media_id, b0, b1, b2, b3 FROM bands ORDER BY media_id
+    """,
+    tags=("M-7",),
+)
+def q_media_phash(spark, sf_dir):
+    """Perceptual aHash bands per media payload (Arrow mapInPandas;
+    exact integer construction mirrored by the oracle over the
+    text-derived media fixture)."""
+    return MM.perceptual_hashes(
+        MM.media_from_documents(_docs(spark, sf_dir))
+    ).orderBy("media_id")
+
+
+@register(
+    "media_perceptual_dedup",
+    PHASH_ORACLE_CTE
+    + """
+    , pairs AS (
+      SELECT DISTINCT l.media_id AS media_a, r.media_id AS media_b
+      FROM (SELECT media_id, j.band, CASE j.band WHEN 0 THEN b0 WHEN 1 THEN b1
+                   WHEN 2 THEN b2 ELSE b3 END AS val
+            FROM bands, (SELECT unnest(range(0, 4)) AS band) j
+            WHERE b0 IS NOT NULL) l
+      JOIN (SELECT media_id, j.band, CASE j.band WHEN 0 THEN b0 WHEN 1 THEN b1
+                   WHEN 2 THEN b2 ELSE b3 END AS val
+            FROM bands, (SELECT unnest(range(0, 4)) AS band) j
+            WHERE b0 IS NOT NULL) r
+        ON l.band = r.band AND l.val = r.val AND l.media_id < r.media_id
+    )
+    SELECT p.media_a, p.media_b,
+           (bit_count(xor(a.b0::BIGINT, b.b0::BIGINT))
+            + bit_count(xor(a.b1::BIGINT, b.b1::BIGINT))
+            + bit_count(xor(a.b2::BIGINT, b.b2::BIGINT))
+            + bit_count(xor(a.b3::BIGINT, b.b3::BIGINT)))::INT AS hamming
+    FROM pairs p
+    JOIN bands a ON p.media_a = a.media_id
+    JOIN bands b ON p.media_b = b.media_id
+    WHERE (bit_count(xor(a.b0::BIGINT, b.b0::BIGINT))
+           + bit_count(xor(a.b1::BIGINT, b.b1::BIGINT))
+           + bit_count(xor(a.b2::BIGINT, b.b2::BIGINT))
+           + bit_count(xor(a.b3::BIGINT, b.b3::BIGINT))) <= 8
+    ORDER BY media_a, media_b
+    """,
+    tags=("M-7",),
+)
+def q_media_perceptual_dedup(spark, sf_dir):
+    """Banded-LSH candidate pairs + exact 64-bit Hamming verify over
+    the perceptual hashes — the media tier of the dedup ladder
+    (byte-exact ``media_content_dedup`` first, this for re-encodes
+    and near-identical payloads)."""
+    return MM.media_perceptual_dedup(
+        MM.media_from_documents(_docs(spark, sf_dir))
+    )
+
+
 @register(
     "rollup_incremental_maintenance",
     """
@@ -4806,6 +4895,8 @@ _DRIVER_FIRST = [
     "rollup_incremental_maintenance",
     "ssh_incident_report",
     "interarrival_stats",
+    "media_phash",
+    "media_perceptual_dedup",
     "commonness_scores",
     "embedding_random_projection",
     # latest driver row is round 1 (stalest first)

@@ -202,3 +202,45 @@ def test_real_decoder_demuxes_mp4_video_dims(spark):
     assert (out[1]["width"], out[1]["height"]) == (1920, 1080)
     assert (out[2]["width"], out[2]["height"]) == (None, None)
     assert (out[3]["width"], out[3]["height"]) == (None, None)
+
+
+class TestPerceptualDedup:
+    def test_phash_matches_python_reference_and_flags_near_dup(self, spark):
+        from bigdata_logs_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+            media_perceptual_dedup,
+            perceptual_hashes,
+        )
+
+        base = bytes(range(200)) * 3
+        tweaked = bytearray(base)
+        tweaked[5] ^= 0xFF  # one-byte edit -> few flipped hash bits
+        unrelated = bytes(reversed(base))
+        rows = [
+            (0, "image", bytearray(base), None, None),
+            (1, "image", tweaked, None, None),
+            (2, "image", bytearray(unrelated), None, None),
+            (3, "image", bytearray(b""), None, None),
+        ]
+        media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        got = {r.media_id: r for r in perceptual_hashes(media).collect()}
+
+        def ref_bands(raw: bytes):
+            n = len(raw)
+            if n == 0:
+                return [None] * 4
+            codes = [raw[i * n // 64] for i in range(64)]
+            total = sum(codes)
+            bits = [1 if 64 * c > total else 0 for c in codes]
+            return [sum(bits[16 * j + t] << t for t in range(16)) for j in range(4)]
+
+        for mid, _, payload, _, _ in rows:
+            assert [got[mid][f"b{j}"] for j in range(4)] == ref_bands(bytes(payload))
+
+        pairs = {
+            (r.media_a, r.media_b): r.hamming
+            for r in media_perceptual_dedup(media).collect()
+        }
+        assert (0, 1) in pairs and pairs[(0, 1)] <= 8  # near-dup caught
+        assert (0, 2) not in pairs  # unrelated payload not paired
+        assert all(3 not in p for p in pairs)  # empty payload excluded
