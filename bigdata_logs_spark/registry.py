@@ -4747,6 +4747,89 @@ def q_rollup_incremental_maintenance(spark, sf_dir):
 
 
 @register(
+    "store_time_travel",
+    """
+    WITH updates AS (
+      SELECT event_id, ts + INTERVAL 1 HOUR AS ts, user_id, event_type,
+             value + 1000.0 AS value, props
+      FROM events WHERE event_id % 97 = 0
+    ), unioned AS (
+      SELECT *, 0 AS _src FROM events
+      UNION ALL SELECT *, 1 AS _src FROM updates
+    ), v2 AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY event_id ORDER BY ts DESC, _src DESC) AS _rn
+        FROM unioned
+      ) WHERE _rn = 1
+    ), agg1 AS (
+      SELECT event_type, COUNT(*)::BIGINT AS n_v1,
+             SUM(CAST(value AS DECIMAL(18,2)))::DOUBLE AS total_v1
+      FROM events GROUP BY event_type
+    ), agg2 AS (
+      SELECT event_type, COUNT(*)::BIGINT AS n_latest,
+             SUM(CAST(value AS DECIMAL(18,2)))::DOUBLE AS total_latest
+      FROM v2 GROUP BY event_type
+    )
+    SELECT a.event_type, n_v1, total_v1, n_latest, total_latest
+    FROM agg1 a JOIN agg2 b ON a.event_type = b.event_type
+    ORDER BY a.event_type
+    """,
+    tags=("S-16",),
+)
+def q_store_time_travel(spark, sf_dir):
+    """S-16: snapshot versioning / time travel on the parquet store —
+    version 1 is the raw events table, version 2 applies the S-9 CDC
+    batch; the query reads BOTH versions back (v1 pinned, latest
+    resolved) and aggregates them side by side. Green hash == the
+    pinned version is bit-stable after later writes (reproducible
+    reads), and the latest pointer resolves through the _SUCCESS
+    commit gate. The oracle recomputes both versions from the raw
+    table."""
+    from pyspark.sql import functions as F
+
+    from bigdata_logs_spark.sources import (
+        read_versioned,
+        upsert_keep_latest,
+        write_versioned,
+    )
+
+    ev = _events(spark, sf_dir)
+    path = _scratch_path("bls_versioned", sf_dir)
+    import os as _o
+
+    if not _o.path.isdir(_o.path.join(path, "v=2")):
+        write_versioned(ev, path)
+        updates = ev.filter(F.col("event_id") % 97 == 0).select(
+            "event_id",
+            (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts"),
+            "user_id",
+            "event_type",
+            (F.col("value") + 1000.0).alias("value"),
+            "props",
+        )
+        write_versioned(
+            upsert_keep_latest(ev, updates, ["event_id"], "ts"), path
+        )
+
+    def agg(df, n_name, t_name):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias(n_name),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias(t_name),
+        )
+
+    v1 = agg(read_versioned(spark, path, version=1), "n_v1", "total_v1")
+    latest = agg(read_versioned(spark, path), "n_latest", "total_latest")
+    return (
+        v1.join(latest, "event_type")
+        .select("event_type", "n_v1", "total_v1", "n_latest", "total_latest")
+        .orderBy("event_type")
+    )
+
+
+@register(
     "corpus_manifest",
     TOKS_CTE
     + """
@@ -4897,6 +4980,7 @@ _DRIVER_FIRST = [
     "interarrival_stats",
     "media_phash",
     "media_perceptual_dedup",
+    "store_time_travel",
     "commonness_scores",
     "embedding_random_projection",
     # latest driver row is round 1 (stalest first)

@@ -367,3 +367,55 @@ def incremental_rollup_update(
             F.sum("value_partial").alias("value_partial"),
         )
     )
+
+
+def write_versioned(df: DataFrame, path: str) -> int:
+    """S-16: append a new immutable SNAPSHOT VERSION of a table —
+    ``path/v=N`` — and return N. Readers pin a version for
+    reproducible reads (``read_versioned``); rollback is "read the
+    previous N"; concurrent readers of version N are isolated from
+    the in-flight write of N+1 because a version is only visible once
+    its ``_SUCCESS`` marker lands (Spark writes it last).
+
+    This is the poor-man's lakehouse time travel (an ADR consequence
+    of parquet-without-Delta — same shape as the Mongo->parquet ADR):
+    Delta/Iceberg would replace the directory convention with a
+    transaction log, and every caller of these two functions keeps
+    the same contract. Local-FS directory probe; a cluster deployment
+    swaps in the Hadoop FileSystem API.
+    """
+    import os
+    import re
+
+    existing = [
+        int(m.group(1))
+        for d in (os.listdir(path) if os.path.isdir(path) else [])
+        if (m := re.fullmatch(r"v=(\d+)", d))
+        and os.path.exists(os.path.join(path, d, "_SUCCESS"))
+    ]
+    version = max(existing, default=0) + 1
+    df.write.mode("overwrite").parquet(os.path.join(path, f"v={version}"))
+    return version
+
+
+def read_versioned(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read snapshot ``version`` of a versioned table (``None`` =
+    latest committed). Only ``_SUCCESS``-marked versions are visible —
+    a crashed writer's partial ``v=N`` directory is never read."""
+    import os
+    import re
+
+    committed = [
+        int(m.group(1))
+        for d in os.listdir(path)
+        if (m := re.fullmatch(r"v=(\d+)", d))
+        and os.path.exists(os.path.join(path, d, "_SUCCESS"))
+    ]
+    if not committed:
+        raise FileNotFoundError(f"no committed versions under {path}")
+    pick = version if version is not None else max(committed)
+    if pick not in committed:
+        raise FileNotFoundError(f"version {pick} not committed under {path}")
+    return spark.read.parquet(os.path.join(path, f"v={pick}"))

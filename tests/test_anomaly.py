@@ -377,3 +377,28 @@ class TestSshIncidentReport:
         assert inc.distinct_users == 3 and inc.distinct_ports == 2
         assert inc.top_user == "root"  # 3 of 5 attempts
         assert inc.first_burst_at == "2024-01-01 09:03:00"
+
+
+class TestVersionedStore:
+    def test_version_pinning_commit_gate_and_rollback(self, spark, events, tmp_path):
+        import os
+
+        from bigdata_logs_spark.sources import read_versioned, write_versioned
+
+        path = str(tmp_path / "vstore")
+        os.makedirs(path)
+        v1 = write_versioned(events.filter("event_id < 100"), path)
+        v2 = write_versioned(events.filter("event_id < 50"), path)
+        assert (v1, v2) == (1, 2)
+        assert read_versioned(spark, path).count() == 50          # latest
+        assert read_versioned(spark, path, version=1).count() == 100  # pinned
+        # an uncommitted (no _SUCCESS) version is invisible to readers
+        os.makedirs(os.path.join(path, "v=3"))
+        assert read_versioned(spark, path).count() == 50
+        # ...and the next writer claims v=3's slot number or beyond
+        v3 = write_versioned(events.filter("event_id < 10"), path)
+        assert v3 == 3 and read_versioned(spark, path).count() == 10
+        import pytest as _pytest
+
+        with _pytest.raises(FileNotFoundError):
+            read_versioned(spark, path, version=9)
