@@ -616,3 +616,55 @@ def component_size_histogram(
         .agg(F.count(F.lit(1)).alias("n_components"))
         .orderBy("component_size")
     )
+
+
+def minhash_calibration(docs: DataFrame) -> DataFrame:
+    """DD-11: estimator self-measurement for the MinHash tier (the
+    text-side sibling of ``ann_recall``): over the VERIFIED near-dup
+    pairs, compare the banded-signature agreement fraction (what LSH
+    acts on — for 1-row bands, P(band match) = Jaccard in
+    expectation) against the exact shingle Jaccard, and report the
+    corpus-level calibration: pair count, mean exact Jaccard, mean
+    band agreement, and mean absolute gap. Drift between the last two
+    numbers is the signal to re-tune bands/rows before trusting the
+    dedup tier on a new corpus.
+
+    Exactness discipline: Jaccard (already rounded to 4 dp) is scaled
+    to integer ten-thousandths and band agreement to the same units
+    (8 bands -> 1250 per matching band), so every sum is exact BIGINT
+    arithmetic and the three means are ONE division each — no float
+    accumulation order anywhere.
+
+    Scale shape: joins touch only the verified pair list (tiny) and
+    the 8-row-per-doc signature table; output is one row.
+    """
+    pairs = near_dup_pairs(docs)
+    sigs = minhash_signatures(docs)
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"), "band", F.col("sig").alias("sig_a")
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"), "band", F.col("sig").alias("sig_b")
+    )
+    per_pair = (
+        pairs.join(sa, "doc_a")
+        .join(sb, ["doc_b", "band"])
+        .groupBy("doc_a", "doc_b", "jaccard")
+        .agg(
+            F.sum(
+                F.when(F.col("sig_a") == F.col("sig_b"), 1).otherwise(0)
+            ).alias("n_agree")
+        )
+    )
+    j4 = F.round(F.col("jaccard") * 10000).cast("long")
+    return per_pair.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        (F.sum(j4) / (F.count(F.lit(1)) * 10000)).alias("avg_jaccard"),
+        (F.sum("n_agree") / (F.count(F.lit(1)) * 8)).alias(
+            "avg_band_agreement"
+        ),
+        (
+            F.sum(F.abs(j4 - F.lit(1250) * F.col("n_agree")))
+            / (F.count(F.lit(1)) * 10000)
+        ).alias("mean_abs_gap"),
+    )

