@@ -4998,12 +4998,13 @@ def q_embedding_random_projection(spark, sf_dir):
 #
 # Round-5 rotation: front-load ``fingerprints`` (oracle ::BIGINT
 # cast landed this round — needs a driver-signed green row) and the
-# two queries new in round 5 (never certified), then the
-# 35 queries whose latest driver row is round 1 (code has churned
-# every round since; re-certify oldest first), then the 46 whose
-# latest row is round 3. The ~50-row window certifies fingerprints +
-# all r1-stale + the first ~14 r3-stale; the remainder roll to r6.
-# Round-4-certified entries sort last — their rows are freshest.
+# ~20 queries NEW in round 5 (never certified: the AD family, ST-12,
+# W-6, T-12, E-10, PL-12, S-15/S-16, M-7, DD-11, J-14/S-14/ST-11),
+# then the 35 queries whose latest driver row is round 1. The
+# ~50-row window certifies fingerprints + every new query + the
+# first ~29 r1-stale; the last few r1-stale and the r3 block roll to
+# round 6 — never-certified beats stale-but-once-green when the
+# window can't fit both. Round-4-certified entries sort last.
 _DRIVER_FIRST = [
     # fixed this round (oracle HUGEINT->BIGINT cast) — re-certify
     "fingerprints",
