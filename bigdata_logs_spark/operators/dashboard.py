@@ -26,6 +26,7 @@ from __future__ import annotations
 from functools import reduce
 from operator import add
 
+import pandas  # noqa: F401  (resolves stringified pandas_udf type hints)
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -447,4 +448,55 @@ def column_profile(events: DataFrame) -> DataFrame:
             )
         )
         .orderBy("column_name")
+    )
+
+
+def value_median_pandas_agg(events: DataFrame) -> DataFrame:
+    """U-4: grouped-AGGREGATE ``@pandas_udf`` (series -> scalar per
+    group) — the last pandas extension-point flavor (U-1 grouped map,
+    U-2 scalar, U-3 stateful): per event type, the exact interpolated
+    median of ``value`` computed by numpy inside Arrow batches.
+
+    numpy's linear interpolation is the same rank formula as Spark's
+    ``percentile`` and DuckDB's ``quantile_cont``, so the three agree
+    bit-for-bit before the final round(6) — which is what lets a
+    Python aggregate sit in an oracle-checked registry at all. Native
+    ``percentile`` (AGG-2) stays the hot path; this proves the
+    escape hatch for aggregations built-ins can't express.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def exact_median(v: "pandas.Series") -> float:  # noqa: F821
+        import numpy as np
+
+        return float(np.percentile(v.to_numpy(), 50.0, method="linear"))
+
+    return (
+        events.groupBy("event_type")
+        .agg(F.round(exact_median("value"), 6).alias("p50"))
+        .orderBy("event_type")
+    )
+
+
+def props_typed_extract(events: DataFrame) -> DataFrame:
+    """F-2: TYPED semi-structured extraction — ``from_json`` with an
+    explicit schema turns the ``props`` JSON string into a real
+    struct column once, after which everything is ordinary typed
+    relational work (vs F-1's per-field ``get_json_object`` string
+    path). At scale the explicit schema also means one parse per row
+    regardless of how many fields downstream expressions touch.
+    """
+    parsed = events.withColumn(
+        "p", F.from_json("props", "k INT")
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count("p.k").alias("n_with_k"),
+            F.sum(F.col("p.k").cast("long")).alias("sum_k"),
+            F.min("p.k").alias("min_k"),
+            F.max("p.k").alias("max_k"),
+        )
+        .orderBy("event_type")
     )

@@ -4789,6 +4789,41 @@ def q_rollup_incremental_maintenance(spark, sf_dir):
 
 
 @register(
+    "value_median_pandas_agg",
+    """
+    SELECT event_type, ROUND(quantile_cont(value, 0.5), 6) AS p50
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("U-4",),
+)
+def q_value_median_pandas_agg(spark, sf_dir):
+    """Grouped-aggregate pandas_udf (series -> scalar per group):
+    numpy's linear-interpolated median agrees bit-for-bit with
+    Spark's percentile and DuckDB's quantile_cont."""
+    return D.value_median_pandas_agg(_events(spark, sf_dir))
+
+
+@register(
+    "props_typed_extract",
+    """
+    SELECT event_type,
+           COUNT(CAST(json_extract_string(props, '$.k') AS INT))::BIGINT
+             AS n_with_k,
+           SUM(CAST(json_extract_string(props, '$.k') AS INT))::BIGINT
+             AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS INT))::INT AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS INT))::INT AS max_k
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    tags=("F-2",),
+)
+def q_props_typed_extract(spark, sf_dir):
+    """Typed from_json struct extraction (one parse per row, explicit
+    schema) feeding ordinary typed aggregates."""
+    return D.props_typed_extract(_events(spark, sf_dir))
+
+
+@register(
     "store_time_travel",
     """
     WITH updates AS (
@@ -5025,6 +5060,8 @@ _DRIVER_FIRST = [
     "media_perceptual_dedup",
     "store_time_travel",
     "minhash_calibration",
+    "value_median_pandas_agg",
+    "props_typed_extract",
     "commonness_scores",
     "embedding_random_projection",
     # latest driver row is round 1 (stalest first)

@@ -128,3 +128,38 @@ def test_column_profile_counts_nulls_and_distincts(spark):
     assert got["ts"] == (1, 1)
     assert got["event_id"] == (0, 3)
     assert got["event_type"] == (0, 2)
+
+
+def test_pandas_grouped_agg_median_matches_native_percentile(spark, events):
+    """U-4: the grouped-agg pandas_udf median must equal the native
+    percentile(value, 0.5) on every group (same interpolation)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_logs_spark.operators.dashboard import value_median_pandas_agg
+
+    got = {r.event_type: r.p50 for r in value_median_pandas_agg(events).collect()}
+    want = {
+        r.event_type: r.p50
+        for r in events.groupBy("event_type")
+        .agg(F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_props_typed_extract_parses_once_and_handles_missing_keys(spark):
+    from bigdata_logs_spark.operators.dashboard import props_typed_extract
+
+    df = spark.createDataFrame(
+        [
+            ("a", '{"k": 5}'),
+            ("a", '{"k": 7}'),
+            ("a", '{"other": 1}'),   # k absent -> NULL, not counted
+            ("b", "not json"),        # corrupt -> NULL struct
+        ],
+        "event_type string, props string",
+    )
+    out = {r.event_type: r for r in props_typed_extract(df).collect()}
+    assert out["a"].n_with_k == 2 and out["a"].sum_k == 12
+    assert out["a"].min_k == 5 and out["a"].max_k == 7
+    assert out["b"].n_with_k == 0 and out["b"].sum_k is None
