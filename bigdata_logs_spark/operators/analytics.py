@@ -161,3 +161,39 @@ def interarrival_stats(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def user_activity_deciles(events: DataFrame) -> DataFrame:
+    """W-7: users bucketed into activity deciles (ntile over per-user
+    event counts) with per-decile volume stats — the "whale curve"
+    behind engagement dashboards and per-tier sampling policies (the
+    reference's per-user counts, ``stats_dashboard.py``, sorted and
+    cut into tenths). ntile completes the ranking-window taxonomy
+    next to row_number (W-1), running sums (W-2) and lag/lead (W-6).
+
+    Determinism: ntile assigns by position in the ORDER BY, so the
+    (n_events, user_id) tiebreak makes the assignment — including
+    which buckets get the +1 remainder rows — identical in any
+    engine.
+
+    Scale shape: the fact table collapses to one row per user in a
+    map-side-combinable groupBy FIRST; the ntile window then ranks
+    the (already small) user table — the global window never sees
+    raw-event cardinality. At 100 TB the user table is the thing you
+    ntile, and it is orders of magnitude smaller than the events.
+    """
+    per_user = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w = Window.orderBy("n_events", "user_id")
+    return (
+        per_user.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.min("n_events").alias("min_events"),
+            F.max("n_events").alias("max_events"),
+            F.sum("n_events").alias("total_events"),
+        )
+        .orderBy("decile")
+    )

@@ -331,3 +331,55 @@ def order_price_outliers(orders: DataFrame, customer: DataFrame) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+def rare_transitions(
+    events: DataFrame, rare_threshold: float = 0.05
+) -> DataFrame:
+    """AD-6: event-type Markov transition profile with rare-edge
+    flags — the batch calibration table behind sequence-anomaly
+    detection (the streaming ST-9 ``event_transitions`` operator
+    counts per-user transitions live; this is the corpus-wide model
+    that says which of those transitions are WORTH alerting on).
+    Security reading: a (login -> delete_all) edge with probability
+    0.0004 is an incident lead; (view -> click) at 0.2 is noise.
+
+    Semantics: per-user event streams ordered by (ts, event_id) —
+    the id tiebreak keeps simultaneous events deterministically
+    ordered across engines — yield (prev_type, next_type) bigrams;
+    the transition probability conditions on prev_type:
+    P(next|prev) = n(prev,next) / n(prev,*).
+
+    Scale shape: ONE window pass over (user_id) partitions (the same
+    shuffle key the sessionizer uses) produces the bigrams; they
+    collapse immediately into a k x k count table (k = event-type
+    cardinality, tiny), and the conditional total is a window over
+    the ALREADY AGGREGATED k^2 rows — the fact table is scanned
+    once and nothing bigger than (user_id)-keyed rows shuffles.
+    Probability is exact-integer n/total with ONE division, so the
+    double is bit-identical across engines.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    bigrams = (
+        events.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("prev_type"),
+            F.col("next_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    per_prev = Window.partitionBy("prev_type")
+    return (
+        bigrams.withColumn("prev_total", F.sum("n").over(per_prev))
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.round(F.col("n") / F.col("prev_total"), 6).alias("prob"),
+            (F.col("n") / F.col("prev_total") < F.lit(rare_threshold)).alias(
+                "is_rare"
+            ),
+        )
+        .orderBy("prev_type", "next_type")
+    )

@@ -685,3 +685,66 @@ def random_projection(emb: DataFrame, d_out: int = 8) -> DataFrame:
         for j in range(1, d_out + 1)
     ]
     return quantized.select("vec_id", "label", *cols).orderBy("vec_id")
+
+
+def pair_similarity_histogram(
+    emb: DataFrame, n_cells: int = 16, bin_width: float = 0.1
+) -> DataFrame:
+    """E-11: sampled pairwise-cosine histogram — the distribution a
+    curation team reads to PICK the near-dup threshold (where does the
+    dup mode separate from the background bulk?) before committing to
+    an ``embedding_near_dup`` cutoff. The reference has no calibration
+    story at all; DD-11 (``minhash_calibration``) is this operator's
+    text-side sibling.
+
+    Sampling is structural, not a post-filter: each vector lands in
+    one of ``n_cells`` pseudo-random cells via Knuth-hash arithmetic
+    on vec_id (engine-independent — no rand()), and only SAME-CELL
+    pairs are scored. That turns the quadratic all-pairs enumeration
+    into an equi-join on the cell key: n^2/n_cells expected pairs,
+    tunable to any budget by raising ``n_cells`` (the estimate stays
+    unbiased — cells are an iid-like partition of the corpus, so
+    within-cell pairs are a uniform pair sample).
+
+    Scale shape: one narrow projection adds the cell key; the
+    self-join shuffles each vector ONCE on the cell key (no
+    broadcast of the corpus, no cartesian — plan-checked in tests);
+    per-pair cosine is the same fold expression as knn; the histogram
+    is a map-side-combinable groupBy over ~40 bins.
+    """
+    # Norms are computed ONCE per vector (narrow, pre-shuffle), not
+    # per pair — at n^2/n_cells pairs that is the difference between
+    # O(n) and O(n^2/n_cells) norm folds.
+    cells = emb.select(
+        "vec_id",
+        "embedding",
+        ((F.col("vec_id") * F.lit(2654435761)) % F.lit(2147483647) % F.lit(n_cells)).alias(
+            "cell"
+        ),
+        F.sqrt(_dot("embedding", "embedding")).alias("norm"),
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.cell") == F.col("b.cell"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    cos = F.round(
+        _dot("a.embedding", "b.embedding") / (F.col("a.norm") * F.col("b.norm")),
+        6,
+    )
+    # Bin by floor(cos / width) on the ROUNDED cosine so the bin edge
+    # decision is made on the same 6-decimal double in both engines.
+    binned = pairs.select(
+        F.floor(cos / F.lit(bin_width)).cast("int").alias("bin")
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(
+            "bin",
+            F.round(F.col("bin") * F.lit(bin_width), 6).alias("cos_lo"),
+            "n_pairs",
+        )
+        .orderBy("bin")
+    )

@@ -475,3 +475,54 @@ def commonness_scores(docs: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def ngram_novelty(docs: DataFrame, k: int = 3) -> DataFrame:
+    """T-13: per-document novel-content fraction — the share of a
+    doc's distinct k-grams whose FIRST corpus occurrence (by doc_id
+    order) is in this document. The forward-looking twin of
+    ``boilerplate_fraction``: boilerplate asks "how much of this doc
+    is corpus-common", novelty asks "how much did this doc add that
+    no earlier doc had" — the incremental-value signal crawl curation
+    uses to rank re-crawls and near-duplicate chains (a doc that adds
+    nothing novel after its predecessors is a drop candidate even
+    when no single pairwise Jaccard crosses the dedup bar).
+
+    Deterministic by construction: "first" is min(doc_id) per gram —
+    a total order both engines share — not ingestion wall-clock.
+
+    Scale shape: per-doc DISTINCT grams (narrow explode), one
+    map-side-combinable min(doc_id) agg per gram (vocabulary-bounded
+    output), then an equi-join back on the gram key and a per-doc
+    integer fraction. Only (doc_id, gram) pairs ever shuffle; the
+    fraction is exact integer arithmetic with one final division.
+    """
+    grams = (
+        with_tokens(docs)
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(_gram_strings(k))).alias("gram"),
+        )
+    )
+    first_owner = grams.groupBy("gram").agg(
+        F.min("doc_id").alias("first_doc")
+    )
+    return (
+        grams.join(first_owner, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.round(F.col("n_novel") * 1.0 / F.col("n_grams"), 4).alias(
+                "novel_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -5021,6 +5021,109 @@ def q_embedding_random_projection(spark, sf_dir):
     return SIM.random_projection(_emb(spark, sf_dir))
 
 
+@register(
+    "rare_transitions",
+    """
+    WITH bigrams AS (
+      SELECT event_type AS prev_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events
+    ), counts AS (
+      SELECT prev_type, next_type, COUNT(*)::BIGINT AS n
+      FROM bigrams WHERE next_type IS NOT NULL
+      GROUP BY prev_type, next_type
+    )
+    SELECT prev_type, next_type, n,
+           ROUND(n::DOUBLE / (SUM(n) OVER (PARTITION BY prev_type))::BIGINT, 6)
+             AS prob,
+           (n::DOUBLE / (SUM(n) OVER (PARTITION BY prev_type))::BIGINT) < 0.05
+             AS is_rare
+    FROM counts ORDER BY prev_type, next_type
+    """,
+    tags=("AD-6",),
+)
+def q_rare_transitions(spark, sf_dir):
+    """Markov transition profile over per-user event streams with
+    rare-edge flags: one (user_id)-keyed window pass -> k x k count
+    table -> conditional probabilities from exact integer counts."""
+    return AD.rare_transitions(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "user_activity_deciles",
+    """
+    WITH per_user AS (
+      SELECT user_id, COUNT(*)::BIGINT AS n_events
+      FROM events GROUP BY user_id
+    ), tiled AS (
+      SELECT *, NTILE(10) OVER (ORDER BY n_events, user_id) AS decile
+      FROM per_user
+    )
+    SELECT decile::INT AS decile, COUNT(*)::BIGINT AS n_users,
+           MIN(n_events) AS min_events, MAX(n_events) AS max_events,
+           SUM(n_events)::BIGINT AS total_events
+    FROM tiled GROUP BY decile ORDER BY decile
+    """,
+    tags=("W-7",),
+)
+def q_user_activity_deciles(spark, sf_dir):
+    """Activity deciles via ntile over the (already aggregated)
+    per-user count table — completes the ranking-window taxonomy; the
+    (n_events, user_id) tiebreak pins remainder-row assignment so
+    both engines tile identically."""
+    return AN.user_activity_deciles(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "ngram_novelty",
+    _GRAMS3_CTE
+    + """
+    , owners AS (
+      SELECT gram, MIN(doc_id) AS first_doc FROM grams GROUP BY gram)
+    SELECT g.doc_id, COUNT(*)::BIGINT AS n_grams,
+           SUM(CASE WHEN o.first_doc = g.doc_id THEN 1 ELSE 0 END)::BIGINT
+             AS n_novel,
+           ROUND(SUM(CASE WHEN o.first_doc = g.doc_id THEN 1 ELSE 0 END)::DOUBLE
+                 / COUNT(*), 4) AS novel_frac
+    FROM grams g JOIN owners o USING (gram)
+    GROUP BY g.doc_id ORDER BY g.doc_id
+    """,
+    tags=("T-13",),
+)
+def q_ngram_novelty(spark, sf_dir):
+    """Per-doc novel-content fraction: share of a doc's distinct
+    3-grams first seen (min doc_id) in that doc — the incremental-
+    value signal next to boilerplate_fraction's corpus-common share."""
+    return TX.ngram_novelty(_docs(spark, sf_dir), k=3)
+
+
+@register(
+    "pair_similarity_histogram",
+    f"""
+    WITH cells AS (
+      SELECT vec_id, embedding,
+             ((vec_id * 2654435761) % 2147483647) % 16 AS cell,
+             SQRT({DOT_SQL.format(a='embedding', b='embedding')}) AS norm
+      FROM embeddings
+    ), pairs AS (
+      SELECT FLOOR(ROUND({DOT_SQL.format(a='a.embedding', b='b.embedding')}
+                   / (a.norm * b.norm), 6) / 0.1::DOUBLE)::INT AS bin
+      FROM cells a JOIN cells b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+    )
+    SELECT bin, ROUND(bin * 0.1::DOUBLE, 6) AS cos_lo, COUNT(*)::BIGINT AS n_pairs
+    FROM pairs GROUP BY bin ORDER BY bin
+    """,
+    tags=("E-11",),
+)
+def q_pair_similarity_histogram(spark, sf_dir):
+    """Hash-cell-sampled pairwise-cosine histogram — the threshold-
+    calibration curve for embedding near-dup; cells turn all-pairs
+    into an equi-join (n^2/n_cells pairs, no cartesian)."""
+    return SIM.pair_similarity_histogram(_emb(spark, sf_dir), n_cells=16)
+
+
 # ---------------------------------------------------------------------------
 # Driver-certification order
 # ---------------------------------------------------------------------------
@@ -5033,13 +5136,14 @@ def q_embedding_random_projection(spark, sf_dir):
 #
 # Round-5 rotation: front-load ``fingerprints`` (oracle ::BIGINT
 # cast landed this round — needs a driver-signed green row) and the
-# ~20 queries NEW in round 5 (never certified: the AD family, ST-12,
-# W-6, T-12, E-10, PL-12, S-15/S-16, M-7, DD-11, J-14/S-14/ST-11),
-# then the 35 queries whose latest driver row is round 1. The
-# ~50-row window certifies fingerprints + every new query + the
-# first ~29 r1-stale; the last few r1-stale and the r3 block roll to
-# round 6 — never-certified beats stale-but-once-green when the
-# window can't fit both. Round-4-certified entries sort last.
+# ~25 queries NEW in round 5 (never certified: the AD family, ST-12,
+# W-6/W-7, T-12/T-13, E-10/E-11, PL-12, S-15/S-16, M-7, DD-11,
+# J-14/S-14/ST-11), then the 35 queries whose latest driver row is
+# round 1. The ~50-row window certifies fingerprints + every new
+# query + the first ~24 r1-stale; the rest of the r1-stale and the
+# r3 block roll to round 6 — never-certified beats stale-but-once-
+# green when the window can't fit both. Round-4-certified entries
+# sort last.
 _DRIVER_FIRST = [
     # fixed this round (oracle HUGEINT->BIGINT cast) — re-certify
     "fingerprints",
@@ -5064,6 +5168,10 @@ _DRIVER_FIRST = [
     "props_typed_extract",
     "commonness_scores",
     "embedding_random_projection",
+    "rare_transitions",
+    "user_activity_deciles",
+    "ngram_novelty",
+    "pair_similarity_histogram",
     # latest driver row is round 1 (stalest first)
     "events_of_type",
     "entity_hourly_activity",

@@ -110,3 +110,27 @@ def test_interarrival_gaps_match_hand_computed(spark):
     assert c.n_gaps == 2
     assert c.min_gap_s == 60 and c.max_gap_s == 180
     assert c.p50_gap_s == 120.0  # interpolated median of {60, 180}
+
+
+def test_user_activity_deciles_partition_users_exactly(spark):
+    from bigdata_logs_spark.operators.analytics import user_activity_deciles
+
+    # 25 users, user k has k+1 events -> ntile(10) over 25 rows gives
+    # five 3-user buckets then five 2-user buckets (remainder rule).
+    rows = [
+        (eid, f"u{k:02d}", datetime.datetime(2024, 1, 1 + (eid % 20)), "click")
+        for eid, (k, _) in enumerate(
+            (k, j) for k in range(25) for j in range(k + 1)
+        )
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id string, ts timestamp, event_type string"
+    )
+    out = user_activity_deciles(df).collect()
+    assert [r.decile for r in out] == list(range(1, 11))
+    assert [r.n_users for r in out] == [3, 3, 3, 3, 3, 2, 2, 2, 2, 2]
+    # deciles are ordered: max of each <= min of the next
+    for lo, hi in zip(out, out[1:]):
+        assert lo.max_events <= hi.min_events
+    assert sum(r.n_users for r in out) == 25
+    assert sum(r.total_events for r in out) == len(rows)

@@ -402,3 +402,52 @@ class TestVersionedStore:
 
         with _pytest.raises(FileNotFoundError):
             read_versioned(spark, path, version=9)
+
+
+class TestRareTransitions:
+    def test_probabilities_and_rare_flag(self, spark):
+        # user 1: login -> view -> view -> delete; user 2: login -> view.
+        # From "view": view->view 1, view->delete 1, view->(end).
+        rows = [
+            Row(event_id=1, user_id=1, ts=_ts(1, 1, 0), event_type="login"),
+            Row(event_id=2, user_id=1, ts=_ts(1, 1, 1), event_type="view"),
+            Row(event_id=3, user_id=1, ts=_ts(1, 1, 2), event_type="view"),
+            Row(event_id=4, user_id=1, ts=_ts(1, 1, 3), event_type="delete"),
+            Row(event_id=5, user_id=2, ts=_ts(1, 2, 0), event_type="login"),
+            Row(event_id=6, user_id=2, ts=_ts(1, 2, 1), event_type="view"),
+        ]
+        out = {
+            (r.prev_type, r.next_type): r
+            for r in AD.rare_transitions(
+                spark.createDataFrame(rows), rare_threshold=0.6
+            ).collect()
+        }
+        assert out[("login", "view")].n == 2
+        assert out[("login", "view")].prob == 1.0
+        assert not out[("login", "view")].is_rare
+        assert out[("view", "delete")].prob == 0.5
+        assert out[("view", "delete")].is_rare  # 0.5 < 0.6
+        # transitions never cross users: no ("view", "login") edge
+        assert ("view", "login") not in out
+
+    def test_conditional_probs_sum_to_one(self, events):
+        from collections import defaultdict
+
+        sums = defaultdict(float)
+        for r in AD.rare_transitions(events).collect():
+            sums[r.prev_type] += r.prob
+        for prev, s in sums.items():
+            assert abs(s - 1.0) < 1e-4, (prev, s)
+
+    def test_simultaneous_events_tiebreak_on_id(self, spark):
+        # Two events at the SAME timestamp: order must follow event_id.
+        rows = [
+            Row(event_id=10, user_id=1, ts=_ts(1, 1), event_type="a"),
+            Row(event_id=11, user_id=1, ts=_ts(1, 1), event_type="b"),
+            Row(event_id=12, user_id=1, ts=_ts(1, 2), event_type="c"),
+        ]
+        got = {
+            (r.prev_type, r.next_type)
+            for r in AD.rare_transitions(spark.createDataFrame(rows)).collect()
+        }
+        assert got == {("a", "b"), ("b", "c")}

@@ -262,3 +262,48 @@ def test_chunking_rejects_gapful_stride(spark):
     )
     with _pytest.raises(ValueError, match="stride"):
         chunk_documents(docs, chunk_size=2, stride=3)
+
+
+def test_ngram_novelty_copy_has_zero_novelty(spark):
+    from bigdata_logs_spark.operators.textops import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e", "en", "s1", 9),
+            (1, "a b c d e", "en", "s1", 9),  # verbatim copy of doc 0
+            (2, "x y z w", "en", "s2", 7),  # all-new content
+            (3, "c d e x y z q", "en", "s2", 13),  # mix: old + new grams
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r.doc_id: r for r in ngram_novelty(docs, k=3).collect()}
+    assert out[0].novel_frac == 1.0
+    assert out[1].novel_frac == 0.0  # every gram first seen in doc 0
+    assert out[2].novel_frac == 1.0
+    # doc 3: grams {c d e, d e x, e x y, x y z, y z q} — 'c d e' is
+    # doc 0's, 'x y z' is doc 2's, the 3 bridging grams are novel.
+    assert out[3].n_grams == 5
+    assert out[3].n_novel == 3
+    # short docs (< k tokens) emit no grams and are absent
+    assert set(out) == {0, 1, 2, 3}
+
+
+def test_pair_similarity_histogram_counts_and_plan(spark, sf_dir):
+    from bigdata_logs_spark.operators.similarity import (
+        pair_similarity_histogram,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    hist = pair_similarity_histogram(emb, n_cells=16)
+    # the cell equi-join must not degrade to a cartesian product
+    plan = hist._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    rows = hist.collect()
+    n = emb.count()
+    # cosine bins live in [-1, 1] -> bin in [-10, 10]
+    assert all(-10 <= r.bin <= 10 for r in rows)
+    total_pairs = sum(r.n_pairs for r in rows)
+    # sampled pair count: sum over cells of c_i*(c_i-1)/2, strictly
+    # fewer than all pairs but non-empty for any non-trivial corpus
+    assert 0 < total_pairs < n * (n - 1) // 2
