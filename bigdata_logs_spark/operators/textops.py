@@ -526,3 +526,46 @@ def ngram_novelty(docs: DataFrame, k: int = 3) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def ngram_rows_udtf(docs: DataFrame, k: int = 3, max_doc_id: int = 50) -> DataFrame:
+    """U-5: Python UDTF (table function) — completes the user-function
+    taxonomy next to grouped-map (U-1), scalar pandas_udf (U-2),
+    stateful pandas (U-3) and grouped-agg pandas_udf (U-4): a
+    one-row-to-many-rows expansion in the FROM clause, the Spark-4
+    form of the reference's dict→rows reshape (SURVEY §2.10 D-45).
+    Emits one (pos, gram) row per token k-gram via a lateral join.
+
+    THE SLOW-PATH DISCLAIMER IS THE POINT: UDTFs run row-at-a-time in
+    the Python worker, so the native twin (``_gram_strings`` — a JVM
+    ``transform``/``explode``, used by T-10/T-11/T-13) is the hot
+    path; this exists to pin the extension surface and is capped to
+    ``max_doc_id`` docs. A pytest asserts the UDTF output is
+    row-identical to the native expression, so the escape hatch is
+    oracle-checked, not just demonstrated.
+
+    Tokenization contract: ``str.split()`` == regex split of trimmed
+    text on ``\\s+`` (both discard leading/trailing/repeated
+    whitespace), the same contract every text oracle uses.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: int, gram: string")
+    class NgramExpand:
+        def eval(self, text: str, k: int):  # noqa: A002 - SQL-facing arg
+            toks = text.split() if text and text.strip() else []
+            for i in range(len(toks) - k + 1):
+                yield i, " ".join(toks[i : i + k])
+
+    spark = docs.sparkSession
+    spark.udtf.register("bls_ngram_expand", NgramExpand)
+    docs.filter(F.col("doc_id") < max_doc_id).createOrReplaceTempView(
+        "bls_udtf_docs"
+    )
+    return spark.sql(
+        f"""
+        SELECT d.doc_id, g.pos, g.gram
+        FROM bls_udtf_docs d, LATERAL bls_ngram_expand(d.text, {int(k)}) g
+        ORDER BY d.doc_id, g.pos
+        """
+    )

@@ -5124,6 +5124,26 @@ def q_pair_similarity_histogram(spark, sf_dir):
     return SIM.pair_similarity_histogram(_emb(spark, sf_dir), n_cells=16)
 
 
+@register(
+    "doc_ngrams_udtf",
+    TOKS_CTE
+    + """
+    , g AS (
+      SELECT doc_id, i - 1 AS pos,
+             tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2] AS gram
+      FROM toks, LATERAL (SELECT unnest(range(1, len(tokens) - 1)) AS i)
+      WHERE doc_id < 50 AND len(tokens) >= 3)
+    SELECT doc_id, pos::INT AS pos, gram FROM g ORDER BY doc_id, pos
+    """,
+    tags=("U-5",),
+)
+def q_doc_ngrams_udtf(spark, sf_dir):
+    """Python UDTF lateral expansion (U-5): row->k-gram rows through
+    the registered table function — the slow-path extension surface,
+    capped to 50 docs and row-identical to the native gram twin."""
+    return TX.ngram_rows_udtf(_docs(spark, sf_dir), k=3, max_doc_id=50)
+
+
 # ---------------------------------------------------------------------------
 # Driver-certification order
 # ---------------------------------------------------------------------------
@@ -5172,6 +5192,7 @@ _DRIVER_FIRST = [
     "user_activity_deciles",
     "ngram_novelty",
     "pair_similarity_histogram",
+    "doc_ngrams_udtf",
     # latest driver row is round 1 (stalest first)
     "events_of_type",
     "entity_hourly_activity",

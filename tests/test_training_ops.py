@@ -307,3 +307,24 @@ def test_pair_similarity_histogram_counts_and_plan(spark, sf_dir):
     # sampled pair count: sum over cells of c_i*(c_i-1)/2, strictly
     # fewer than all pairs but non-empty for any non-trivial corpus
     assert 0 < total_pairs < n * (n - 1) // 2
+
+
+def test_udtf_ngrams_row_identical_to_native_twin(spark, sf_dir):
+    from bigdata_logs_spark.operators.textops import (
+        _gram_strings,
+        ngram_rows_udtf,
+        with_tokens,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    via_udtf = ngram_rows_udtf(docs, k=3, max_doc_id=50)
+    native = (
+        with_tokens(docs.filter(F.col("doc_id") < 50))
+        .select(
+            "doc_id",
+            F.posexplode(_gram_strings(3)).alias("pos", "gram"),
+        )
+    )
+    assert sorted(map(tuple, via_udtf.collect())) == sorted(
+        map(tuple, native.collect())
+    )
