@@ -197,3 +197,39 @@ def user_activity_deciles(events: DataFrame) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+def daily_value_rank(events: DataFrame) -> DataFrame:
+    """W-8: percent_rank + cume_dist of each day's total value within
+    its event type — "was Tuesday a top-decile revenue day for
+    purchases?" — the normalized-rank view the reference's raw daily
+    chart (`stats_dashboard.py:76-91`) leaves to the eye. Completes
+    the ranking-window family: row_number (W-1), running sum (W-2),
+    lag/lead (W-6), ntile (W-7), relative ranks (W-8).
+
+    Scale shape: the fact table collapses to (event_type, date) cells
+    in one map-side-combinable agg; the rank window then orders the
+    tiny cell table within each type. The (day_value, date) tiebreak
+    makes both rank functions engine-deterministic even when two days
+    tie on value. Day totals accumulate in DECIMAL and cast once —
+    the `_dsum` discipline — so the double is partitioning- and
+    engine-independent.
+    """
+    day_cells = events.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("date")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("day_value")
+    )
+    w = Window.partitionBy("event_type").orderBy("day_value", "date")
+    return (
+        day_cells.select(
+            "event_type",
+            "date",
+            "day_value",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+        )
+        .orderBy("event_type", "date")
+    )

@@ -5144,6 +5144,30 @@ def q_doc_ngrams_udtf(spark, sf_dir):
     return TX.ngram_rows_udtf(_docs(spark, sf_dir), k=3, max_doc_id=50)
 
 
+@register(
+    "daily_value_rank",
+    """
+    WITH cells AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS date,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, date, day_value,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume_dist
+    FROM cells
+    WINDOW w AS (PARTITION BY event_type ORDER BY day_value, date)
+    ORDER BY event_type, date
+    """,
+    tags=("W-8",),
+)
+def q_daily_value_rank(spark, sf_dir):
+    """Relative-rank windows (percent_rank, cume_dist) over the tiny
+    per-(type, day) value cells — fact table collapses first, rank
+    math never sees raw-event cardinality."""
+    return AN.daily_value_rank(load_table(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-certification order
 # ---------------------------------------------------------------------------
@@ -5193,6 +5217,7 @@ _DRIVER_FIRST = [
     "ngram_novelty",
     "pair_similarity_histogram",
     "doc_ngrams_udtf",
+    "daily_value_rank",
     # latest driver row is round 1 (stalest first)
     "events_of_type",
     "entity_hourly_activity",

@@ -134,3 +134,26 @@ def test_user_activity_deciles_partition_users_exactly(spark):
         assert lo.max_events <= hi.min_events
     assert sum(r.n_users for r in out) == 25
     assert sum(r.total_events for r in out) == len(rows)
+
+
+def test_daily_value_rank_bounds_and_ties(spark):
+    from bigdata_logs_spark.operators.analytics import daily_value_rank
+
+    # one type, 3 days with a value TIE between day 1 and day 2: the
+    # (day_value, date) tiebreak must still yield distinct ranks.
+    rows = [
+        (0, "u1", datetime.datetime(2024, 1, 1), "buy", 5.0),
+        (1, "u1", datetime.datetime(2024, 1, 2), "buy", 5.0),
+        (2, "u1", datetime.datetime(2024, 1, 3), "buy", 9.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id string, ts timestamp, "
+        "event_type string, value double",
+    )
+    out = {r.date: r for r in daily_value_rank(df).collect()}
+    assert out["2024-01-01"].pct_rank == 0.0
+    assert out["2024-01-02"].pct_rank == 0.5  # date tiebreak, not a shared rank
+    assert out["2024-01-03"].pct_rank == 1.0
+    assert out["2024-01-03"].cume_dist == 1.0
+    assert all(0.0 <= r.cume_dist <= 1.0 for r in out.values())
