@@ -120,6 +120,15 @@ def main() -> None:
         "corpus_manifest",
         "rollup_incremental_maintenance",
         "interarrival_stats",
+        "rare_transitions",
+        "user_activity_deciles",
+        "daily_value_rank",
+        "ngram_novelty",
+        "pair_similarity_histogram",
+        # doc_ngrams_udtf included deliberately: its input is capped
+        # (50 docs) so the row-at-a-time Python UDTF cost is bounded
+        # and visible, not hidden.
+        "doc_ngrams_udtf",
         # streaming_event_drift is deliberately absent: streaming-drain
         # throughput is measured by the bench_streaming section.
     ]
