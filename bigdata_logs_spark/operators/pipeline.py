@@ -468,3 +468,42 @@ def corpus_manifest(docs: DataFrame) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    val_pct: int = 10,
+    test_pct: int = 10,
+) -> DataFrame:
+    """PL-13: near-dup-aware train/val/test split — the whole
+    near-duplicate COMPONENT is assigned to one split, so a test
+    document can never have a near-duplicate sibling in train. This
+    is the eval-integrity gap ``train_val_test_split`` (PL-1) leaves
+    open and ``contamination_check`` (PL-3) can only report after the
+    fact: with per-doc hashing, ~J*|test| of test docs have a >=J-
+    similar twin in train and the benchmark silently inflates.
+
+    Composition contract: the bucket uses the SAME salt and hash as
+    PL-1 applied to the component representative, so singleton docs
+    (component == doc_id, the overwhelming majority) keep their PL-1
+    assignment bit-for-bit — adopting the leakage-safe split only
+    MOVES docs that are in a non-trivial near-dup component.
+
+    Scale shape: the component labels come from the LSH-verified pair
+    list (``near_dup_components`` — pair-list-sized iterations, one
+    corpus touch); the split itself is a narrow md5 expression on the
+    label. Nothing new shuffles.
+    """
+    from bigdata_logs_spark.operators.dedup import near_dup_components
+
+    comps = near_dup_components(docs, threshold=threshold)
+    bucket = hash_bucket(F.col("component"), "split:")
+    split = (
+        F.when(bucket < test_pct, F.lit("test"))
+        .when(bucket < test_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return comps.select(
+        "doc_id", "component", bucket.alias("bucket"), split.alias("split")
+    ).orderBy("doc_id")

@@ -5168,6 +5168,49 @@ def q_daily_value_rank(spark, sf_dir):
     return AN.daily_value_rank(load_table(spark, sf_dir, "events"))
 
 
+@register(
+    "leakage_safe_split",
+    ND_PAIRS_CTE.replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + """
+    , edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs WHERE jaccard >= 0.5
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs WHERE jaccard >= 0.5
+    )
+    , reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    )
+    , comp AS (
+      SELECT u AS doc_id, least(u, MIN(v)) AS component FROM reach GROUP BY u
+    )
+    , labeled AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    )
+    , bucketed AS (
+      SELECT doc_id, component,
+             CAST(('0x' || substring(
+               md5('split:' || CAST(component AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 100 AS bucket
+      FROM labeled
+    )
+    SELECT doc_id, component, bucket,
+           CASE WHEN bucket < 10 THEN 'test'
+                WHEN bucket < 20 THEN 'val'
+                ELSE 'train' END AS split
+    FROM bucketed ORDER BY doc_id
+    """,
+    tags=("PL-13",),
+)
+def q_leakage_safe_split(spark, sf_dir):
+    """Near-dup-aware split (PL-13): whole components share one
+    train/val/test assignment, so no test doc has a near-dup twin in
+    train; singletons keep their PL-1 assignment bit-for-bit."""
+    return PL.leakage_safe_split(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Driver-certification order
 # ---------------------------------------------------------------------------
@@ -5218,6 +5261,7 @@ _DRIVER_FIRST = [
     "pair_similarity_histogram",
     "doc_ngrams_udtf",
     "daily_value_rank",
+    "leakage_safe_split",
     # latest driver row is round 1 (stalest first)
     "events_of_type",
     "entity_hourly_activity",

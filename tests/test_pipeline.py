@@ -209,3 +209,33 @@ def test_compact_parquet_fans_out_multiple_files_per_partition(
     want = sorted(map(str, dated.drop("date").withColumn("date", F.date_format("ts", "yyyy-MM-dd")).collect()))
     assert len(got) == 400
     assert got == want
+
+
+def test_leakage_safe_split_never_splits_a_component(spark, sf_dir):
+    from bigdata_logs_spark.operators.pipeline import (
+        leakage_safe_split,
+        train_val_test_split,
+    )
+    from bigdata_logs_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = leakage_safe_split(docs).cache()
+    # invariant: one split per component — the whole point
+    assert (
+        out.groupBy("component")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+        == 0
+    )
+    # compatibility: singleton components keep their PL-1 assignment
+    pl1 = train_val_test_split(docs).select("doc_id", F.col("split").alias("s1"))
+    singles = out.filter(F.col("component") == F.col("doc_id"))
+    assert (
+        singles.join(pl1, "doc_id")
+        .filter(F.col("split") != F.col("s1"))
+        .count()
+        == 0
+    )
+    assert out.count() == docs.count()
+    out.unpersist()
