@@ -7,6 +7,7 @@ query layer, `src/stats_dashboard.py`) with one command:
     python -m bigdata_logs_spark parse   --input SSH.log --output /store
     python -m bigdata_logs_spark stream  --input /logdir --name live
     python -m bigdata_logs_spark detect  --sf-dir /data
+    python -m bigdata_logs_spark curate  --sf-dir /data --output /curated --leakage-safe
     python -m bigdata_logs_spark query   events_per_day --sf-dir /data
     python -m bigdata_logs_spark sql     "SELECT ... FROM <any query view>"
     python -m bigdata_logs_spark explain regional_revenue
@@ -18,6 +19,9 @@ as ONE lazy plan — no CSV hop, no Mongo hop, no type re-inference.
 plan. `stream` runs the incremental ingestion the reference could
 only fake by polling. `detect` prints the batch anomaly report (the
 reference's stated purpose, computed rather than eyeballed).
+`curate` runs the training-corpus pipeline (dedup -> quality gate ->
+split) and exports a split-partitioned parquet corpus with its
+dataset card.
 """
 
 from __future__ import annotations
@@ -270,6 +274,64 @@ def cmd_detect(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """End-to-end corpus curation as one command: LSH near-dup
+    removal -> minimum-token quality gate -> train/val/test
+    assignment (PL-1 id-hash or, with ``--leakage-safe``, PL-13
+    component-level) -> split-partitioned parquet export, then the
+    per-(split, lang) manifest and the PL-12 dataset card of what was
+    actually WRITTEN (fingerprint computed from the re-read export,
+    so the card attests the artifact, not the plan)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_logs_spark.operators.dedup import near_dup_survivors
+    from bigdata_logs_spark.operators.pipeline import (
+        corpus_manifest,
+        hash_bucket,
+        leakage_safe_split,
+    )
+    from bigdata_logs_spark.operators.textops import quality_scores
+    from bigdata_logs_spark.sources import load_table
+
+    spark = _spark("curate")
+    docs = load_table(spark, args.sf_dir, "documents")
+    surv = near_dup_survivors(docs, threshold=args.threshold).select("doc_id")
+    quality = quality_scores(docs).select("doc_id", "n_tokens")
+    kept = surv.join(quality, "doc_id").filter(
+        F.col("n_tokens") >= args.min_tokens
+    )
+    if args.leakage_safe:
+        assign = leakage_safe_split(docs, threshold=args.threshold).select(
+            "doc_id", "split"
+        )
+    else:
+        bucket = hash_bucket(F.col("doc_id"), "split:")
+        assign = docs.select(
+            "doc_id",
+            F.when(bucket < 10, F.lit("test"))
+            .when(bucket < 20, F.lit("val"))
+            .otherwise(F.lit("train"))
+            .alias("split"),
+        )
+    curated = docs.join(kept, "doc_id").join(assign, "doc_id")
+    curated.write.mode("overwrite").partitionBy("split").parquet(args.output)
+
+    exported = spark.read.parquet(args.output)
+    print("\n== per-(split, lang) manifest ==")
+    (
+        exported.groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("split", "lang")
+        .show(args.rows, truncate=False)
+    )
+    print("== dataset card (PL-12, computed from the written export) ==")
+    corpus_manifest(exported).show(args.rows, truncate=False)
+    return 0
+
+
 def cmd_sql(args) -> int:
     import re
 
@@ -373,6 +435,22 @@ def main(argv: list[str] | None = None) -> int:
         choices=["simple", "extended", "codegen", "cost", "formatted"],
     )
     pe.set_defaults(fn=cmd_explain)
+
+    pu = sub.add_parser(
+        "curate",
+        help="corpus curation: dedup -> gate -> split -> parquet + card",
+    )
+    pu.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    pu.add_argument("--output", required=True, help="curated parquet path")
+    pu.add_argument("--threshold", type=float, default=0.5, help="near-dup Jaccard")
+    pu.add_argument("--min-tokens", type=int, default=5)
+    pu.add_argument(
+        "--leakage-safe",
+        action="store_true",
+        help="assign whole near-dup components to one split (PL-13)",
+    )
+    pu.add_argument("--rows", type=int, default=20)
+    pu.set_defaults(fn=cmd_curate)
 
     px = sub.add_parser(
         "sql", help="run SQL over the tables + every registry query as views"

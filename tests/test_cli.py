@@ -135,3 +135,23 @@ def test_detect_prints_all_four_anomaly_sections(capsys, spark, sf_dir):
     assert "event-type drift" in out
     assert "chi2_contrib" in out
     assert "ssh incident report" in out
+
+
+def test_curate_exports_partitioned_corpus_with_card(tmp_path, capsys, spark, sf_dir):
+    out = tmp_path / "curated"
+    assert (
+        main(
+            ["curate", "--sf-dir", sf_dir, "--output", str(out),
+             "--leakage-safe", "--rows", "10"]
+        )
+        == 0
+    )
+    printed = capsys.readouterr().out
+    assert "dataset card" in printed
+    back = spark.read.parquet(str(out))
+    assert back.count() > 0
+    assert "split" in back.columns and "n_tokens" in back.columns
+    # split-partitioned layout on disk: split=train/val/test dirs
+    assert any(p.name.startswith("split=") for p in out.iterdir())
+    # the gate held: nothing below the token floor was exported
+    assert back.filter("n_tokens < 5").count() == 0
