@@ -569,3 +569,59 @@ def ngram_rows_udtf(docs: DataFrame, k: int = 3, max_doc_id: int = 50) -> DataFr
         ORDER BY d.doc_id, g.pos
         """
     )
+
+
+def source_vocab_overlap(docs: DataFrame) -> DataFrame:
+    """T-14: pairwise vocabulary Jaccard between sources — the
+    mixing-diagnostics matrix behind ``source_mixing_weights`` (PL-7):
+    two sources with near-identical vocabularies are redundant in a
+    training mix (upweighting both buys no diversity), while a
+    low-overlap source contributes vocabulary the mix lacks. Computed
+    on DISTINCT (source, token) pairs, so corpus volume per source
+    cancels out and only lexical coverage is compared.
+
+    Scale shape: the corpus collapses to the distinct (source, token)
+    vocabulary table FIRST (map-side-combinable distinct, Zipf-small
+    output); the self-join is token-keyed over that small table and
+    emits at most k rows per token for k sources; the final matrix is
+    k(k-1)/2 rows. Jaccard is exact-integer |A∩B| / (|A|+|B|-|A∩B|)
+    with ONE division.
+    """
+    vocab = (
+        with_tokens(docs)
+        .select("source", F.explode("tokens").alias("token"))
+        .distinct()
+    )
+    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a, b = vocab.alias("a"), vocab.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    return (
+        common.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("vocab_jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )

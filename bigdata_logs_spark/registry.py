@@ -5211,6 +5211,38 @@ def q_leakage_safe_split(spark, sf_dir):
     return PL.leakage_safe_split(_docs(spark, sf_dir))
 
 
+@register(
+    "source_vocab_overlap",
+    TOKS_CTE
+    + """
+    , vocab AS (
+      SELECT DISTINCT source, unnest(tokens) AS token FROM toks
+    ), sizes AS (
+      SELECT source, COUNT(*)::BIGINT AS n FROM vocab GROUP BY source
+    ), common AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             COUNT(*)::BIGINT AS n_common
+      FROM vocab a JOIN vocab b
+        ON a.token = b.token AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, sa.n AS n_a, sb.n AS n_b, n_common,
+           ROUND(n_common::DOUBLE / (sa.n + sb.n - n_common), 6)
+             AS vocab_jaccard
+    FROM common
+    JOIN sizes sa ON sa.source = source_a
+    JOIN sizes sb ON sb.source = source_b
+    ORDER BY source_a, source_b
+    """,
+    tags=("T-14",),
+)
+def q_source_vocab_overlap(spark, sf_dir):
+    """Pairwise vocabulary Jaccard between sources over the distinct
+    (source, token) table — the mixing-diagnostics matrix; corpus
+    volume cancels, only lexical coverage is compared."""
+    return TX.source_vocab_overlap(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Driver-certification order
 # ---------------------------------------------------------------------------
@@ -5262,6 +5294,7 @@ _DRIVER_FIRST = [
     "doc_ngrams_udtf",
     "daily_value_rank",
     "leakage_safe_split",
+    "source_vocab_overlap",
     # latest driver row is round 1 (stalest first)
     "events_of_type",
     "entity_hourly_activity",

@@ -328,3 +328,24 @@ def test_udtf_ngrams_row_identical_to_native_twin(spark, sf_dir):
     assert sorted(map(tuple, via_udtf.collect())) == sorted(
         map(tuple, native.collect())
     )
+
+
+def test_source_vocab_overlap_hand_checked(spark):
+    from bigdata_logs_spark.operators.textops import source_vocab_overlap
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c", "s1", "en", 5),
+            (1, "b c d", "s2", "en", 5),
+            (2, "x y", "s3", "en", 3),
+            (3, "c a b a", "s1", "en", 7),  # repeats must not inflate
+        ],
+        "doc_id long, text string, source string, lang string, n_chars long",
+    )
+    out = {(r.source_a, r.source_b): r for r in source_vocab_overlap(docs).collect()}
+    # s1 vocab {a,b,c}, s2 {b,c,d}: |∩|=2, |∪|=4
+    r = out[("s1", "s2")]
+    assert (r.n_a, r.n_b, r.n_common) == (3, 3, 2)
+    assert r.vocab_jaccard == 0.5
+    # disjoint vocabularies never emit a row (inner join on token)
+    assert ("s1", "s3") not in out and ("s2", "s3") not in out
