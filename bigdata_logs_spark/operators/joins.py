@@ -554,3 +554,48 @@ def bloom_pruned_order_priority(
         )
         .orderBy("o_orderpriority")
     )
+
+
+def funnel_coverage_audit(events: DataFrame) -> DataFrame:
+    """J-15: FULL OUTER join reconciliation — the join type the rest
+    of the family never needed (J-1..J-14 cover inner/left/semi/anti/
+    as-of/range): the distinct signup-user set against the distinct
+    purchase-user set, classifying every user as both / signup_only /
+    purchase_only. This is the audit behind funnel_conversion (AGG-5):
+    the funnel reports the conversion RATE; this reconciles the two
+    populations row-by-row, including purchasers with NO signup event
+    — the data-quality leg a rate can't see.
+
+    Scale shape: both sides collapse to distinct user sets FIRST
+    (map-side-combinable), the full outer join runs key-to-key on
+    those deduplicated sets, and the output is the 3-row coverage
+    histogram. COALESCE on the join keys is the standard full-outer
+    idiom — either side may be NULL.
+    """
+    signups = (
+        events.filter(F.col("event_type") == "signup")
+        .select(F.col("user_id").alias("s_user"))
+        .distinct()
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"))
+        .distinct()
+    )
+    joined = signups.join(
+        purchases, signups.s_user == purchases.p_user, "full_outer"
+    )
+    coverage = (
+        F.when(
+            F.col("s_user").isNotNull() & F.col("p_user").isNotNull(),
+            F.lit("both"),
+        )
+        .when(F.col("s_user").isNotNull(), F.lit("signup_only"))
+        .otherwise(F.lit("purchase_only"))
+    )
+    return (
+        joined.select(coverage.alias("coverage"))
+        .groupBy("coverage")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("coverage")
+    )

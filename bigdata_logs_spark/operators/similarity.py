@@ -748,3 +748,60 @@ def pair_similarity_histogram(
         )
         .orderBy("bin")
     )
+
+
+def centroid_classification_report(emb: DataFrame) -> DataFrame:
+    """E-12: nearest-centroid confusion matrix — how separable the
+    label clusters are under the centroid geometry the IVF index
+    (E-5) actually uses. A label whose vectors mostly classify into
+    ANOTHER label's centroid is a label the coarse quantizer confuses,
+    which is exactly where IVF recall (E-8) is lost: this report says
+    WHERE, per label, not just how much in aggregate.
+
+    One number per (true label, predicted label) pair plus the
+    per-label accuracy share; assignment reuses the E-5 quantizer
+    shape — centroids collapse to a tiny broadcast table, the corpus
+    is scanned once narrowly, and only (label, predicted) pairs (k^2
+    rows) ever shuffle. Rounded distances + cell tiebreak keep the
+    argmin engine-independent.
+    """
+    cent = centroid_vectors(emb)
+    assigned = (
+        emb.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "label",
+            "cell",
+            F.round(_l2("embedding", "cvec"), 6).alias("dist"),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.asc("dist"), F.asc("cell")
+                )
+            ),
+        )
+        .filter(F.col("rnk") == 1)
+    )
+    matrix = assigned.groupBy(
+        "label", F.col("cell").alias("predicted")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    per_label = Window.partitionBy("label")
+    return (
+        matrix.withColumn("label_total", F.sum("n").over(per_label))
+        .select(
+            "label",
+            "predicted",
+            "n",
+            F.round(
+                F.sum(
+                    F.when(F.col("label") == F.col("predicted"), F.col("n"))
+                    .otherwise(F.lit(0))
+                ).over(per_label)
+                / F.col("label_total"),
+                6,
+            ).alias("label_accuracy"),
+        )
+        .orderBy("label", "predicted")
+    )

@@ -5243,6 +5243,70 @@ def q_source_vocab_overlap(spark, sf_dir):
     return TX.source_vocab_overlap(_docs(spark, sf_dir))
 
 
+@register(
+    "centroid_confusion",
+    f"""
+    WITH exploded AS (
+      SELECT label, i - 1 AS dim,
+             CAST(embedding[i]::DOUBLE AS DECIMAL(28,12)) AS xd
+      FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i)
+    ), cent AS (
+      SELECT label AS cell, list(c ORDER BY dim) AS cvec FROM (
+        SELECT label, dim, ROUND(CAST(SUM(xd) AS DOUBLE) / COUNT(*), 6) AS c
+        FROM exploded GROUP BY label, dim)
+      GROUP BY label
+    ), assigned AS (
+      SELECT e.vec_id, e.label, c.cell,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+               ROUND({L2_SQL.format(a='e.embedding', b='c.cvec')}, 6), c.cell)
+               AS rnk
+      FROM embeddings e CROSS JOIN cent c
+    ), m AS (
+      SELECT label, cell AS predicted, COUNT(*)::BIGINT AS n
+      FROM assigned WHERE rnk = 1 GROUP BY 1, 2
+    )
+    SELECT label, predicted, n,
+           ROUND((SUM(CASE WHEN label = predicted THEN n ELSE 0 END)
+                    OVER (PARTITION BY label))::BIGINT
+                 / (SUM(n) OVER (PARTITION BY label))::BIGINT, 6)
+             AS label_accuracy
+    FROM m ORDER BY label, predicted
+    """,
+    tags=("E-12",),
+)
+def q_centroid_confusion(spark, sf_dir):
+    """Nearest-centroid confusion matrix (E-12): which labels the
+    IVF coarse quantizer mixes up, with per-label accuracy — the
+    where-is-recall-lost report next to ann_recall's how-much."""
+    return SIM.centroid_classification_report(_emb(spark, sf_dir))
+
+
+@register(
+    "funnel_coverage_audit",
+    """
+    WITH s AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+    ), p AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    ), j AS (
+      SELECT s.user_id AS su, p.user_id AS pu
+      FROM s FULL OUTER JOIN p ON s.user_id = p.user_id
+    )
+    SELECT CASE WHEN su IS NOT NULL AND pu IS NOT NULL THEN 'both'
+                WHEN su IS NOT NULL THEN 'signup_only'
+                ELSE 'purchase_only' END AS coverage,
+           COUNT(*)::BIGINT AS n_users
+    FROM j GROUP BY 1 ORDER BY coverage
+    """,
+    tags=("J-15",),
+)
+def q_funnel_coverage_audit(spark, sf_dir):
+    """FULL OUTER reconciliation of the signup vs purchase user
+    populations (J-15) — the data-quality leg behind AGG-5's
+    conversion rate, including purchasers with no signup event."""
+    return J.funnel_coverage_audit(load_table(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-certification order
 # ---------------------------------------------------------------------------
@@ -5295,6 +5359,8 @@ _DRIVER_FIRST = [
     "daily_value_rank",
     "leakage_safe_split",
     "source_vocab_overlap",
+    "centroid_confusion",
+    "funnel_coverage_audit",
     # latest driver row is round 1 (stalest first)
     "events_of_type",
     "entity_hourly_activity",

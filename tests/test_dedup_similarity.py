@@ -152,3 +152,24 @@ def test_minhash_calibration_bounds_and_exactness(spark, docs):
     # identical docs must agree on every band: gap bounded by the
     # non-identical share, so mean gap <= 1 - avg_band_agreement + eps
     assert row.mean_abs_gap <= 1.0
+
+
+def test_centroid_confusion_diagonal_dominates_separable_labels(spark):
+    from bigdata_logs_spark.operators.similarity import (
+        centroid_classification_report,
+    )
+
+    # two well-separated clusters: label 0 near (1,0,...), label 1
+    # near (0,1,...) -> confusion matrix must be purely diagonal
+    rows = []
+    for i in range(8):
+        eps = (i % 4) * 0.01
+        rows.append((i, [1.0 - eps, eps, 0.0, 0.0], 0))
+        rows.append((100 + i, [eps, 1.0 - eps, 0.0, 0.0], 1))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = centroid_classification_report(emb).collect()
+    assert {(r.label, r.predicted) for r in out} == {(0, 0), (1, 1)}
+    assert all(r.label_accuracy == 1.0 for r in out)
+    assert sum(r.n for r in out) == 16

@@ -124,3 +124,23 @@ def test_bloom_pruned_semi_join_exact_and_prunes_before_exchange(spark, sf_dir):
         keys, orders.o_custkey == keys.c_custkey, "left_semi"
     ).count()
     assert n_semi < n_orders
+
+
+def test_funnel_coverage_audit_full_outer_legs(spark):
+    import datetime
+
+    from bigdata_logs_spark.operators.joins import funnel_coverage_audit
+
+    t = datetime.datetime(2024, 1, 1)
+    rows = [
+        # u1 signs up AND purchases; u2 signup only; u3 purchase only
+        (0, "u1", t, "signup"), (1, "u1", t, "purchase"),
+        (2, "u2", t, "signup"),
+        (3, "u3", t, "purchase"), (4, "u3", t, "purchase"),  # dup collapses
+        (5, "u4", t, "click"),  # participates in neither population
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id string, ts timestamp, event_type string"
+    )
+    out = {r.coverage: r.n_users for r in funnel_coverage_audit(df).collect()}
+    assert out == {"both": 1, "signup_only": 1, "purchase_only": 1}
