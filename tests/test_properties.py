@@ -297,3 +297,38 @@ def test_random_projection_is_linear_property(spark, seeds):
         assert (
             out[0][f"proj_{j}"] + out[1][f"proj_{j}"] == out[2][f"proj_{j}"]
         )
+
+
+def test_round5_ops_invariant_under_partitioning(spark, events, sf_dir):
+    """The new round-5 operators must produce identical results for
+    any input partitioning — the property that makes them safe at
+    cluster scale, where partition counts are never what they were in
+    the test environment."""
+    from bigdata_logs_spark.operators.analytics import (
+        daily_value_rank,
+        user_activity_deciles,
+    )
+    from bigdata_logs_spark.operators.anomaly import rare_transitions
+    from bigdata_logs_spark.operators.similarity import (
+        pair_similarity_histogram,
+    )
+    from bigdata_logs_spark.operators.textops import (
+        ngram_novelty,
+        source_vocab_overlap,
+    )
+    from bigdata_logs_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    cases = [
+        (rare_transitions, events),
+        (user_activity_deciles, events),
+        (daily_value_rank, events),
+        (ngram_novelty, docs),
+        (source_vocab_overlap, docs),
+        (pair_similarity_histogram, emb),
+    ]
+    for fn, df in cases:
+        base = sorted(map(str, fn(df.repartition(1)).collect()))
+        alt = sorted(map(str, fn(df.repartition(13)).collect()))
+        assert alt == base, fn.__name__
