@@ -383,3 +383,51 @@ def rare_transitions(
         )
         .orderBy("prev_type", "next_type")
     )
+
+
+def ewma_daily_counts(events: DataFrame) -> DataFrame:
+    """AD-7: exponentially-weighted moving average of daily event
+    counts per type (alpha = 1/2) — the adaptive baseline rate
+    monitors track (W-5's trailing mean forgets nothing inside its
+    window and everything outside it; EWMA decays smoothly and needs
+    O(1) state, which is why streaming monitors use it).
+
+    Cross-engine exactness without DECIMAL tricks: with alpha = 1/2
+    every weight is a power of two, so each term n_j * 2^-(k-j) is an
+    EXACT double (integer mantissa, shifted exponent), and every
+    partial sum stays exactly representable while
+    log2(max daily count) + horizon <= 53 bits — at 2^20 events/day
+    that allows a 33-step horizon; the 30-row fixture is inside it,
+    and at larger horizons the tail weights vanish below any
+    monitoring threshold anyway. The recurrence y = y/2 + n is a
+    LEFT FOLD over the date-ordered prefix, identical in Spark's
+    ``aggregate`` and DuckDB's ``list_reduce`` (DuckDB seeds with the
+    first element; Spark's zero-seed produces the same sequence since
+    f(0, n1) = n1).
+
+    Scale shape: the fact table collapses to (type, date) cells in
+    one map-side-combinable agg; the collect_list window runs over
+    ~30 rows per type. The per-cell array is prefix-sized — bounded
+    by the day horizon, not the corpus.
+    """
+    cells = events.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("date")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("date")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prefix = cells.withColumn("prefix", F.collect_list("n").over(w))
+    ewma = F.expr(
+        """
+        aggregate(prefix, CAST(0.0 AS DOUBLE),
+                  (acc, v) -> acc / CAST(2.0 AS DOUBLE) + v)
+        """
+    )
+    return (
+        prefix.select(
+            "event_type", "date", "n", F.round(ewma, 6).alias("ewma")
+        )
+        .orderBy("event_type", "date")
+    )

@@ -5307,6 +5307,33 @@ def q_funnel_coverage_audit(spark, sf_dir):
     return J.funnel_coverage_audit(load_table(spark, sf_dir, "events"))
 
 
+@register(
+    "ewma_daily_counts",
+    """
+    WITH cells AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS date,
+             COUNT(*)::BIGINT AS n
+      FROM events GROUP BY 1, 2
+    ), pre AS (
+      SELECT event_type, date, n,
+             list(n) OVER (PARTITION BY event_type ORDER BY date
+                           ROWS UNBOUNDED PRECEDING) AS prefix
+      FROM cells
+    )
+    SELECT event_type, date, n,
+           ROUND(list_reduce(list_transform(prefix, v -> v::DOUBLE),
+                             (acc, v) -> acc / 2::DOUBLE + v), 6) AS ewma
+    FROM pre ORDER BY event_type, date
+    """,
+    tags=("AD-7",),
+)
+def q_ewma_daily_counts(spark, sf_dir):
+    """EWMA (alpha=1/2) daily-count baseline per event type: exact
+    power-of-two weights make the fold bit-identical across engines;
+    fact table collapses to day cells before any window math."""
+    return AD.ewma_daily_counts(load_table(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-certification order
 # ---------------------------------------------------------------------------
@@ -5361,6 +5388,7 @@ _DRIVER_FIRST = [
     "source_vocab_overlap",
     "centroid_confusion",
     "funnel_coverage_audit",
+    "ewma_daily_counts",
     # latest driver row is round 1 (stalest first)
     "events_of_type",
     "entity_hourly_activity",

@@ -451,3 +451,34 @@ class TestRareTransitions:
             for r in AD.rare_transitions(spark.createDataFrame(rows)).collect()
         }
         assert got == {("a", "b"), ("b", "c")}
+
+
+class TestEwmaDailyCounts:
+    def test_matches_python_recurrence_exactly(self, spark, events):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        out = AD.ewma_daily_counts(events).collect()
+        # recompute the recurrence in pure Python per type: the
+        # power-of-two weights make this EXACT equality, not approx.
+        # NB the half-up quantize — EWMA values are dyadic rationals,
+        # so exact .xxxxxx5 ties DO occur, where Spark/DuckDB round
+        # half-up but Python's round() banker's-rounds.
+        by_type = {}
+        for r in sorted(out, key=lambda r: (r.event_type, r.date)):
+            acc = by_type.get(r.event_type, 0.0) / 2.0 + r.n
+            by_type[r.event_type] = acc
+            want = float(
+                Decimal(acc).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+            )
+            assert r.ewma == want, (r.event_type, r.date)
+
+    def test_first_day_equals_count_and_converges_to_double_rate(self, spark):
+        # constant rate c: EWMA converges to 2c (sum of c * 2^-k)
+        rows = [
+            Row(event_id=d * 10 + i, ts=_ts(d, 1), event_type="x")
+            for d in range(1, 21)
+            for i in range(4)
+        ]
+        out = AD.ewma_daily_counts(spark.createDataFrame(rows)).collect()
+        assert out[0].ewma == 4.0
+        assert abs(out[-1].ewma - 8.0) < 1e-4
