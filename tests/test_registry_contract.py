@@ -128,3 +128,16 @@ def test_oracle_dtypes_survive_pandas_canonicalization(spark, sf_dir):
         "oracle-side dtypes drift through the driver's pandas "
         f"canonicalizer: {offenders}"
     )
+
+
+def test_survey_ids_and_registry_tags_stay_in_lockstep():
+    """Both directions of the SURVEY §2 <-> registry tag mapping:
+    every registered tag is documented in the survey inventory, and
+    every inventoried ID is either tagged on a registry query or in
+    the explicit non-registry waiver list (tools/audit_tags.py)."""
+    import tools.audit_tags as audit
+
+    ids = audit.survey_section2_ids()
+    tags = audit.registry_tags()
+    assert sorted(tags - ids) == []
+    assert sorted(i for i in ids - tags if i not in audit.WAIVED) == []
