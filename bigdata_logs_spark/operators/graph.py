@@ -1,0 +1,125 @@
+"""Graph operators over corpus-derived graphs (SURVEY.md §2.11 G-1).
+
+The reference ranks words by raw frequency only
+(``/root/reference/src/stats_dashboard.py:146-158`` renders a top-word
+bar chart). TextRank (Mihalcea & Tarau, EMNLP 2004) is the standard
+graph upgrade of that feature: build the token co-occurrence graph and
+run PageRank on it, so a term's weight reflects the connectivity of
+its neighbourhood rather than its bare count. This module implements
+the fixed-iteration PageRank core as pure DataFrame algebra — the
+engine's canonical *iterative* algorithm alongside the k-means Lloyd
+step in ``similarity.py``.
+
+Cross-engine exactness (the registry oracle runs the same unrolled
+iterations in DuckDB): ranks are kept as BIGINT at a fixed scale
+(SCALE = 1e6 = uniform rank), every per-edge contribution is floored
+to an integer BEFORE the incoming-edge sum, so the only reductions are
+exact integer sums — no float sum-order sensitivity anywhere. The two
+float ops left (one BIGINT/BIGINT true division per edge, one
+``0.85 * sum`` per node) are single IEEE operations on integer-valued
+operands, deterministic on any engine.
+
+Scale shape for 100 TB: the corpus collapses to the weighted edge list
+in ONE pass (explode adjacent pairs → groupBy (src, dst)); vocabulary
+graphs are tiny relative to the corpus (millions of edges vs billions
+of tokens), so the three fixed Jacobi iterations run on the aggregated
+graph only. The edge list is cached across iterations; each iteration
+is one shuffle-join on ``src`` plus one integer groupBy on ``dst``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bigdata_logs_spark.caching import tracked_cache
+from bigdata_logs_spark.operators.textops import with_tokens
+
+# Fixed-point scale: rank 1.0 (the uniform init) == 1_000_000.
+SCALE = 1_000_000
+# Damping factor 0.85 -> the teleport term is exactly 150_000 at SCALE.
+BASE = 150_000
+
+
+def token_adjacency_edges(docs: DataFrame) -> DataFrame:
+    """Weighted undirected token-adjacency edge list, materialized as
+    a symmetric directed list: one row per (src, dst) ordered pair of
+    tokens adjacent anywhere in the corpus, ``w`` = number of
+    adjacencies. One corpus pass, one (src, dst) shuffle."""
+    pairs = (
+        with_tokens(docs)
+        .where(F.size("tokens") >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("tokens"), 1, F.size("tokens") - 1),
+                    F.slice(F.col("tokens"), 2, F.size("tokens") - 1),
+                    lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                )
+            ).alias("e")
+        )
+    )
+    directed = pairs.select(
+        F.col("e.a").alias("src"), F.col("e.b").alias("dst")
+    ).unionAll(pairs.select(F.col("e.b").alias("src"), F.col("e.a").alias("dst")))
+    return directed.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
+
+
+def textrank_keywords(
+    docs: DataFrame, iterations: int = 3, top_n: int = 25
+) -> DataFrame:
+    """G-1: TextRank keyword scores — ``iterations`` Jacobi steps of
+    damped PageRank (d = 0.85) on the token-adjacency graph, reported
+    for the ``top_n`` best-ranked tokens.
+
+    Ranks are relative to uniform (scaled by ``SCALE``): R0 = SCALE
+    for every node; each step computes
+
+        R'(v) = 150000 + floor(0.85 * sum_{u->v} floor(R(u) * w(u,v)
+                                                       / out_w(u)))
+
+    entirely in integers (see module docstring for why that is
+    cross-engine exact). Isolated tokens (single-token documents with
+    no adjacency) are not graph nodes, matching the TextRank paper's
+    connected-vocabulary convention.
+
+    Output: (token, rank_scaled BIGINT) — top ``top_n`` by rank desc,
+    token asc (total deterministic order under ties).
+    """
+    edges = token_adjacency_edges(docs)
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    # Edges annotated with source out-weight: the loop-invariant graph,
+    # cached because all `iterations` joins re-read it.
+    graph = tracked_cache(edges.join(out_w, "src"))
+    nodes = graph.select(F.col("src").alias("token")).distinct()
+
+    ranks = nodes.withColumn("r", F.lit(SCALE).cast("long"))
+    for _ in range(iterations):
+        contrib = (
+            graph.join(
+                ranks.select(F.col("token").alias("src"), "r"), "src"
+            )
+            .select(
+                F.col("dst").alias("token"),
+                F.floor(F.col("r") * F.col("w") / F.col("ow"))
+                .cast("long")
+                .alias("c"),
+            )
+            .groupBy("token")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = nodes.join(contrib, "token", "left").select(
+            "token",
+            (
+                F.lit(BASE)
+                + F.floor(F.lit(0.85) * F.coalesce(F.col("c"), F.lit(0)))
+            )
+            .cast("long")
+            .alias("r"),
+        )
+
+    return (
+        ranks.orderBy(F.desc("r"), "token")
+        .limit(top_n)
+        .select("token", F.col("r").alias("rank_scaled"))
+    )

@@ -507,3 +507,41 @@ def leakage_safe_split(
     return comps.select(
         "doc_id", "component", bucket.alias("bucket"), split.alias("split")
     ).orderBy("doc_id")
+
+
+def curriculum_phases(docs: DataFrame, n_phases: int = 4) -> DataFrame:
+    """PL-14: length-based curriculum ordering (Bengio et al., ICML
+    2009 "Curriculum Learning" — shortest-first): quartile the corpus
+    by token count into training phases, then give each document a
+    deterministic *shuffled* rank inside its phase (md5 of doc_id), so
+    phases present easy→hard while documents inside a phase arrive
+    decorrelated from ingest order.
+
+    Exactness: NTILE over the total order (n_tokens, doc_id) and
+    row_number over (md5(doc_id), doc_id) are both tie-free integer/
+    string comparisons — no floats anywhere.
+
+    Scale shape: the global NTILE is a full sort of (doc_id, n_tokens)
+    pairs — 16 bytes/doc, fine for billions of rows, and the payload
+    text never enters the sort. At 100 TB you would swap the exact
+    quartiles for approx-percentile cutoffs computed the
+    ``token_length_percentile_gate`` (PL-9) way and keep this
+    operator's phase/rank contract unchanged.
+    """
+    from pyspark.sql import Window
+
+    from bigdata_logs_spark.operators.textops import with_tokens
+
+    base = with_tokens(docs).select(
+        "doc_id", F.size("tokens").alias("n_tokens")
+    )
+    phase = F.ntile(n_phases).over(Window.orderBy("n_tokens", "doc_id"))
+    ranked = base.withColumn("phase", phase)
+    in_phase = Window.partitionBy("phase").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        ranked.withColumn("phase_rank", F.row_number().over(in_phase))
+        .select("doc_id", "n_tokens", "phase", "phase_rank")
+        .orderBy("phase", "phase_rank")
+    )

@@ -805,3 +805,112 @@ def centroid_classification_report(emb: DataFrame) -> DataFrame:
         )
         .orderBy("label", "predicted")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (E-13/E-14)
+# ---------------------------------------------------------------------------
+
+PQ_M = 4  # subspaces
+PQ_SUBDIM = 16  # 64-dim embeddings -> 4 x 16
+PQ_K = 8  # codes per subspace
+
+
+def _pq_books_row(emb: DataFrame) -> DataFrame:
+    """ONE broadcastable row holding the full PQ codebook:
+    books[sub][code] = the 16-dim slice of seed vector ``code`` for
+    subspace ``sub``. Seeds are the first PQ_K vectors by vec_id —
+    the same deterministic convention as ``kmeans_update``; a real
+    deployment would feed trained codebooks through the same shape."""
+    seeds = emb.orderBy("vec_id").limit(PQ_K).agg(
+        F.expr(
+            """
+            transform(array_sort(collect_list(struct(vec_id, embedding))),
+                      s -> transform(s.embedding, x -> CAST(x AS DOUBLE)))
+            """
+        ).alias("seeds")
+    )
+    return seeds.select(
+        F.expr(
+            f"""
+            transform(sequence(0, {PQ_M - 1}), sub ->
+              transform(seeds, s -> slice(s, sub * {PQ_SUBDIM} + 1, {PQ_SUBDIM})))
+            """
+        ).alias("books")
+    )
+
+
+def _pq_dists_expr(sub: int) -> str:
+    """Squared L2 distances from this row's subvector ``sub`` to each
+    of the PQ_K codebook entries — exact same fold order as the
+    DuckDB oracle (left fold over dimension index)."""
+    off = sub * PQ_SUBDIM
+    return f"""
+        transform(element_at(books, {sub + 1}), c -> aggregate(
+          transform(sequence(1, {PQ_SUBDIM}), i ->
+            (element_at(c, i) - CAST(element_at(embedding, {off} + i) AS DOUBLE)) *
+            (element_at(c, i) - CAST(element_at(embedding, {off} + i) AS DOUBLE))),
+          CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))
+    """
+
+
+def _pq_assigned(emb: DataFrame) -> DataFrame:
+    """Internal: embeddings annotated with per-subspace code and
+    squared distortion columns (code_s, dist_s for s in 0..PQ_M-1).
+    The codebook collapses to ONE broadcast row; assignment is a
+    narrow per-row array expression — the corpus is never exploded
+    k-fold or m-fold."""
+    out = emb.crossJoin(F.broadcast(_pq_books_row(emb)))
+    for s in range(PQ_M):
+        out = out.withColumn(f"d{s}", F.expr(_pq_dists_expr(s)))
+        out = out.withColumn(
+            f"code_{s}",
+            (F.expr(f"array_position(d{s}, array_min(d{s}))") - 1).cast("int"),
+        ).withColumn(f"dist_{s}", F.expr(f"array_min(d{s})"))
+    return out
+
+
+def pq_codes(emb: DataFrame) -> DataFrame:
+    """E-13: product-quantization encoding — each 64-dim embedding
+    compressed to PQ_M=4 one-byte codes (nearest codebook entry per
+    16-dim subspace, first-index tie-break). 64 floats -> 4 bytes is
+    the memory step that makes billion-vector ANN fit executor RAM;
+    ``knn_quantized`` (E-7) shows the matching two-stage search.
+
+    Output: (vec_id, code_0..code_3) — all scalar ints,
+    canonicalizer-safe. Zero shuffles: broadcast codebook + narrow
+    projection, whole-stage codegen end to end.
+    """
+    return _pq_assigned(emb).select(
+        "vec_id", *[f"code_{s}" for s in range(PQ_M)]
+    ).orderBy("vec_id")
+
+
+def pq_distortion(emb: DataFrame) -> DataFrame:
+    """E-14: PQ calibration report — per (subspace, code) cell count
+    and mean squared reconstruction distortion, the number a PQ
+    deployment watches to decide when codebooks need retraining.
+
+    Double-sum determinism: same argument as ``kmeans_update`` —
+    per-cell double sums carry ~1e-15 relative error vs the 1e-6
+    rounding, so engine sum order cannot surface. Only PQ_M rows per
+    vector reach the (subspace, code) shuffle, pre-aggregated
+    map-side.
+    """
+    assigned = _pq_assigned(emb)
+    per_sub = None
+    for s in range(PQ_M):
+        leg = assigned.select(
+            F.lit(s).alias("subspace"),
+            F.col(f"code_{s}").alias("code"),
+            F.col(f"dist_{s}").alias("dist"),
+        )
+        per_sub = leg if per_sub is None else per_sub.unionAll(leg)
+    return (
+        per_sub.groupBy("subspace", "code")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.sum("dist") / F.count(F.lit(1)), 6).alias("mean_sq_dist"),
+        )
+        .orderBy("subspace", "code")
+    )

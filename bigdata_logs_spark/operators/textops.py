@@ -625,3 +625,54 @@ def source_vocab_overlap(docs: DataFrame) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+def vocab_growth(docs: DataFrame, step: int = 50) -> DataFrame:
+    """T-16: Heaps-law vocabulary growth curve — cumulative corpus
+    size vs distinct-vocabulary size at every ``step``-document
+    checkpoint (plus the final partial bucket), in document-id order.
+
+    The empirical Heaps exponent (vocab ~ tokens^beta) is the standard
+    "is more crawl data still adding new vocabulary?" diagnostic when
+    sizing a training corpus; the raw integer curve is emitted instead
+    of a fitted beta so the output stays transcendental-free and
+    bit-identical across engines.
+
+    Shape: the one global ``row_number`` over doc_id is the inherently
+    sequential part (at 100 TB you would substitute the monotone
+    ingest key that already orders the corpus); everything after it is
+    aggregated — each token collapses to its FIRST-occurrence rank
+    (min-combinable), ranks collapse to step buckets, and the
+    cumulative window runs over the tiny n/step-row series, never the
+    corpus. All arithmetic is integer (floor-div bucketing, integer
+    cumsums): no float anywhere.
+    """
+    from pyspark.sql import Window
+
+    base = with_tokens(docs).select(
+        F.row_number().over(Window.orderBy("doc_id")).alias("rn"), "tokens"
+    )
+    n_row = base.agg(F.max("rn").alias("n"))
+    ck = F.expr(f"least(((rn + {step - 1}) div {step}) * {step}, n)").cast("long")
+    b2 = base.crossJoin(F.broadcast(n_row)).withColumn("ck", ck)
+    toks_in = b2.groupBy("ck").agg(F.sum(F.size("tokens")).alias("toks"))
+    firsts = (
+        b2.select("rn", F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.min("rn").alias("rn"))
+        .crossJoin(F.broadcast(n_row))
+        .withColumn("ck", ck)
+        .groupBy("ck")
+        .agg(F.count(F.lit(1)).alias("new_terms"))
+    )
+    series = toks_in.join(firsts, "ck", "full_outer").select(
+        "ck",
+        F.coalesce("toks", F.lit(0)).alias("toks"),
+        F.coalesce("new_terms", F.lit(0)).alias("new_terms"),
+    )
+    cum = Window.orderBy("ck").rowsBetween(Window.unboundedPreceding, 0)
+    return series.select(
+        F.col("ck").alias("docs_seen"),
+        F.sum("toks").over(cum).cast("long").alias("total_tokens"),
+        F.sum("new_terms").over(cum).cast("long").alias("vocab_size"),
+    ).orderBy("docs_seen")

@@ -5334,6 +5334,243 @@ def q_ewma_daily_counts(spark, sf_dir):
     return AD.ewma_daily_counts(load_table(spark, sf_dir, "events"))
 
 
+from bigdata_logs_spark.operators import graph as G  # noqa: E402
+
+# One damped-PageRank Jacobi step at fixed point (SCALE=1e6, d=0.85):
+# per-edge contributions floored to BIGINT *before* the incoming sum,
+# so both engines reduce exact integers (no float sum-order drift).
+_PAGERANK_STEP = """
+  SELECT n.token, (150000 + FLOOR(0.85::DOUBLE * COALESCE(s.c, 0)))::BIGINT AS r
+  FROM nodes n LEFT JOIN (
+    SELECT g.dst AS token,
+           SUM((FLOOR(g.w * p.r / g.ow))::BIGINT)::BIGINT AS c
+    FROM g JOIN {prev} p ON p.token = g.src GROUP BY 1
+  ) s ON s.token = n.token
+"""
+
+
+@register(
+    "textrank_keywords",
+    TOKS_CTE
+    + """
+    , pairs AS (
+      SELECT unnest(tokens[:len(tokens)-1]) AS a, unnest(tokens[2:]) AS b
+      FROM toks WHERE len(tokens) >= 2
+    ), dir AS (
+      SELECT a AS src, b AS dst FROM pairs
+      UNION ALL SELECT b AS src, a AS dst FROM pairs
+    ), edges AS (
+      SELECT src, dst, COUNT(*)::BIGINT AS w FROM dir GROUP BY 1, 2
+    ), outw AS (
+      SELECT src, SUM(w)::BIGINT AS ow FROM edges GROUP BY 1
+    ), g AS (
+      SELECT e.src, e.dst, e.w, o.ow FROM edges e JOIN outw o USING (src)
+    ), nodes AS (
+      SELECT DISTINCT src AS token FROM edges
+    ), r0 AS (
+      SELECT token, 1000000::BIGINT AS r FROM nodes
+    ), r1 AS ("""
+    + _PAGERANK_STEP.format(prev="r0")
+    + "), r2 AS ("
+    + _PAGERANK_STEP.format(prev="r1")
+    + "), r3 AS ("
+    + _PAGERANK_STEP.format(prev="r2")
+    + """)
+    SELECT token, r AS rank_scaled FROM r3
+    ORDER BY rank_scaled DESC, token LIMIT 25
+    """,
+    tags=("G-1",),
+)
+def q_textrank_keywords(spark, sf_dir):
+    """G-1 TextRank keywords: 3 unrolled damped-PageRank iterations on
+    the token-adjacency graph, exact fixed-point integer arithmetic
+    (contributions floored before the incoming-edge integer sum). The
+    corpus collapses to the cached weighted edge list in one pass;
+    each iteration is one join on src + one integer groupBy on dst."""
+    return G.textrank_keywords(_docs(spark, sf_dir))
+
+
+from bigdata_logs_spark.operators import sketches as SK  # noqa: E402
+
+
+@register(
+    "cms_heavy_hitters",
+    TOKS_CTE
+    + """
+    , words AS (SELECT unnest(tokens) AS token FROM toks),
+    counts AS (
+      SELECT token, COUNT(*)::BIGINT AS exact_count FROM words GROUP BY 1
+    ), hashed AS (
+      SELECT token, exact_count,
+             list_reduce(list_transform(range(1, length(token) + 1),
+                         i -> ascii(substr(token, i, 1))::BIGINT),
+                         (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+      FROM counts
+    ), cells AS (
+      SELECT token, exact_count, j.x AS row,
+             ((h * CASE j.x WHEN 0 THEN 3 WHEN 1 THEN 5 WHEN 2 THEN 7 ELSE 11 END
+               + CASE j.x WHEN 0 THEN 17 WHEN 1 THEN 29 WHEN 2 THEN 41 ELSE 53 END)
+              % 1000000007) % 128 AS bucket
+      FROM hashed, (SELECT unnest(range(0, 4)) AS x) j
+    ), counters AS (
+      SELECT row, bucket, SUM(exact_count)::BIGINT AS counter
+      FROM cells GROUP BY 1, 2
+    ), estimates AS (
+      SELECT c.token, c.exact_count, MIN(k.counter)::BIGINT AS cms_estimate
+      FROM cells c JOIN counters k ON k.row = c.row AND k.bucket = c.bucket
+      GROUP BY 1, 2
+    )
+    SELECT token, exact_count, cms_estimate,
+           (cms_estimate - exact_count)::BIGINT AS overestimate
+    FROM estimates ORDER BY exact_count DESC, token LIMIT 20
+    """,
+    tags=("SK-1",),
+)
+def q_cms_heavy_hitters(spark, sf_dir):
+    """SK-1 Count-Min Sketch calibration: 4x128-counter sketch of the
+    token frequency stream from explicit affine/polynomial integer
+    hashes (replayed exactly by the oracle), reporting exact count vs
+    CMS estimate vs overestimate for the top-20 tokens. The d-fold
+    explode runs on the distinct-key table, never the corpus; the
+    counter table broadcasts back for the estimate join."""
+    return SK.cms_heavy_hitters(_docs(spark, sf_dir))
+
+
+@register(
+    "vocab_growth",
+    TOKS_CTE
+    + """
+    , base AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY doc_id) AS rn, tokens FROM toks
+    ), nn AS (SELECT MAX(rn) AS n FROM base),
+    b2 AS (
+      SELECT rn, tokens, LEAST(((rn + 49) // 50) * 50, n)::BIGINT AS ck
+      FROM base, nn
+    ), toks_in AS (
+      SELECT ck, SUM(len(tokens))::BIGINT AS toks FROM b2 GROUP BY 1
+    ), firsts AS (
+      SELECT LEAST(((frn + 49) // 50) * 50, n)::BIGINT AS ck,
+             COUNT(*)::BIGINT AS new_terms
+      FROM (
+        SELECT MIN(rn) AS frn
+        FROM (SELECT rn, unnest(tokens) AS token FROM base) GROUP BY token
+      ), nn GROUP BY 1
+    ), series AS (
+      SELECT COALESCE(t.ck, f.ck) AS ck, COALESCE(t.toks, 0) AS toks,
+             COALESCE(f.new_terms, 0) AS new_terms
+      FROM toks_in t FULL OUTER JOIN firsts f ON t.ck = f.ck
+    )
+    SELECT ck AS docs_seen,
+           (SUM(toks) OVER (ORDER BY ck))::BIGINT AS total_tokens,
+           (SUM(new_terms) OVER (ORDER BY ck))::BIGINT AS vocab_size
+    FROM series ORDER BY docs_seen
+    """,
+    tags=("T-16",),
+)
+def q_vocab_growth(spark, sf_dir):
+    """T-16 Heaps-law curve: cumulative token count vs distinct-vocab
+    size at 50-doc checkpoints in doc_id order. Tokens collapse to
+    first-occurrence ranks (min-combinable) then to step buckets; the
+    cumulative window runs over the tiny series only. All-integer."""
+    return TX.vocab_growth(_docs(spark, sf_dir))
+
+
+def _pq_oracle_cols() -> str:
+    """Per-subspace PQ distance/code/distortion SQL columns (lateral
+    aliases), mirroring ``similarity._pq_dists_expr`` op-for-op."""
+    cols = []
+    for s in range(4):
+        off = s * 16
+        cols.append(
+            f"""
+            list_transform(s.seeds, c -> list_aggregate(
+              list_transform(range(1, 17), i ->
+                (c[{off} + i] - e.embedding[{off} + i]::DOUBLE)
+                * (c[{off} + i] - e.embedding[{off} + i]::DOUBLE)),
+              'sum')) AS d{s},
+            (list_position(d{s}, list_aggregate(d{s}, 'min')) - 1)::INT
+              AS code_{s},
+            list_aggregate(d{s}, 'min') AS dist_{s}"""
+        )
+    return ",".join(cols)
+
+
+_PQ_ASSIGNED_CTE = f"""
+    WITH seeds AS (
+      SELECT list(list_transform(embedding, x -> x::DOUBLE) ORDER BY vec_id)
+               AS seeds
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
+    ), assigned AS (
+      SELECT e.vec_id, {_pq_oracle_cols()}
+      FROM embeddings e CROSS JOIN seeds s
+    )"""
+
+
+@register(
+    "pq_codes",
+    _PQ_ASSIGNED_CTE
+    + """
+    SELECT vec_id, code_0, code_1, code_2, code_3
+    FROM assigned ORDER BY vec_id
+    """,
+    tags=("E-13",),
+)
+def q_pq_codes(spark, sf_dir):
+    """E-13 product quantization: 64-dim float embedding -> 4 one-byte
+    codes (nearest seed-codebook entry per 16-dim subspace). Broadcast
+    one codebook row + narrow per-row array expressions: zero
+    shuffles, corpus never exploded k- or m-fold."""
+    return SIM.pq_codes(_emb(spark, sf_dir))
+
+
+@register(
+    "pq_distortion",
+    _PQ_ASSIGNED_CTE
+    + """
+    , legs AS (
+      SELECT 0 AS subspace, code_0 AS code, dist_0 AS dist FROM assigned
+      UNION ALL SELECT 1, code_1, dist_1 FROM assigned
+      UNION ALL SELECT 2, code_2, dist_2 FROM assigned
+      UNION ALL SELECT 3, code_3, dist_3 FROM assigned
+    )
+    SELECT subspace::INT AS subspace, code, COUNT(*)::BIGINT AS n_vecs,
+           ROUND(SUM(dist) / COUNT(*), 6) AS mean_sq_dist
+    FROM legs GROUP BY subspace, code ORDER BY subspace, code
+    """,
+    tags=("E-14",),
+)
+def q_pq_distortion(spark, sf_dir):
+    """E-14 PQ calibration: per (subspace, code) occupancy and mean
+    squared reconstruction distortion — the retrain-trigger metric.
+    Double-sum rounding headroom argument as ``kmeans_centroid_update``."""
+    return SIM.pq_distortion(_emb(spark, sf_dir))
+
+
+@register(
+    "curriculum_phases",
+    TOKS_CTE
+    + """
+    , base AS (SELECT doc_id, len(tokens)::INT AS n_tokens FROM toks),
+    ranked AS (
+      SELECT doc_id, n_tokens,
+             NTILE(4) OVER (ORDER BY n_tokens, doc_id) AS phase
+      FROM base
+    )
+    SELECT doc_id, n_tokens, phase::INT AS phase,
+           ROW_NUMBER() OVER (
+             PARTITION BY phase ORDER BY md5(doc_id::VARCHAR), doc_id
+           )::INT AS phase_rank
+    FROM ranked ORDER BY phase, phase_rank
+    """,
+    tags=("PL-14",),
+)
+def q_curriculum_phases(spark, sf_dir):
+    """PL-14 curriculum ordering: shortest-first NTILE(4) phases with
+    a deterministic md5 shuffle inside each phase. Only (doc_id,
+    n_tokens) pairs enter the sort; text never moves."""
+    return PL.curriculum_phases(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Driver-certification order
 # ---------------------------------------------------------------------------
@@ -5358,6 +5595,12 @@ _DRIVER_FIRST = [
     # fixed this round (oracle HUGEINT->BIGINT cast) — re-certify
     "fingerprints",
     # new this round — never driver-certified
+    "textrank_keywords",
+    "cms_heavy_hitters",
+    "vocab_growth",
+    "pq_codes",
+    "pq_distortion",
+    "curriculum_phases",
     "bloom_pruned_order_priority",
     "zorder_cells",
     "streaming_store_etl",

@@ -1,0 +1,154 @@
+"""Spark-side invariants for the round-5 batch of extension operators
+(TextRank G-1, Count-Min Sketch SK-1, Heaps curve T-16, product
+quantization E-13/E-14, curriculum PL-14). The oracle gate covers
+cross-engine value parity; these pin the semantic properties the
+hash compare can't see."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdata_logs_spark.operators.graph import (
+    SCALE,
+    textrank_keywords,
+    token_adjacency_edges,
+)
+from bigdata_logs_spark.operators.pipeline import curriculum_phases
+from bigdata_logs_spark.operators.similarity import (
+    PQ_K,
+    PQ_M,
+    pq_codes,
+    pq_distortion,
+)
+from bigdata_logs_spark.operators.sketches import cms_heavy_hitters
+from bigdata_logs_spark.operators.textops import vocab_growth, with_tokens
+from bigdata_logs_spark.sources import load_table
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def test_adjacency_edges_are_symmetric(spark, sf_dir):
+    edges = token_adjacency_edges(_docs(spark, sf_dir))
+    flipped = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+    )
+    assert edges.exceptAll(flipped).count() == 0
+
+
+def test_textrank_ranks_positive_and_ordered(spark, sf_dir):
+    top = textrank_keywords(_docs(spark, sf_dir), top_n=10).collect()
+    assert 0 < len(top) <= 10
+    ranks = [r.rank_scaled for r in top]
+    assert ranks == sorted(ranks, reverse=True)
+    # damped PageRank keeps every rank >= the teleport base
+    assert all(r >= 150_000 for r in ranks)
+    # a hub token must beat uniform; uniform init is SCALE
+    assert ranks[0] > SCALE
+
+
+def test_cms_never_underestimates(spark, sf_dir):
+    rep = cms_heavy_hitters(_docs(spark, sf_dir)).collect()
+    assert len(rep) > 0
+    for r in rep:
+        # the CMS one-sided error guarantee
+        assert r.cms_estimate >= r.exact_count
+        assert r.overestimate == r.cms_estimate - r.exact_count
+    # deterministic ceiling: no counter can exceed the stream mass
+    # (the classical e*N/w bound is probabilistic and doesn't apply to
+    # this fixture's 31-token vocabulary, where the only collisions
+    # are heavy-with-heavy)
+    total = (
+        with_tokens(_docs(spark, sf_dir))
+        .agg(F.sum(F.size("tokens")))
+        .collect()[0][0]
+    )
+    assert all(r.cms_estimate <= total for r in rep)
+    # with 31 keys in 128 buckets most rows are collision-free, so the
+    # majority of top tokens must be estimated exactly (fixture-pinned)
+    assert sum(1 for r in rep if r.overestimate == 0) >= len(rep) // 2
+
+
+def test_vocab_growth_monotone_and_consistent(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    curve = vocab_growth(docs).collect()
+    assert curve, "curve must be non-empty"
+    for a, b in zip(curve, curve[1:]):
+        assert a.docs_seen < b.docs_seen
+        assert a.total_tokens <= b.total_tokens
+        assert a.vocab_size <= b.vocab_size
+    final = curve[-1]
+    toks = with_tokens(docs)
+    assert final.docs_seen == docs.count()
+    assert (
+        final.total_tokens
+        == toks.agg(F.sum(F.size("tokens"))).collect()[0][0]
+    )
+    assert (
+        final.vocab_size
+        == toks.select(F.explode("tokens")).distinct().count()
+    )
+
+
+def test_pq_codes_shape_and_range(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    codes = pq_codes(emb)
+    assert codes.count() == emb.count()
+    bounds = codes.agg(
+        *[F.min(f"code_{s}").alias(f"lo{s}") for s in range(PQ_M)],
+        *[F.max(f"code_{s}").alias(f"hi{s}") for s in range(PQ_M)],
+    ).collect()[0]
+    for s in range(PQ_M):
+        assert bounds[f"lo{s}"] >= 0
+        assert bounds[f"hi{s}"] < PQ_K
+
+
+def test_pq_seed_vectors_encode_to_themselves(spark, sf_dir):
+    """Each seed vector's distortion to its own codebook entry is 0,
+    so every seed must self-assign (distance 0 is the unique min
+    barring duplicate seeds)."""
+    emb = _emb(spark, sf_dir)
+    seeds = emb.orderBy("vec_id").limit(PQ_K)
+    coded = pq_codes(emb).join(seeds.select("vec_id"), "vec_id")
+    rows = coded.orderBy("vec_id").collect()
+    assert len(rows) == PQ_K
+    for i, r in enumerate(rows):
+        for s in range(PQ_M):
+            assert r[f"code_{s}"] == i
+
+
+def test_pq_distortion_counts_cover_corpus(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    rep = pq_distortion(emb)
+    n = emb.count()
+    per_sub = rep.groupBy("subspace").agg(F.sum("n_vecs").alias("n")).collect()
+    assert len(per_sub) == PQ_M
+    assert all(r.n == n for r in per_sub)
+    assert rep.where(F.col("mean_sq_dist") < 0).count() == 0
+
+
+def test_curriculum_phases_partition_and_order(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    cur = curriculum_phases(docs)
+    assert cur.count() == docs.count()
+    # phases are a partition: every doc exactly once, ranks contiguous
+    sizes = {r.phase: r.n for r in
+             cur.groupBy("phase").agg(F.count("*").alias("n")).collect()}
+    assert set(sizes) == {1, 2, 3, 4}
+    assert max(sizes.values()) - min(sizes.values()) <= 1  # NTILE balance
+    ranks = cur.groupBy("phase").agg(
+        F.min("phase_rank").alias("lo"), F.max("phase_rank").alias("hi")
+    ).collect()
+    for r in ranks:
+        assert r.lo == 1 and r.hi == sizes[r.phase]
+    # easy-first: every doc in phase p is no longer than any in p+1
+    stats = {r.phase: (r.lo, r.hi) for r in cur.groupBy("phase").agg(
+        F.min("n_tokens").alias("lo"), F.max("n_tokens").alias("hi")
+    ).collect()}
+    for p in (1, 2, 3):
+        assert stats[p][1] <= stats[p + 1][0] + 1  # NTILE may split a tie
