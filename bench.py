@@ -129,6 +129,12 @@ def main() -> None:
         # (50 docs) so the row-at-a-time Python UDTF cost is bounded
         # and visible, not hidden.
         "doc_ngrams_udtf",
+        "textrank_keywords",
+        "cms_heavy_hitters",
+        "vocab_growth",
+        "pq_codes",
+        "pq_distortion",
+        "curriculum_phases",
         # streaming_event_drift is deliberately absent: streaming-drain
         # throughput is measured by the bench_streaming section.
     ]

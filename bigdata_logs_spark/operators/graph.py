@@ -46,23 +46,19 @@ def token_adjacency_edges(docs: DataFrame) -> DataFrame:
     a symmetric directed list: one row per (src, dst) ordered pair of
     tokens adjacent anywhere in the corpus, ``w`` = number of
     adjacencies. One corpus pass, one (src, dst) shuffle."""
-    pairs = (
+    lo = F.slice(F.col("tokens"), 1, F.size("tokens") - 1)
+    hi = F.slice(F.col("tokens"), 2, F.size("tokens") - 1)
+    fwd = F.zip_with(lo, hi, lambda a, b: F.struct(a.alias("src"), b.alias("dst")))
+    rev = F.zip_with(hi, lo, lambda a, b: F.struct(a.alias("src"), b.alias("dst")))
+    # Both orientations emitted from ONE tokenize+explode pass (a
+    # union of two selects would rescan and re-tokenize the corpus).
+    return (
         with_tokens(docs)
         .where(F.size("tokens") >= 2)
-        .select(
-            F.explode(
-                F.zip_with(
-                    F.slice(F.col("tokens"), 1, F.size("tokens") - 1),
-                    F.slice(F.col("tokens"), 2, F.size("tokens") - 1),
-                    lambda a, b: F.struct(a.alias("a"), b.alias("b")),
-                )
-            ).alias("e")
-        )
+        .select(F.explode(F.concat(fwd, rev)).alias("e"))
+        .groupBy(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
     )
-    directed = pairs.select(
-        F.col("e.a").alias("src"), F.col("e.b").alias("dst")
-    ).unionAll(pairs.select(F.col("e.b").alias("src"), F.col("e.a").alias("dst")))
-    return directed.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
 
 
 def textrank_keywords(
@@ -93,11 +89,18 @@ def textrank_keywords(
     graph = tracked_cache(edges.join(out_w, "src"))
     nodes = graph.select(F.col("src").alias("token")).distinct()
 
+    # The rank vector is vocabulary-sized — orders of magnitude
+    # smaller than the edge list — so each iteration broadcasts it
+    # into a map-side join against the cached graph instead of
+    # re-shuffling the edges three times. (At an extreme vocabulary
+    # where the rank vector outgrows broadcast range, drop the hints
+    # and the same plan degrades gracefully to shuffle joins.)
     ranks = nodes.withColumn("r", F.lit(SCALE).cast("long"))
     for _ in range(iterations):
         contrib = (
             graph.join(
-                ranks.select(F.col("token").alias("src"), "r"), "src"
+                F.broadcast(ranks.select(F.col("token").alias("src"), "r")),
+                "src",
             )
             .select(
                 F.col("dst").alias("token"),
@@ -108,7 +111,7 @@ def textrank_keywords(
             .groupBy("token")
             .agg(F.sum("c").alias("c"))
         )
-        ranks = nodes.join(contrib, "token", "left").select(
+        ranks = nodes.join(F.broadcast(contrib), "token", "left").select(
             "token",
             (
                 F.lit(BASE)
