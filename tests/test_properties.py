@@ -332,3 +332,33 @@ def test_round5_ops_invariant_under_partitioning(spark, events, sf_dir):
         base = sorted(map(str, fn(df.repartition(1)).collect()))
         alt = sorted(map(str, fn(df.repartition(13)).collect()))
         assert alt == base, fn.__name__
+
+
+def test_new_batch_ops_invariant_under_partitioning(spark, sf_dir):
+    """Partition-invariance for the TextRank/CMS/Heaps/PQ/curriculum
+    batch: fixed-point integer ranks, explicit-arithmetic hashes, and
+    tie-broken argmins must not depend on how the input was split."""
+    from bigdata_logs_spark.operators.graph import textrank_keywords
+    from bigdata_logs_spark.operators.pipeline import curriculum_phases
+    from bigdata_logs_spark.operators.similarity import (
+        pq_codes,
+        pq_distortion,
+    )
+    from bigdata_logs_spark.operators.sketches import cms_heavy_hitters
+    from bigdata_logs_spark.operators.textops import vocab_growth
+    from bigdata_logs_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    cases = [
+        (textrank_keywords, docs),
+        (cms_heavy_hitters, docs),
+        (vocab_growth, docs),
+        (pq_codes, emb),
+        (pq_distortion, emb),
+        (curriculum_phases, docs),
+    ]
+    for fn, df in cases:
+        base = sorted(map(str, fn(df.repartition(1)).collect()))
+        alt = sorted(map(str, fn(df.repartition(13)).collect()))
+        assert alt == base, fn.__name__
