@@ -135,6 +135,9 @@ def main() -> None:
         "pq_codes",
         "pq_distortion",
         "curriculum_phases",
+        "zipf_fit",
+        "kmv_distinct",
+        "pq_adc_topk",
         # streaming_event_drift is deliberately absent: streaming-drain
         # throughput is measured by the bench_streaming section.
     ]

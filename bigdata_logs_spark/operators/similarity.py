@@ -914,3 +914,61 @@ def pq_distortion(emb: DataFrame) -> DataFrame:
         )
         .orderBy("subspace", "code")
     )
+
+
+def pq_adc_topk(emb: DataFrame, top_k: int = 10) -> DataFrame:
+    """E-15: asymmetric-distance (ADC) k-nearest-neighbour search over
+    PQ codes — the search half of the E-13 compression. The query (the
+    first vector by vec_id) precomputes a PQ_M x PQ_K lookup table of
+    exact squared distances from its subvectors to every codebook
+    entry; each corpus vector's approximate distance is then just
+    PQ_M table lookups and (PQ_M - 1) additions over its codes —
+    never a touch of the original floats. That is why PQ search
+    scans billions of vectors from RAM.
+
+    Cross-engine exactness: the LUT cells come from the same fold the
+    codebook assignment uses (bit-identical doubles), and the ADC sum
+    is a fixed left-to-right chain of PQ_M doubles — deterministic on
+    any engine; rounded at 1e-6 for the report. Ties on the rounded
+    distance break by vec_id.
+
+    Scale shape: codebook + LUT collapse to ONE broadcast row; the
+    scan is a narrow per-row expression over the codes table; top-k
+    is a TakeOrderedAndProject, no global sort materialized.
+    """
+    query_row = (
+        emb.orderBy("vec_id")
+        .limit(1)
+        .select(
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("q")
+        )
+    )
+    lut_cols = []
+    for s in range(PQ_M):
+        off = s * PQ_SUBDIM
+        lut_cols.append(
+            f"""
+            transform(element_at(books, {s + 1}), c -> aggregate(
+              transform(sequence(1, {PQ_SUBDIM}), i ->
+                (element_at(c, i) - element_at(q, {off} + i)) *
+                (element_at(c, i) - element_at(q, {off} + i))),
+              CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)) AS lut{s}"""
+        )
+    lut_row = (
+        _pq_books_row(emb)
+        .crossJoin(query_row)
+        .selectExpr(*lut_cols)
+    )
+    adc = F.expr(
+        " + ".join(
+            f"element_at(lut{s}, code_{s} + 1)" for s in range(PQ_M)
+        )
+    )
+    return (
+        _pq_assigned(emb)
+        .select("vec_id", *[f"code_{s}" for s in range(PQ_M)])
+        .crossJoin(F.broadcast(lut_row))
+        .select("vec_id", F.round(adc, 6).alias("adc_sq_dist"))
+        .orderBy("adc_sq_dist", "vec_id")
+        .limit(top_k)
+    )

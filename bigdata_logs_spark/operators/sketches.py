@@ -1,4 +1,4 @@
-"""Probabilistic sketch operators (SURVEY.md §2.11 SK-1).
+"""Probabilistic sketch operators (SURVEY.md §2.11 SK-1/SK-2).
 
 The engine already ships one sketch family end-to-end: HLL distinct
 counts (`global_metrics_approx`, `approx_count_distinct`) with a
@@ -105,4 +105,76 @@ def cms_heavy_hitters(docs: DataFrame, top_n: int = 20) -> DataFrame:
             "cms_estimate",
             (F.col("cms_estimate") - F.col("exact_count")).alias("overestimate"),
         )
+    )
+
+
+# KMV (k-minimum-values) distinct-count sketch parameters: k smallest
+# 52-bit hashes per group. 13 hex chars = 52 bits keeps every hash
+# exactly representable as a double in both engines.
+KMV_K = 16
+KMV_SPACE = float(1 << 52)
+
+
+def kmv_distinct(events: DataFrame, k: int = KMV_K) -> DataFrame:
+    """SK-2: KMV distinct-count sketch calibration (Bar-Yossef et al.,
+    RANDOM 2002) — per event type, the k-minimum-values estimate of
+    distinct users next to the exact count.
+
+    This is the engine's *oracle-checkable* approximate distinct:
+    `global_metrics_approx` (HLL) can only get a rows-only check
+    because HLL registers are engine-internal, but KMV is explicit
+    arithmetic — md5 the key, keep the k smallest 52-bit hash values,
+    estimate (k-1) / u_(k) with u_(k) the k-th smallest hash
+    normalized to [0,1) — so DuckDB replays it bit for bit. Groups
+    with fewer than k distinct hashes report their exact sketch size
+    (the standard small-range rule).
+
+    Scale shape: the corpus collapses to distinct (group, hash) pairs
+    in one combinable shuffle; the per-group top-k window runs on the
+    distinct table; output is one row per group. The same k-smallest
+    state is mergeable across partitions/streams, which is the whole
+    point of the sketch.
+    """
+    hashed = events.select(
+        "event_type",
+        F.expr(
+            "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 13), 16, 10)"
+            " AS BIGINT)"
+        ).alias("h"),
+    ).distinct()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("h")
+    sketch = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .groupBy("event_type")
+        .agg(F.max("h").alias("kth"), F.count(F.lit(1)).alias("n_in_sketch"))
+    )
+    exact = (
+        events.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    est = F.when(
+        F.col("n_in_sketch") < k, F.col("n_in_sketch").cast("double")
+    ).otherwise(
+        F.round(F.lit(float(k - 1) * KMV_SPACE) / F.col("kth"), 4)
+    )
+    return (
+        sketch.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            est.alias("kmv_estimate"),
+        )
+        .withColumn(
+            "rel_error",
+            F.round(
+                (F.col("kmv_estimate") - F.col("n_exact")) / F.col("n_exact"),
+                4,
+            ),
+        )
+        .orderBy("event_type")
     )

@@ -676,3 +676,61 @@ def vocab_growth(docs: DataFrame, step: int = 50) -> DataFrame:
         F.sum("toks").over(cum).cast("long").alias("total_tokens"),
         F.sum("new_terms").over(cum).cast("long").alias("vocab_size"),
     ).orderBy("docs_seen")
+
+
+def zipf_fit(docs: DataFrame, top_r: int = 100) -> DataFrame:
+    """T-17: per-language Zipf-law fit — OLS slope of ln(frequency)
+    on ln(rank) over each language's ``top_r`` most frequent tokens.
+    Natural corpora sit near slope -1; a corpus drifting toward 0 is
+    template/boilerplate-heavy, one far below -1 has a starved tail —
+    the distributional companion to T-16's growth curve.
+
+    Cross-engine exactness: ``ln`` on identical doubles is
+    bit-identical across engines (pinned by the hex-parse/ln gotcha
+    tests), so each term is quantized to fixed-point BIGINT
+    (round(ln·1e6)) and the five co-moments are EXACT integer sums —
+    the AGG-7 discipline transplanted to transcendental inputs. The
+    closed-form slope is then evaluated in double with mirrored
+    operand order and rounded at 1e-4.
+
+    Scale shape: corpus → (lang, token) counts (one map-combinable
+    shuffle); ranking is a per-language window over vocabulary-sized
+    groups; the regression reduces ``top_r`` rows per language.
+    """
+    from pyspark.sql import Window
+
+    freqs = (
+        with_tokens(docs)
+        .select("lang", F.explode("tokens").alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), "token")
+    ranked = freqs.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= top_r
+    )
+    xi = F.round(F.log(F.col("rank").cast("double")) * 1e6).cast("long")
+    yi = F.round(F.log(F.col("cnt").cast("double")) * 1e6).cast("long")
+    m = (
+        ranked.select("lang", xi.alias("x"), yi.alias("y"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+    )
+    n = F.col("n_terms")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    return m.select(
+        "lang",
+        "n_terms",
+        F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4).alias(
+            "zipf_slope"
+        ),
+    ).orderBy("lang")

@@ -5571,6 +5571,120 @@ def q_curriculum_phases(spark, sf_dir):
     return PL.curriculum_phases(_docs(spark, sf_dir))
 
 
+@register(
+    "zipf_fit",
+    TOKS_CTE
+    + """
+    , freqs AS (
+      SELECT lang, token, COUNT(*)::BIGINT AS cnt
+      FROM (SELECT lang, unnest(tokens) AS token FROM toks) GROUP BY 1, 2
+    ), ranked AS (
+      SELECT lang, token, cnt,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY cnt DESC, token) AS rank
+      FROM freqs
+    ), q AS (
+      SELECT lang, ROUND(ln(rank::DOUBLE) * 1000000.0::DOUBLE)::BIGINT AS x,
+             ROUND(ln(cnt::DOUBLE) * 1000000.0::DOUBLE)::BIGINT AS y
+      FROM ranked WHERE rank <= 100
+    ), m AS (
+      SELECT lang, COUNT(*)::BIGINT AS n_terms, SUM(x)::BIGINT AS sx,
+             SUM(y)::BIGINT AS sy, SUM(x * y)::BIGINT AS sxy,
+             SUM(x * x)::BIGINT AS sxx
+      FROM q GROUP BY 1
+    )
+    SELECT lang, n_terms,
+           ROUND((n_terms * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                 / (n_terms * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 4)
+             AS zipf_slope
+    FROM m ORDER BY lang
+    """,
+    tags=("T-17",),
+)
+def q_zipf_fit(spark, sf_dir):
+    """T-17 per-language Zipf slope: OLS of ln(freq) on ln(rank) over
+    the top-100 terms, AGG-7's exact-co-moment discipline applied to
+    fixed-point-quantized ln terms (ln is bit-identical across the
+    engines, so the quantized integers — and their sums — are too)."""
+    return TX.zipf_fit(_docs(spark, sf_dir))
+
+
+@register(
+    "kmv_distinct",
+    """
+    WITH hashed AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substr(md5(user_id::VARCHAR), 1, 13))::BIGINT AS h
+      FROM events
+    ), sk AS (
+      SELECT event_type, MAX(h) AS kth, COUNT(*)::BIGINT AS n_in_sketch
+      FROM (
+        SELECT event_type, h,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM hashed
+      ) WHERE rn <= 16 GROUP BY 1
+    ), exact AS (
+      SELECT event_type, COUNT(DISTINCT user_id)::BIGINT AS n_exact
+      FROM events GROUP BY 1
+    )
+    SELECT s.event_type, e.n_exact,
+           CASE WHEN s.n_in_sketch < 16 THEN s.n_in_sketch::DOUBLE
+                ELSE ROUND(67553994410557440.0::DOUBLE / s.kth, 4)
+           END AS kmv_estimate,
+           ROUND((kmv_estimate - e.n_exact) / e.n_exact, 4) AS rel_error
+    FROM sk s JOIN exact e USING (event_type) ORDER BY event_type
+    """,
+    tags=("SK-2",),
+)
+def q_kmv_distinct(spark, sf_dir):
+    """SK-2 KMV distinct sketch: per event type, (k-1)/u_(k) estimate
+    from the 16 smallest 52-bit md5 hashes vs the exact distinct-user
+    count — the oracle-checkable approximate distinct (HLL's twin
+    `global_metrics_approx` can only get a rows-only check)."""
+    return SK.kmv_distinct(_events(spark, sf_dir))
+
+
+def _pq_lut_oracle_cols() -> str:
+    cols = []
+    for s in range(4):
+        off = s * 16
+        cols.append(
+            f"""
+            list_transform(s.seeds, c -> list_aggregate(
+              list_transform(range(1, 17), i ->
+                (c[{off} + i] - q[{off} + i]) * (c[{off} + i] - q[{off} + i])),
+              'sum')) AS lut{s}"""
+        )
+    return ",".join(cols)
+
+
+@register(
+    "pq_adc_topk",
+    _PQ_ASSIGNED_CTE
+    + f"""
+    , query AS (
+      SELECT list_transform(embedding, x -> x::DOUBLE) AS q
+      FROM embeddings ORDER BY vec_id LIMIT 1
+    ), lut AS (
+      SELECT {_pq_lut_oracle_cols()} FROM seeds s, query
+    )
+    SELECT a.vec_id,
+           ROUND(lut0[code_0 + 1] + lut1[code_1 + 1]
+                 + lut2[code_2 + 1] + lut3[code_3 + 1], 6) AS adc_sq_dist
+    FROM assigned a, lut
+    ORDER BY adc_sq_dist, vec_id LIMIT 10
+    """,
+    tags=("E-15",),
+)
+def q_pq_adc_topk(spark, sf_dir):
+    """E-15 asymmetric-distance PQ search: the query precomputes a
+    4x8 LUT of exact subvector-to-codebook distances (one broadcast
+    row); every corpus vector's distance is 4 lookups + 3 adds over
+    its codes — the original floats are never touched during the
+    scan. Top-k via TakeOrderedAndProject."""
+    return SIM.pq_adc_topk(_emb(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Driver-certification order
 # ---------------------------------------------------------------------------
@@ -5601,6 +5715,9 @@ _DRIVER_FIRST = [
     "pq_codes",
     "pq_distortion",
     "curriculum_phases",
+    "zipf_fit",
+    "kmv_distinct",
+    "pq_adc_topk",
     "bloom_pruned_order_priority",
     "zorder_cells",
     "streaming_store_etl",

@@ -152,3 +152,51 @@ def test_curriculum_phases_partition_and_order(spark, sf_dir):
     ).collect()}
     for p in (1, 2, 3):
         assert stats[p][1] <= stats[p + 1][0] + 1  # NTILE may split a tie
+
+
+def test_kmv_small_range_rule_and_bounds(spark, sf_dir):
+    from bigdata_logs_spark.operators.sketches import KMV_K, kmv_distinct
+    from bigdata_logs_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    rep = kmv_distinct(ev).collect()
+    assert len(rep) > 0
+    for r in rep:
+        assert r.kmv_estimate > 0
+        if r.n_exact < KMV_K:
+            # small-range rule: sketch holds every distinct hash, so
+            # the estimate IS the exact count
+            assert r.kmv_estimate == float(r.n_exact)
+        else:
+            # KMV's relative standard error is ~1/sqrt(k-2) (~27% at
+            # k=16); 4 sigma is a safe deterministic-fixture envelope
+            assert abs(r.rel_error) < 4 / (KMV_K - 2) ** 0.5
+
+
+def test_zipf_slope_negative_and_bounded(spark, sf_dir):
+    from bigdata_logs_spark.operators.textops import zipf_fit
+    from bigdata_logs_spark.sources import load_table
+
+    rep = zipf_fit(load_table(spark, sf_dir, "documents")).collect()
+    assert len(rep) > 0
+    for r in rep:
+        # frequency is non-increasing in rank, so the OLS slope of
+        # ln(freq) on ln(rank) cannot be positive
+        assert r.zipf_slope <= 0
+        assert r.n_terms > 2
+
+
+def test_pq_adc_query_is_its_own_nearest_neighbor(spark, sf_dir):
+    from bigdata_logs_spark.operators.similarity import pq_adc_topk
+    from bigdata_logs_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    top = pq_adc_topk(emb).collect()
+    assert len(top) == 10
+    qid = emb.agg(F.min("vec_id")).collect()[0][0]
+    # the query is a seed, so it encodes to itself and its ADC
+    # distance is exactly 0 -> it must rank first
+    assert top[0].vec_id == qid
+    assert top[0].adc_sq_dist == 0.0
+    dists = [r.adc_sq_dist for r in top]
+    assert dists == sorted(dists)

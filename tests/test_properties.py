@@ -344,12 +344,17 @@ def test_new_batch_ops_invariant_under_partitioning(spark, sf_dir):
         pq_codes,
         pq_distortion,
     )
-    from bigdata_logs_spark.operators.sketches import cms_heavy_hitters
-    from bigdata_logs_spark.operators.textops import vocab_growth
+    from bigdata_logs_spark.operators.similarity import pq_adc_topk
+    from bigdata_logs_spark.operators.sketches import (
+        cms_heavy_hitters,
+        kmv_distinct,
+    )
+    from bigdata_logs_spark.operators.textops import vocab_growth, zipf_fit
     from bigdata_logs_spark.sources import load_table
 
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
+    ev = load_table(spark, sf_dir, "events")
     cases = [
         (textrank_keywords, docs),
         (cms_heavy_hitters, docs),
@@ -357,6 +362,9 @@ def test_new_batch_ops_invariant_under_partitioning(spark, sf_dir):
         (pq_codes, emb),
         (pq_distortion, emb),
         (curriculum_phases, docs),
+        (zipf_fit, docs),
+        (kmv_distinct, ev),
+        (pq_adc_topk, emb),
     ]
     for fn, df in cases:
         base = sorted(map(str, fn(df.repartition(1)).collect()))
