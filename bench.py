@@ -138,6 +138,8 @@ def main() -> None:
         "zipf_fit",
         "kmv_distinct",
         "pq_adc_topk",
+        "ssh_account_clusters",
+        "embedding_truncation_fidelity",
         # streaming_event_drift is deliberately absent: streaming-drain
         # throughput is measured by the bench_streaming section.
     ]

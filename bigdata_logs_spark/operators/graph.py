@@ -126,3 +126,85 @@ def textrank_keywords(
         .limit(top_n)
         .select("token", F.col("r").alias("rank_scaled"))
     )
+
+
+def account_clusters(parsed: DataFrame, max_iter: int = 20) -> DataFrame:
+    """G-2: shared-IP account clustering — connected components over
+    the bipartite user↔IP graph of failed-auth SSH events (the
+    "which accounts is this attacker cycling through" drill-down
+    behind AD-2/AD-5's per-IP alerts; cites the incident framing of
+    ``/root/reference/README.md:2``).
+
+    The bipartite structure is the scale trick: min-label propagation
+    alternates user→IP (min user label per IP) and IP→user, so a hub
+    IP shared by 10k users costs 10k edge rows per round — NEVER the
+    10k² user-user pair materialization a one-mode projection (or the
+    oracle's self-join adjacency, fine at oracle scale) would pay.
+    Convergence in O(component diameter) rounds, each two joins + two
+    aggs on the (user, ip) edge list only.
+
+    Lineage/block hygiene follows ``dedup.near_dup_components``:
+    every round eagerly localCheckpoints (plans stay leaf-rooted),
+    the previous round's snapshot is freed once the next is
+    materialized, and the final snapshot is handed to the session
+    cache tracker. The driver-side loop holds one changed-row count
+    per round.
+
+    Output: (user, cluster) — cluster is the lexicographically
+    smallest username in the component.
+    """
+    from bigdata_logs_spark.caching import track_checkpoint_rdd
+    from bigdata_logs_spark.operators.parse import FAILED_AUTH_EVENTS
+
+    def _checkpoint_rdd(ck: DataFrame):
+        return ck._jdf.queryExecution().analyzed().rdd()
+
+    edges = (
+        parsed.where(
+            F.col("event").isin(*FAILED_AUTH_EVENTS)
+            & F.col("user").isNotNull()
+            & F.col("ip").isNotNull()
+        )
+        .select("user", "ip")
+        .distinct()
+        .transform(tracked_cache)
+    )
+    labels = (
+        edges.select("user")
+        .distinct()
+        .withColumn("cluster", F.col("user"))
+        .localCheckpoint(eager=True)
+    )
+    prev_snapshot = _checkpoint_rdd(labels)
+    for _ in range(max_iter):
+        ip_min = (
+            edges.join(labels, "user")
+            .groupBy("ip")
+            .agg(F.min("cluster").alias("ip_label"))
+        )
+        nbr_min = (
+            edges.join(ip_min, "ip")
+            .groupBy("user")
+            .agg(F.min("ip_label").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(nbr_min, "user", "left")
+            .select(
+                "user",
+                F.least(
+                    F.col("cluster"),
+                    F.coalesce(F.col("nbr_min"), F.col("cluster")),
+                ).alias("cluster"),
+                (F.col("nbr_min") < F.col("cluster")).alias("changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        new_snapshot = _checkpoint_rdd(updated)
+        n_changed = updated.filter(F.col("changed")).count()
+        labels = updated.select("user", "cluster")
+        prev_snapshot.unpersist(False)
+        prev_snapshot = new_snapshot
+        if n_changed == 0:
+            break
+    track_checkpoint_rdd(prev_snapshot)
+    return labels.orderBy("user")

@@ -5685,6 +5685,69 @@ def q_pq_adc_topk(spark, sf_dir):
     return SIM.pq_adc_topk(_emb(spark, sf_dir))
 
 
+@register(
+    "ssh_account_clusters",
+    SSH_PARSE_CTE.replace("WITH gen", "WITH RECURSIVE gen", 1)
+    + """
+    , ue AS (
+      SELECT DISTINCT "user" AS u, ip FROM parsed
+      WHERE event IN ('failed_password', 'invalid_user', 'auth_failure')
+        AND "user" IS NOT NULL AND ip IS NOT NULL
+    ), adj AS (
+      SELECT DISTINCT a.u AS u, b.u AS v FROM ue a JOIN ue b ON a.ip = b.ip
+    ), reach(u, v) AS (
+      SELECT u, v FROM adj
+      UNION
+      SELECT r.u, a.v FROM reach r JOIN adj a ON r.v = a.u
+    )
+    SELECT u AS "user", LEAST(u, MIN(v)) AS cluster
+    FROM reach GROUP BY u ORDER BY "user"
+    """,
+    tags=("G-2",),
+)
+def q_ssh_account_clusters(spark, sf_dir):
+    """G-2 shared-IP account clustering: connected components on the
+    bipartite user<->IP failed-auth graph via min-label propagation
+    THROUGH the IP nodes (hub IPs cost |edges| per round, never the
+    one-mode user-user pair explosion the oracle's recursive
+    self-join adjacency materializes at its small scale)."""
+    return G.account_clusters(parse_ssh_lines(_ssh_lines(spark, sf_dir)))
+
+
+@register(
+    "embedding_truncation_fidelity",
+    """
+    WITH en AS (
+      SELECT vec_id,
+             list_aggregate(list_transform(embedding,
+               x -> x::DOUBLE * x::DOUBLE), 'sum') AS fe,
+             list_aggregate(list_transform(embedding[1:8],
+               x -> x::DOUBLE * x::DOUBLE), 'sum') AS pe8,
+             list_aggregate(list_transform(embedding[1:16],
+               x -> x::DOUBLE * x::DOUBLE), 'sum') AS pe16,
+             list_aggregate(list_transform(embedding[1:32],
+               x -> x::DOUBLE * x::DOUBLE), 'sum') AS pe32
+      FROM embeddings
+    ), legs AS (
+      SELECT 8 AS trunc_dim, sqrt(pe8 / fe) AS c FROM en WHERE fe > 0
+      UNION ALL SELECT 16, sqrt(pe16 / fe) FROM en WHERE fe > 0
+      UNION ALL SELECT 32, sqrt(pe32 / fe) FROM en WHERE fe > 0
+    )
+    SELECT trunc_dim::INT AS trunc_dim, COUNT(*)::BIGINT AS n_vecs,
+           ROUND(SUM(c) / COUNT(*), 6) AS mean_cos,
+           ROUND(MIN(c), 6) AS min_cos
+    FROM legs GROUP BY trunc_dim ORDER BY trunc_dim
+    """,
+    tags=("E-16",),
+)
+def q_embedding_truncation_fidelity(spark, sf_dir):
+    """E-16 Matryoshka-style truncation fidelity: mean/min cosine
+    between each embedding and its first-{8,16,32} prefix (reduces to
+    sqrt(prefix energy / full energy) — one fold, one sqrt per row).
+    Narrow per-row expression; 3 rows per vector reach the shuffle."""
+    return SIM.truncation_fidelity(_emb(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Driver-certification order
 # ---------------------------------------------------------------------------
@@ -5718,6 +5781,8 @@ _DRIVER_FIRST = [
     "zipf_fit",
     "kmv_distinct",
     "pq_adc_topk",
+    "ssh_account_clusters",
+    "embedding_truncation_fidelity",
     "bloom_pruned_order_priority",
     "zorder_cells",
     "streaming_store_etl",

@@ -200,3 +200,55 @@ def test_pq_adc_query_is_its_own_nearest_neighbor(spark, sf_dir):
     assert top[0].adc_sq_dist == 0.0
     dists = [r.adc_sq_dist for r in top]
     assert dists == sorted(dists)
+
+
+def test_account_clusters_partition_well_formed(spark, sf_dir):
+    from bigdata_logs_spark.operators.graph import account_clusters
+    from bigdata_logs_spark.operators.parse import (
+        FAILED_AUTH_EVENTS,
+        parse_ssh_lines,
+    )
+    from bigdata_logs_spark.operators.ssh_synth import synthesize_ssh_lines
+    from bigdata_logs_spark.sources import load_table
+
+    parsed = parse_ssh_lines(
+        synthesize_ssh_lines(load_table(spark, sf_dir, "events"))
+    )
+    clusters = {r.user: r.cluster for r in account_clusters(parsed).collect()}
+    assert clusters
+    # representative closure: every cluster label is itself a user
+    # whose own label is itself
+    for u, c in clusters.items():
+        assert c in clusters and clusters[c] == c
+        assert c <= u  # representative is the min username
+    # soundness: two users sharing an IP must land in the same cluster
+    edges = (
+        parsed.where(
+            F.col("event").isin(*FAILED_AUTH_EVENTS)
+            & F.col("user").isNotNull()
+            & F.col("ip").isNotNull()
+        )
+        .select("user", "ip")
+        .distinct()
+        .collect()
+    )
+    by_ip: dict = {}
+    for r in edges:
+        by_ip.setdefault(r.ip, []).append(r.user)
+    for users in by_ip.values():
+        labels = {clusters[u] for u in users}
+        assert len(labels) == 1, f"IP-sharing users split: {users}"
+
+
+def test_truncation_fidelity_monotone_in_dim(spark, sf_dir):
+    from bigdata_logs_spark.operators.similarity import truncation_fidelity
+    from bigdata_logs_spark.sources import load_table
+
+    rep = truncation_fidelity(load_table(spark, sf_dir, "embeddings")).collect()
+    assert [r.trunc_dim for r in rep] == [8, 16, 32]
+    for r in rep:
+        assert 0 < r.min_cos <= r.mean_cos <= 1.0 + 1e-9
+    # keeping more dimensions can only preserve more energy
+    for a, b in zip(rep, rep[1:]):
+        assert a.mean_cos <= b.mean_cos + 1e-9
+        assert a.min_cos <= b.min_cos + 1e-9

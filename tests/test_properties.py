@@ -344,7 +344,10 @@ def test_new_batch_ops_invariant_under_partitioning(spark, sf_dir):
         pq_codes,
         pq_distortion,
     )
-    from bigdata_logs_spark.operators.similarity import pq_adc_topk
+    from bigdata_logs_spark.operators.similarity import (
+        pq_adc_topk,
+        truncation_fidelity,
+    )
     from bigdata_logs_spark.operators.sketches import (
         cms_heavy_hitters,
         kmv_distinct,
@@ -365,6 +368,7 @@ def test_new_batch_ops_invariant_under_partitioning(spark, sf_dir):
         (zipf_fit, docs),
         (kmv_distinct, ev),
         (pq_adc_topk, emb),
+        (truncation_fidelity, emb),
     ]
     for fn, df in cases:
         base = sorted(map(str, fn(df.repartition(1)).collect()))
