@@ -5748,6 +5748,61 @@ def q_embedding_truncation_fidelity(spark, sf_dir):
     return SIM.truncation_fidelity(_emb(spark, sf_dir))
 
 
+@register(
+    "streaming_kmv_distinct",
+    SSH_PARSE_CTE
+    + """
+    , hashed AS (
+      SELECT DISTINCT event, ('0x' || substr(md5(ip), 1, 13))::BIGINT AS h
+      FROM parsed WHERE ip IS NOT NULL
+    ), sk AS (
+      SELECT event, MAX(h) AS kth, COUNT(*)::BIGINT AS n_in_sketch
+      FROM (
+        SELECT event, h,
+               ROW_NUMBER() OVER (PARTITION BY event ORDER BY h) AS rn
+        FROM hashed
+      ) WHERE rn <= 16 GROUP BY 1
+    )
+    SELECT event, n_in_sketch,
+           CASE WHEN n_in_sketch < 16 THEN n_in_sketch::DOUBLE
+                ELSE ROUND(67553994410557440.0::DOUBLE / kth, 4)
+           END AS kmv_estimate
+    FROM sk ORDER BY event
+    """,
+    tags=("ST-13", "SK-2"),
+)
+def q_streaming_kmv_distinct(spark, sf_dir):
+    """ST-13 streaming KMV: the engine drains the SSH file stream in
+    forced multi-file micro-batches while a foreachBatch job merges
+    each batch's (event, ip-hash) pairs into a k=16-row-per-group
+    parquet state (min-k union is associative/commutative/idempotent,
+    so the final state is bit-identical for ANY batch split — which
+    is why this STREAMING query gets a full hash-match oracle, unlike
+    the trigger-timing-dependent windowed entries)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_logs_spark.streaming.ingest import (
+        read_ssh_stream,
+        streaming_kmv_state,
+    )
+
+    src = _stream_source_dir(spark, sf_dir)
+    parsed = read_ssh_stream(spark, src, max_files_per_trigger=2)
+    state = _scratch_path("bls_kmv_state", sf_dir)
+    streaming_kmv_state(parsed, state, k=16)
+    rep = (
+        spark.read.parquet(state)
+        .groupBy("event")
+        .agg(F.max("h").alias("kth"), F.count(F.lit(1)).alias("n_in_sketch"))
+    )
+    est = F.when(
+        F.col("n_in_sketch") < 16, F.col("n_in_sketch").cast("double")
+    ).otherwise(F.round(F.lit(15.0 * float(1 << 52)) / F.col("kth"), 4))
+    return rep.select(
+        "event", "n_in_sketch", est.alias("kmv_estimate")
+    ).orderBy("event")
+
+
 # ---------------------------------------------------------------------------
 # Driver-certification order
 # ---------------------------------------------------------------------------
@@ -5783,6 +5838,7 @@ _DRIVER_FIRST = [
     "pq_adc_topk",
     "ssh_account_clusters",
     "embedding_truncation_fidelity",
+    "streaming_kmv_distinct",
     "bloom_pruned_order_priority",
     "zorder_cells",
     "streaming_store_etl",

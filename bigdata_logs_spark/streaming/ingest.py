@@ -512,3 +512,87 @@ def repeat_offender_pairs(
         ),
         "inner",
     ).select("ip", "first_ts", "repeat_ts")
+
+
+def streaming_kmv_state(
+    parsed: DataFrame, state_dir: str, k: int = 16, timeout_sec: int = 120
+) -> None:
+    """ST-13: streaming KMV distinct-count sketch — maintain, per
+    event tag, the k smallest 52-bit md5 hashes of the source IPs
+    seen so far, merged incrementally by a ``foreachBatch`` job into
+    a parquet state table.
+
+    This is the streaming leg of SK-2 (``sketches.kmv_distinct``) and
+    the proof of its mergeability claim: min-k union is associative,
+    commutative, and idempotent, so the final state is bit-identical
+    no matter how the feed splits into micro-batches — which is why
+    the registry can give this STREAMING query a full hash-match
+    oracle, something the windowed/stateful streaming entries (whose
+    outputs depend on trigger timing) cannot have.
+
+    State per group is exactly k rows, state overall k x |tags| —
+    the bounded-memory property that lets a 100 TB/day feed keep a
+    live distinct-cardinality estimate per key without a
+    distinct-set blowup. Each micro-batch merge unions the batch's
+    (event, h) pairs with the current state, dedups, keeps the k
+    smallest per event, and swaps the state dir via
+    write-tmp → validate → rename (the S-10 compaction discipline:
+    the reader never sees a half-written state).
+    """
+    import os
+    import shutil
+
+    spark = parsed.sparkSession
+    hashed = (
+        parsed.where(F.col("ip").isNotNull())
+        .select(
+            "event",
+            F.expr(
+                "CAST(conv(substring(md5(ip), 1, 13), 16, 10) AS BIGINT)"
+            ).alias("h"),
+        )
+    )
+    # Fresh deterministic drain on every call: stale state OR a stale
+    # checkpoint would make availableNow skip already-seen files.
+    for d in (state_dir, state_dir + "__ckpt", state_dir + "__tmp"):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+
+    def merge(batch: DataFrame, _batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        upd = batch.dropDuplicates(["event", "h"])
+        if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
+            upd = spark.read.parquet(state_dir).unionByName(upd)
+        rn = F.row_number().over(Window.partitionBy("event").orderBy("h"))
+        new_state = (
+            upd.dropDuplicates(["event", "h"])
+            .withColumn("rn", rn)
+            .where(F.col("rn") <= k)
+            .drop("rn")
+        )
+        tmp = state_dir + "__tmp"
+        new_state.write.mode("overwrite").parquet(tmp)
+        if not os.path.exists(os.path.join(tmp, "_SUCCESS")):
+            raise RuntimeError("KMV state write did not complete")
+        if os.path.exists(state_dir):
+            shutil.rmtree(state_dir)
+        os.rename(tmp, state_dir)
+
+    q = (
+        hashed.writeStream.foreachBatch(merge)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation", state_dir + "__ckpt"
+        )
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:
+        q.stop()
+    # The checkpoint has no replay value here (every call re-drains
+    # from scratch); drop it so only the registered state dir remains
+    # on disk between calls.
+    for d in (state_dir + "__ckpt", state_dir + "__tmp"):
+        if os.path.exists(d):
+            shutil.rmtree(d, ignore_errors=True)

@@ -413,3 +413,37 @@ def test_parquet_sink_exactly_once_and_orphan_files_invisible(
     (src_file,) = glob.glob(str(tmp_path / "forge" / "*.parquet"))
     shutil.copy(src_file, os.path.join(store, "part-99999-orphan.parquet"))
     assert spark.read.parquet(store).count() == n_batch
+
+
+def test_streaming_kmv_state_batch_split_invariant(spark, sf_dir, tmp_path):
+    """ST-13: the KMV state after a drain is bit-identical whether the
+    feed arrives as one micro-batch or one file per micro-batch —
+    min-k union is associative/commutative/idempotent. Also pins the
+    bounded-state contract (<= k rows per group)."""
+    import os
+
+    from bigdata_logs_spark.operators.ssh_synth import synthesize_ssh_lines
+    from bigdata_logs_spark.sources import load_table
+    from bigdata_logs_spark.streaming.ingest import (
+        read_ssh_stream,
+        streaming_kmv_state,
+    )
+
+    src = str(tmp_path / "src")
+    synthesize_ssh_lines(load_table(spark, sf_dir, "events")).coalesce(
+        4
+    ).write.mode("overwrite").text(src)
+
+    states = {}
+    for label, mfpt in (("one_batch", None), ("per_file", 1)):
+        state = str(tmp_path / f"state_{label}")
+        streaming_kmv_state(
+            read_ssh_stream(spark, src, max_files_per_trigger=mfpt), state, k=16
+        )
+        df = spark.read.parquet(state)
+        per_group = df.groupBy("event").count().collect()
+        assert all(r["count"] <= 16 for r in per_group)
+        states[label] = sorted(map(str, df.collect()))
+        # drain cleanup leaves only the state dir behind
+        assert not os.path.exists(state + "__ckpt")
+    assert states["one_batch"] == states["per_file"]
