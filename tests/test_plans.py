@@ -383,3 +383,45 @@ def test_ssh_detector_filter_stays_above_the_spread_exchange(
     assert filter_idx and repart_idx
     # top-down tree print: every Filter line above every Repartition
     assert max(filter_idx) < min(repart_idx)
+
+
+def test_pq_codes_is_shuffle_free_broadcast_codebook(spark, sf_dir):
+    """E-13's 'zero shuffles' claim: the encode plan may exchange only
+    to build/broadcast the one-row codebook; the corpus side must be
+    a narrow projection (no hash-partitioned exchange, no sort)."""
+    plan = _plan(spark, "pq_codes", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "hashpartitioning" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pq_adc_uses_topk_not_global_sort(spark, sf_dir):
+    plan = _plan(spark, "pq_adc_topk", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "hashpartitioning" not in plan  # broadcast LUT, narrow scan
+
+
+def test_cms_estimate_join_is_broadcast(spark, sf_dir):
+    """SK-1: the counter table must broadcast back for the estimate
+    join — a shuffle join on (row, bucket) would repartition the
+    distinct-key table twice for a 512-cell build side."""
+    plan = _plan(spark, "cms_heavy_hitters", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_textrank_iterations_broadcast_rank_vector(spark, sf_dir):
+    """G-1: every Jacobi iteration joins the cached edge list against
+    the vocabulary-sized rank vector as a broadcast — none of the
+    three iteration joins may shuffle the graph side."""
+    plan = _plan(spark, "textrank_keywords", sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 6  # contrib + label join x3
+    assert "SortMergeJoin" not in plan
+
+
+def test_truncation_fidelity_narrow_three_group_shuffle(spark, sf_dir):
+    """E-16: per-row energy folds are narrow; the only exchange is the
+    3-group aggregate (plus AQE reads) — no join machinery at all."""
+    plan = _plan(spark, "embedding_truncation_fidelity", sf_dir)
+    for op in ("Join", "CartesianProduct", "Window"):
+        assert op not in plan
