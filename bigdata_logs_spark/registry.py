@@ -5803,6 +5803,64 @@ def q_streaming_kmv_distinct(spark, sf_dir):
     ).orderBy("event")
 
 
+# The parse stage of SSH_PARSE_CTE, detached from its generator so the
+# Python-DataSource oracle can feed a different `gen` into the SAME
+# parse SQL (keeping the two generators from drifting apart).
+_SSH_PARSE_TAIL = SSH_PARSE_CTE[len(SSH_GEN_CTE):]
+
+_PYGEN_CTE = r"""
+WITH ids AS (SELECT unnest(range(20000)) AS i),
+gen AS (
+  SELECT printf('%s %2d %02d:%02d:%02d srv%d sshd[%d]: %s',
+    ['Jan','Feb','Mar','Apr','May','Jun',
+     'Jul','Aug','Sep','Oct','Nov','Dec'][(i % 12) + 1],
+    i % 28 + 1, i % 24, (i * 7) % 60, (i * 13) % 60,
+    i % 4, 1000 + i % 9000,
+    CASE i % 4
+      WHEN 0 THEN printf('Failed password for user%d from 10.0.%d.%d port %d ssh2',
+                         i % 50, i % 256, (i * 7) % 256, 1024 + i % 60000)
+      WHEN 1 THEN printf('Invalid user guest%d from 192.168.%d.%d',
+                         i % 20, i % 256, (i * 3) % 256)
+      WHEN 2 THEN printf('Connection closed by 172.16.%d.%d [preauth]',
+                         i % 256, (i * 5) % 256)
+      ELSE printf('Received disconnect from 203.0.%d.%d: 11: Bye',
+                  i % 256, (i * 11) % 256)
+    END) AS value
+  FROM ids
+)"""
+
+
+@register(
+    "python_datasource_counts",
+    _PYGEN_CTE
+    + _SSH_PARSE_TAIL
+    + """
+    SELECT event, COUNT(*)::BIGINT AS n
+    FROM parsed GROUP BY event ORDER BY event
+    """,
+    tags=("U-6",),
+)
+def q_python_datasource_counts(spark, sf_dir):
+    """U-6 custom Python DataSource (Spark 4 API): the `sshlog_gen`
+    format plans 8 id-range input partitions and streams generated
+    lines per split; the rows then run the SAME parse/classify path
+    as the file sources. The oracle regenerates identical lines from
+    range(n) and replays the identical parse SQL — a full hash-match
+    check on a source format Spark has no built-in reader for."""
+    from bigdata_logs_spark.sources.pygen import register_sshlog_gen
+
+    register_sshlog_gen(spark)
+    raw = spark.read.format("sshlog_gen").option("rows", 20000).load()
+    from pyspark.sql import functions as F
+
+    return (
+        parse_ssh_lines(raw.select("value"))
+        .groupBy("event")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-certification order
 # ---------------------------------------------------------------------------
@@ -5839,6 +5897,7 @@ _DRIVER_FIRST = [
     "ssh_account_clusters",
     "embedding_truncation_fidelity",
     "streaming_kmv_distinct",
+    "python_datasource_counts",
     "bloom_pruned_order_priority",
     "zorder_cells",
     "streaming_store_etl",
