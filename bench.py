@@ -140,6 +140,9 @@ def main() -> None:
         "pq_adc_topk",
         "ssh_account_clusters",
         "embedding_truncation_fidelity",
+        "daily_value_ohlc",
+        "daily_value_interpolated",
+        "lang_id_confusion",
         # streaming_event_drift is deliberately absent: streaming-drain
         # throughput is measured by the bench_streaming section.
     ]

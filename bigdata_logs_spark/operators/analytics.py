@@ -233,3 +233,88 @@ def daily_value_rank(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_type", "date")
     )
+
+
+def daily_value_ohlc(events: DataFrame) -> DataFrame:
+    """W-9: per (event_type, day) OHLC value summary — open/close via
+    argmin/argmax over the total event order (ts, event_id), high/low
+    as plain extremes. The finance-style downsampling shape for any
+    numeric telemetry: one combinable groupBy, no window pass, no
+    self-join (each struct-min/max partial is map-side combinable).
+
+    Exactness: open/high/low/close are *picked* doubles (never
+    summed), and (ts, event_id) is a total order, so every cell is
+    deterministic without rounding.
+    """
+    date = F.date_format("ts", "yyyy-MM-dd")
+    asc = F.struct(F.col("ts"), F.col("event_id"), F.col("value"))
+    return (
+        events.groupBy(F.col("event_type"), date.alias("date"))
+        .agg(
+            F.min(asc).getField("value").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(asc).getField("value").alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type", "date")
+    )
+
+
+def daily_value_interpolated(events: DataFrame) -> DataFrame:
+    """W-10: dense daily mean-value series with LINEAR interpolation
+    across empty days (D-47 zero-fills counts; a mean is not zero on
+    a day with no observations — it's missing, and charts/models want
+    the line bridged). Edge days with no known neighbor on one side
+    carry the nearest known value flat.
+
+    Shape: the corpus collapses to per-day decimal-exact means first;
+    the spine + two ignore-null windows + the interpolation formula
+    run over n_days rows only. ``interpolated`` flags synthetic
+    points.
+
+    Exactness: known means are decimal-accumulated (order-free);
+    interpolation is one fixed expression over two knowns and two
+    integer day distances, mirrored operand-for-operand in the
+    oracle; round at 1e-4.
+    """
+    from bigdata_logs_spark.operators.dashboard import _dsum
+
+    day = F.col("ts").cast("date")
+    per = events.groupBy(day.alias("d")).agg(
+        (_dsum(F.col("value")) / F.count(F.lit(1))).alias("mean_raw")
+    )
+    bounds = events.agg(
+        F.min(day).alias("lo"), F.max(day).alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("d")
+    )
+    joined = spine.join(per, "d", "left")
+    w_prev = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    w_next = Window.orderBy("d").rowsBetween(0, Window.unboundedFollowing)
+    known_d = F.when(F.col("mean_raw").isNotNull(), F.col("d"))
+    annotated = joined.select(
+        "d",
+        "mean_raw",
+        F.last("mean_raw", ignorenulls=True).over(w_prev).alias("prev_v"),
+        F.last(known_d, ignorenulls=True).over(w_prev).alias("prev_d"),
+        F.first("mean_raw", ignorenulls=True).over(w_next).alias("next_v"),
+        F.first(known_d, ignorenulls=True).over(w_next).alias("next_d"),
+    )
+    frac = F.datediff(F.col("d"), F.col("prev_d")) / F.datediff(
+        F.col("next_d"), F.col("prev_d")
+    )
+    filled = (
+        F.when(F.col("mean_raw").isNotNull(), F.col("mean_raw"))
+        .when(
+            F.col("prev_v").isNotNull() & F.col("next_v").isNotNull(),
+            F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac,
+        )
+        .otherwise(F.coalesce(F.col("prev_v"), F.col("next_v")))
+    )
+    return annotated.select(
+        F.date_format("d", "yyyy-MM-dd").alias("date"),
+        F.round(filled, 4).alias("mean_value"),
+        F.col("mean_raw").isNull().alias("interpolated"),
+    ).orderBy("date")

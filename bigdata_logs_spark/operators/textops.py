@@ -734,3 +734,32 @@ def zipf_fit(docs: DataFrame, top_r: int = 100) -> DataFrame:
             "zipf_slope"
         ),
     ).orderBy("lang")
+
+
+def lang_id_confusion(docs: DataFrame) -> DataFrame:
+    """T-18: confusion matrix of the T-5 language-ID heuristic against
+    the labeled ``lang`` column, with per-cell share of the true
+    language — the evaluation leg T-5 itself lacks (E-12 plays the
+    same role for the IVF coarse quantizer). On the synthetic
+    shared-vocabulary corpus the interesting signal is the per-lang
+    miss ("unknown") rate of the marker set.
+
+    Shape: the per-doc prediction is a narrow expression; the corpus
+    collapses to |langs| x |predictions| cells; the share divides two
+    exact integers once.
+    """
+    preds = lang_id(docs).select("lang", "predicted_lang")
+    cells = preds.groupBy("lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    from pyspark.sql import Window
+
+    per_lang = Window.partitionBy("lang")
+    return cells.select(
+        "lang",
+        "predicted_lang",
+        "n_docs",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(per_lang), 4).alias(
+            "share_of_lang"
+        ),
+    ).orderBy("lang", "predicted_lang")

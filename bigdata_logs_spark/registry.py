@@ -5861,6 +5861,111 @@ def q_python_datasource_counts(spark, sf_dir):
     )
 
 
+@register(
+    "daily_value_ohlc",
+    """
+    WITH r AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS date, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type, ts::DATE
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY event_type, ts::DATE
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT event_type, date,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high, MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           COUNT(*)::BIGINT AS n_events
+    FROM r GROUP BY 1, 2 ORDER BY event_type, date
+    """,
+    tags=("W-9",),
+)
+def q_daily_value_ohlc(spark, sf_dir):
+    """W-9 OHLC downsampling: open/close via struct-min/max over the
+    total (ts, event_id) order — map-side-combinable argmin/argmax,
+    no window pass, no self-join; every cell is a PICKED double
+    (never summed), so no rounding is needed."""
+    return AN.daily_value_ohlc(_events(spark, sf_dir))
+
+
+@register(
+    "daily_value_interpolated",
+    """
+    WITH per AS (
+      SELECT ts::DATE AS d,
+             (SUM(value::DECIMAL(18,2))::DOUBLE / COUNT(*)) AS mean_raw
+      FROM events GROUP BY 1
+    ), bounds AS (SELECT MIN(ts::DATE) AS lo, MAX(ts::DATE) AS hi FROM events),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d
+      FROM bounds
+    ), j AS (
+      SELECT s.d, p.mean_raw FROM spine s LEFT JOIN per p USING (d)
+    ), a AS (
+      SELECT d, mean_raw,
+        last_value(mean_raw IGNORE NULLS) OVER
+          (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS prev_v,
+        last_value(CASE WHEN mean_raw IS NOT NULL THEN d END IGNORE NULLS)
+          OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS prev_d,
+        first_value(mean_raw IGNORE NULLS) OVER
+          (ORDER BY d ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+          AS next_v,
+        first_value(CASE WHEN mean_raw IS NOT NULL THEN d END IGNORE NULLS)
+          OVER (ORDER BY d ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+          AS next_d
+      FROM j
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS date,
+      ROUND(CASE WHEN mean_raw IS NOT NULL THEN mean_raw
+                 WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+                 THEN prev_v + (next_v - prev_v)
+                      * ((d - prev_d)::DOUBLE / (next_d - prev_d)::DOUBLE)
+                 ELSE COALESCE(prev_v, next_v) END, 4) AS mean_value,
+      (mean_raw IS NULL) AS interpolated
+    FROM a ORDER BY date
+    """,
+    tags=("W-10",),
+)
+def q_daily_value_interpolated(spark, sf_dir):
+    """W-10 dense daily means with linear interpolation across empty
+    days (D-47 zero-fills counts; a missing mean is bridged, not
+    zeroed). Corpus collapses to decimal-exact day means first; the
+    spine + two ignore-null windows run over n_days rows only."""
+    return AN.daily_value_interpolated(_events(spark, sf_dir))
+
+
+@register(
+    "lang_id_confusion",
+    TOKS_CTE
+    + """
+    , preds AS (
+      SELECT lang,
+             CASE WHEN len(list_filter(tokens,
+                          t -> t IN ('the','a','is','of'))) > 0
+                  THEN 'en' ELSE 'unknown' END AS predicted_lang
+      FROM toks
+    ), cells AS (
+      SELECT lang, predicted_lang, COUNT(*)::BIGINT AS n_docs
+      FROM preds GROUP BY 1, 2
+    )
+    SELECT lang, predicted_lang, n_docs,
+           ROUND(n_docs::DOUBLE
+                 / (SUM(n_docs) OVER (PARTITION BY lang))::DOUBLE, 4)
+             AS share_of_lang
+    FROM cells ORDER BY lang, predicted_lang
+    """,
+    tags=("T-18",),
+)
+def q_lang_id_confusion(spark, sf_dir):
+    """T-18 language-ID evaluation: confusion cells of the T-5 marker
+    heuristic vs the labeled lang, with per-cell share of the true
+    language (the T-5 counterpart of E-12's quantizer confusion)."""
+    return TX.lang_id_confusion(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Driver-certification order
 # ---------------------------------------------------------------------------
@@ -5898,6 +6003,9 @@ _DRIVER_FIRST = [
     "embedding_truncation_fidelity",
     "streaming_kmv_distinct",
     "python_datasource_counts",
+    "daily_value_ohlc",
+    "daily_value_interpolated",
+    "lang_id_confusion",
     "bloom_pruned_order_priority",
     "zorder_cells",
     "streaming_store_etl",

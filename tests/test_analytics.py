@@ -157,3 +157,49 @@ def test_daily_value_rank_bounds_and_ties(spark):
     assert out["2024-01-03"].pct_rank == 1.0
     assert out["2024-01-03"].cume_dist == 1.0
     assert all(0.0 <= r.cume_dist <= 1.0 for r in out.values())
+
+
+def test_daily_interpolation_bridges_gaps_and_edges(spark):
+    """W-10 on a hand-built sparse series: known days 1 and 4 (means
+    10.0 and 40.0) with a 2-day hole and trailing/leading coverage via
+    the spine. Bridged points must be the exact linear blend; edge
+    behavior (no neighbor on one side) carries flat."""
+    from bigdata_logs_spark.operators.analytics import daily_value_interpolated
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 7, "click", 10.0, "{}"),
+        (2, "2024-01-04 10:00:00", 7, "click", 40.0, "{}"),
+        (3, "2024-01-04 11:00:00", 8, "click", 40.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r.date: r for r in daily_value_interpolated(ev).collect()}
+    assert sorted(got) == ["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"]
+    assert got["2024-01-01"].mean_value == 10.0
+    assert not got["2024-01-01"].interpolated
+    assert got["2024-01-02"].mean_value == 20.0  # 10 + (40-10) * 1/3
+    assert got["2024-01-02"].interpolated
+    assert got["2024-01-03"].mean_value == 30.0
+    assert got["2024-01-04"].mean_value == 40.0
+
+
+def test_daily_ohlc_picks_first_and_last_by_total_order(spark):
+    from bigdata_logs_spark.operators.analytics import daily_value_ohlc
+
+    rows = [
+        (1, "2024-01-01 09:00:00", 1, "click", 5.0, "{}"),
+        (2, "2024-01-01 12:00:00", 1, "click", 99.0, "{}"),
+        (3, "2024-01-01 23:00:00", 1, "click", 1.0, "{}"),
+        # same-ts tie: event_id breaks it
+        (4, "2024-01-01 23:00:00", 1, "click", 7.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    r = daily_value_ohlc(ev).collect()[0]
+    assert (r.open, r.high, r.low, r.close, r.n_events) == (5.0, 99.0, 1.0, 7.0, 4)
