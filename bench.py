@@ -143,6 +143,8 @@ def main() -> None:
         "daily_value_ohlc",
         "daily_value_interpolated",
         "lang_id_confusion",
+        "token_graph_degrees",
+        "observed_etl_metrics",
         # streaming_event_drift is deliberately absent: streaming-drain
         # throughput is measured by the bench_streaming section.
     ]

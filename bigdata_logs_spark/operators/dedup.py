@@ -668,3 +668,44 @@ def minhash_calibration(docs: DataFrame) -> DataFrame:
             / (F.count(F.lit(1)) * 10000)
         ).alias("mean_abs_gap"),
     )
+
+
+def quality_dedup_survivors(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """PL-15: quality-aware component dedup — within every near-dup
+    component, keep the doc with the most content (max ``n_chars``,
+    doc_id as the deterministic tie-break) instead of the smallest id.
+    "Keep the longest version" is the policy crawls actually want:
+    the min-id survivor of DD-7/DD-8 can be the truncated variant of
+    the page it represents.
+
+    Built on the DD-8 component labels (same LSH → verify → label
+    propagation machinery and cost); the selection itself adds one
+    window over the component partition of the (doc_id, component,
+    n_chars) projection — document text never enters the shuffle.
+
+    Output: (doc_id, component, survivor_doc, keep) for every doc —
+    the keep=false rows ARE the dedup decision record an auditable
+    pipeline retains (PL-12's manifest consumes exactly this shape).
+    """
+    from pyspark.sql import Window
+
+    comps = near_dup_components(docs, threshold=threshold)
+    sized = comps.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.desc("n_chars"), F.col("doc_id")
+    )
+    ranked = sized.withColumn("rk", F.row_number().over(w))
+    survivors = ranked.where(F.col("rk") == 1).select(
+        F.col("component").alias("component"),
+        F.col("doc_id").alias("survivor_doc"),
+    )
+    return (
+        comps.join(survivors, "component")
+        .select(
+            "doc_id",
+            "component",
+            "survivor_doc",
+            (F.col("doc_id") == F.col("survivor_doc")).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

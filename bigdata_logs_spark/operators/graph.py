@@ -208,3 +208,29 @@ def account_clusters(parsed: DataFrame, max_iter: int = 20) -> DataFrame:
             break
     track_checkpoint_rdd(prev_snapshot)
     return labels.orderBy("user")
+
+
+def token_graph_degrees(docs: DataFrame) -> DataFrame:
+    """G-3: degree distribution of the token-adjacency graph —
+    power-of-two degree buckets vs node counts, the quick shape check
+    (scale-free? hub-dominated?) run before pointing an iterative
+    algorithm like G-1 at a corpus, and the empirical basis for the
+    broadcast-the-rank-vector decision documented there.
+
+    Degree = distinct neighbors (unweighted). The bucket is the
+    largest power of two <= degree, computed from the BINARY STRING
+    length (``shiftleft(1, length(bin(deg)) - 1)``) — float
+    ``log2`` is ln(x)/ln(2) in Spark and NOT exact on power-of-two
+    boundaries, which would mis-bucket exactly the values that define
+    the buckets. Edge list → per-node count → |buckets| rows: nothing
+    larger than the vocabulary ever aggregates.
+    """
+    edges = token_adjacency_edges(docs)
+    degrees = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    bucket = F.expr("shiftleft(CAST(1 AS BIGINT), length(bin(deg)) - 1)")
+    return (
+        degrees.select(bucket.alias("degree_bucket"))
+        .groupBy("degree_bucket")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("degree_bucket")
+    )

@@ -5966,6 +5966,115 @@ def q_lang_id_confusion(spark, sf_dir):
     return TX.lang_id_confusion(_docs(spark, sf_dir))
 
 
+@register(
+    "quality_dedup_survivors",
+    ND_PAIRS_CTE.replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + """
+    , edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs WHERE jaccard >= 0.5
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs WHERE jaccard >= 0.5
+    )
+    , reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    )
+    , comp AS (
+      SELECT u AS doc_id, least(u, MIN(v)) AS component FROM reach GROUP BY u
+    ), allc AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component, d.n_chars
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    ), surv AS (
+      SELECT component, doc_id AS survivor_doc FROM (
+        SELECT component, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY component
+                                  ORDER BY n_chars DESC, doc_id) AS rk
+        FROM allc
+      ) WHERE rk = 1
+    )
+    SELECT a.doc_id, a.component, s.survivor_doc,
+           (a.doc_id = s.survivor_doc) AS keep
+    FROM allc a JOIN surv s USING (component) ORDER BY a.doc_id
+    """,
+    tags=("PL-15",),
+)
+def q_quality_dedup_survivors(spark, sf_dir):
+    """PL-15 quality-aware component dedup: within each DD-8 near-dup
+    component keep the doc with the most content (max n_chars,
+    deterministic id tie-break) — 'keep the longest version', the
+    policy min-id survivors get wrong on truncated variants. Adds one
+    window over the metadata projection; text never shuffles."""
+    return DD.quality_dedup_survivors(_docs(spark, sf_dir), threshold=0.5)
+
+
+@register(
+    "token_graph_degrees",
+    TOKS_CTE
+    + """
+    , pairs AS (
+      SELECT unnest(tokens[:len(tokens)-1]) AS a, unnest(tokens[2:]) AS b
+      FROM toks WHERE len(tokens) >= 2
+    ), dir AS (
+      SELECT a AS src, b AS dst FROM pairs
+      UNION ALL SELECT b AS src, a AS dst FROM pairs
+    ), edges AS (
+      SELECT src, dst FROM dir GROUP BY 1, 2
+    ), deg AS (
+      SELECT src, COUNT(*)::BIGINT AS deg FROM edges GROUP BY 1
+    )
+    SELECT (1::BIGINT << (length(bin(deg)) - 1))::BIGINT AS degree_bucket,
+           COUNT(*)::BIGINT AS n_nodes
+    FROM deg GROUP BY 1 ORDER BY degree_bucket
+    """,
+    tags=("G-3",),
+)
+def q_token_graph_degrees(spark, sf_dir):
+    """G-3 degree distribution of the token graph in power-of-two
+    buckets — the hub/shape check before running G-1. Buckets come
+    from the binary-string length (bin()), never float log2, which is
+    ln-ratio-computed and inexact exactly on the bucket boundaries."""
+    return G.token_graph_degrees(_docs(spark, sf_dir))
+
+
+@register(
+    "observed_etl_metrics",
+    """
+    SELECT COUNT(*)::BIGINT AS n_rows,
+           ROUND(SUM(value::DECIMAL(18,2))::DOUBLE, 2) AS total_value,
+           MAX(event_id)::BIGINT AS max_event_id
+    FROM events
+    """,
+    tags=("OPS-1",),
+)
+def q_observed_etl_metrics(spark, sf_dir):
+    """OPS-1 pipeline observability: the metrics are computed BY THE
+    WRITE JOB via a CollectMetrics (Observation) node as rows stream
+    to the parquet sink — zero extra passes. The oracle recomputes
+    the same aggregates declaratively, certifying the telemetry."""
+    from pyspark.sql import functions as F
+
+    from bigdata_logs_spark.sources.io import observed_write
+
+    ev = _events(spark, sf_dir)
+    out = _scratch_path("bls_observed_store", sf_dir)
+    got = observed_write(
+        ev,
+        out,
+        {
+            "n_rows": F.count(F.lit(1)),
+            "total_value": F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ),
+            "max_event_id": F.max("event_id"),
+        },
+    )
+    return spark.createDataFrame(
+        [(got["n_rows"], got["total_value"], got["max_event_id"])],
+        "n_rows long, total_value double, max_event_id long",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-certification order
 # ---------------------------------------------------------------------------
@@ -6006,6 +6115,9 @@ _DRIVER_FIRST = [
     "daily_value_ohlc",
     "daily_value_interpolated",
     "lang_id_confusion",
+    "quality_dedup_survivors",
+    "token_graph_degrees",
+    "observed_etl_metrics",
     "bloom_pruned_order_priority",
     "zorder_cells",
     "streaming_store_etl",

@@ -419,3 +419,26 @@ def read_versioned(
     if pick not in committed:
         raise FileNotFoundError(f"version {pick} not committed under {path}")
     return spark.read.parquet(os.path.join(path, f"v={pick}"))
+
+
+def observed_write(df: DataFrame, path: str, metrics: dict) -> dict:
+    """OPS-1: instrument a sink write with Spark's Observation API —
+    the metrics are computed BY THE WRITE JOB itself (a CollectMetrics
+    node evaluated as rows stream to the sink), so pipeline telemetry
+    costs zero extra passes over the data. This is the production
+    answer to "how many rows/how much value did last night's ETL
+    actually land": the reference can only re-query Mongo after the
+    fact (``/root/reference/src/insert_mongo.py:17`` prints a static
+    success line).
+
+    ``metrics`` maps metric name -> aggregate Column (count/sum/min/
+    max family — CollectMetrics rejects distinct and nondeterministic
+    aggregates). Returns the observed values dict after the write
+    action completes.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation("etl")
+    observed = df.observe(obs, *[c.alias(n) for n, c in metrics.items()])
+    observed.write.mode("overwrite").parquet(path)
+    return obs.get

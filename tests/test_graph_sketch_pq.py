@@ -282,3 +282,60 @@ def test_python_datasource_plans_splits_and_is_deterministic(spark):
     got = {r.id: r.value for r in rows(8).collect()}
     for i in (0, 1, 2, 3, 499):
         assert got[i] == synth_line(i)
+
+
+def test_quality_survivors_one_keeper_per_component_max_content(spark, sf_dir):
+    from bigdata_logs_spark.operators.dedup import quality_dedup_survivors
+
+    docs = _docs(spark, sf_dir)
+    rep = quality_dedup_survivors(docs)
+    assert rep.count() == docs.count()
+    per = rep.groupBy("component").agg(
+        F.sum(F.col("keep").cast("int")).alias("keepers"),
+        F.count("*").alias("n"),
+    )
+    assert per.where(F.col("keepers") != 1).count() == 0
+    # the keeper has the component's max n_chars
+    sized = rep.join(docs.select("doc_id", "n_chars"), "doc_id")
+    comp_max = sized.groupBy("component").agg(F.max("n_chars").alias("mx"))
+    kept = sized.where("keep").join(comp_max, "component")
+    assert kept.where(F.col("n_chars") != F.col("mx")).count() == 0
+
+
+def test_token_graph_degree_buckets_are_powers_of_two_and_cover(spark, sf_dir):
+    from bigdata_logs_spark.operators.graph import (
+        token_adjacency_edges,
+        token_graph_degrees,
+    )
+
+    docs = _docs(spark, sf_dir)
+    rep = token_graph_degrees(docs).collect()
+    assert rep
+    for r in rep:
+        assert r.degree_bucket & (r.degree_bucket - 1) == 0  # power of two
+    n_nodes = (
+        token_adjacency_edges(docs).select("src").distinct().count()
+    )
+    assert sum(r.n_nodes for r in rep) == n_nodes
+
+
+def test_observed_metrics_match_direct_aggregation(spark, sf_dir, tmp_path):
+    from bigdata_logs_spark.sources import load_table
+    from bigdata_logs_spark.sources.io import observed_write
+
+    ev = load_table(spark, sf_dir, "events")
+    got = observed_write(
+        ev,
+        str(tmp_path / "obs_store"),
+        {
+            "n_rows": F.count(F.lit(1)),
+            "max_event_id": F.max("event_id"),
+        },
+    )
+    direct = ev.agg(
+        F.count(F.lit(1)).alias("n"), F.max("event_id").alias("m")
+    ).collect()[0]
+    assert got["n_rows"] == direct.n
+    assert got["max_event_id"] == direct.m
+    # the sink actually landed every observed row
+    assert spark.read.parquet(str(tmp_path / "obs_store")).count() == direct.n
