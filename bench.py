@@ -145,6 +145,7 @@ def main() -> None:
         "lang_id_confusion",
         "token_graph_degrees",
         "observed_etl_metrics",
+        "user_attr_scd2",
         # streaming_event_drift is deliberately absent: streaming-drain
         # throughput is measured by the bench_streaming section.
     ]

@@ -318,3 +318,52 @@ def daily_value_interpolated(events: DataFrame) -> DataFrame:
         F.round(filled, 4).alias("mean_value"),
         F.col("mean_raw").isNull().alias("interpolated"),
     ).orderBy("date")
+
+
+def user_attr_scd2(events: DataFrame) -> DataFrame:
+    """S-18: SCD Type 2 dimension build — turn the per-event stream of
+    a user attribute (``props.k``) into versioned validity intervals:
+    one row per (user, attribute run) with valid_from / valid_to and
+    an is_current flag. This is the classic warehouse pattern for
+    "what was this user's plan/setting AS OF time T" joins (pairs
+    with J-9's as-of join, which consumes exactly such intervals);
+    the reference stores raw events only and would recompute history
+    per query.
+
+    Shape: one shuffle on user_id, then two in-partition window
+    passes (lag to find change points, lead to close intervals).
+    Change-point compression is why this scales: the dimension holds
+    one row per VALUE RUN, not per event.
+
+    Exactness: (ts, event_id) totally orders each user's stream;
+    interval edges are picked timestamps (never arithmetic), emitted
+    as formatted strings.
+    """
+    ordered = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ordered.withColumn("prev_k", F.lag("k").over(w)).withColumn(
+        "is_change",
+        F.col("prev_k").isNull() | (F.col("k") != F.col("prev_k")),
+    )
+    changes = flagged.where("is_change")
+    wc = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        changes.withColumn("next_from", F.lead("ts").over(wc))
+        .select(
+            "user_id",
+            "k",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "valid_from"
+            ),
+            F.date_format("next_from", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "valid_to"
+            ),
+            F.col("next_from").isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from")
+    )

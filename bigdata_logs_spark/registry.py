@@ -6075,6 +6075,38 @@ def q_observed_etl_metrics(spark, sf_dir):
     )
 
 
+@register(
+    "user_attr_scd2",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             json_extract(props, '$.k')::INT AS k,
+             LAG(json_extract(props, '$.k')::INT) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev_k
+      FROM events
+    ), changes AS (
+      SELECT user_id, k, ts, event_id FROM ordered
+      WHERE prev_k IS NULL OR k != prev_k
+    )
+    SELECT user_id, k,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+           strftime(LEAD(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id),
+                    '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+           (LEAD(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) IS NULL) AS is_current
+    FROM changes ORDER BY user_id, valid_from
+    """,
+    tags=("S-18",),
+)
+def q_user_attr_scd2(spark, sf_dir):
+    """S-18 SCD Type 2 build: per-user attribute runs compressed to
+    validity intervals (valid_from/valid_to/is_current) — the
+    dimension shape J-9's as-of join consumes. One user_id shuffle +
+    two window passes; one row per value RUN, not per event."""
+    return AN.user_attr_scd2(_events(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Driver-certification order
 # ---------------------------------------------------------------------------
@@ -6118,6 +6150,7 @@ _DRIVER_FIRST = [
     "quality_dedup_survivors",
     "token_graph_degrees",
     "observed_etl_metrics",
+    "user_attr_scd2",
     "bloom_pruned_order_priority",
     "zorder_cells",
     "streaming_store_etl",

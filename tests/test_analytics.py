@@ -203,3 +203,44 @@ def test_daily_ohlc_picks_first_and_last_by_total_order(spark):
     ).withColumn("ts", F.col("ts").cast("timestamp"))
     r = daily_value_ohlc(ev).collect()[0]
     assert (r.open, r.high, r.low, r.close, r.n_events) == (5.0, 99.0, 1.0, 7.0, 4)
+
+
+def test_scd2_intervals_tile_each_user_history(spark, sf_dir):
+    """S-18: per user, intervals are contiguous (each valid_to equals
+    the next valid_from), exactly one is_current, and the dimension
+    reproduces the attribute of every raw event via an as-of lookup."""
+    from bigdata_logs_spark.operators.analytics import user_attr_scd2
+    from bigdata_logs_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = user_attr_scd2(ev).collect()
+    by_user = {}
+    for r in dim:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user
+    for user, rows in by_user.items():
+        rows.sort(key=lambda r: r.valid_from)
+        assert sum(1 for r in rows if r.is_current) == 1
+        assert rows[-1].is_current and rows[-1].valid_to is None
+        for a, b in zip(rows, rows[1:]):
+            assert a.valid_to == b.valid_from  # contiguous tiling
+            assert a.k != b.k  # true change points only
+    # as-of reproduction on a sample user: every event's k falls in
+    # the interval covering its ts
+    sample_user = dim[0].user_id
+    events_k = (
+        ev.where(F.col("user_id") == sample_user)
+        .select(
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+        .collect()
+    )
+    ivs = by_user[sample_user]
+    for e in events_k:
+        cover = [
+            r
+            for r in ivs
+            if r.valid_from <= e.ts_s and (r.valid_to is None or e.ts_s < r.valid_to)
+        ]
+        assert len(cover) == 1 and cover[0].k == e.k
