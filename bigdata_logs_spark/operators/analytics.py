@@ -345,24 +345,21 @@ def user_attr_scd2(events: DataFrame) -> DataFrame:
         "event_id",
         F.get_json_object("props", "$.k").cast("int").alias("k"),
     )
+    from bigdata_logs_spark.operators.dashboard import _ts_str
+
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     flagged = ordered.withColumn("prev_k", F.lag("k").over(w)).withColumn(
         "is_change",
         F.col("prev_k").isNull() | (F.col("k") != F.col("prev_k")),
     )
     changes = flagged.where("is_change")
-    wc = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return (
-        changes.withColumn("next_from", F.lead("ts").over(wc))
+        changes.withColumn("next_from", F.lead("ts").over(w))
         .select(
             "user_id",
             "k",
-            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
-                "valid_from"
-            ),
-            F.date_format("next_from", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
-                "valid_to"
-            ),
+            _ts_str(F.col("ts")).alias("valid_from"),
+            _ts_str(F.col("next_from")).alias("valid_to"),
             F.col("next_from").isNull().alias("is_current"),
         )
         .orderBy("user_id", "valid_from")

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from bigdata_logs_spark.caching import track_checkpoint_rdd, tracked_cache
+from bigdata_logs_spark.caching import tracked_cache
 from bigdata_logs_spark.functions import spread_small_input
 
 SHINGLE_K = 3
@@ -416,33 +416,13 @@ def near_dup_components(
     driver-side loop holds only a changed-row count per round — no
     data is collected.
 
-    Lineage control: each round's labels are ``localCheckpoint``ed
-    (eager), truncating the logical plan — caching alone keeps the
-    full join-per-round lineage, which grows linearly in rounds and
-    eventually OOMs the DRIVER just rendering/optimizing the plan
-    (observed as a heap blowout in AQE's plan-string update after ~8
-    preceding queries). This is the standard contract for iterative
-    DataFrame algorithms; on a real cluster the trade is that a lost
-    executor recomputes from the checkpoint, not from source.
-
-    Block hygiene: a local checkpoint is non-recomputable cached
-    state, so each round's snapshot is explicitly unpersisted once
-    the NEXT round has eagerly materialized (nothing references it
-    after that) — otherwise up to ``max_iter`` snapshots of the
-    label table stay pinned in executor memory for the life of the
-    session, invisible to ``release_caches``. Only the final live
-    snapshot stays pinned (the returned plan reads from it).
-    Tracking is per-DataFrame: each eager ``localCheckpoint`` plan is
-    a ``LogicalRDD`` over exactly the materialized RDD, so we read
-    that RDD off the checkpointed frame's own analyzed plan and
-    unpersist it directly — never by diffing the session-global
-    persistent-RDD map, which would race with concurrent queries
-    persisting their own blocks in the same session.
+    Lineage control, checkpoint-block hygiene, and the
+    converge-or-raise contract live in the shared driver loop
+    (``iterate.propagate_min_labels``) — one implementation for every
+    iterative label algorithm in the engine.
     """
 
-    def _checkpoint_rdd(ck: DataFrame):
-        """The JVM RDD holding an eager localCheckpoint's blocks."""
-        return ck._jdf.queryExecution().analyzed().rdd()
+    from bigdata_logs_spark.operators.iterate import propagate_min_labels
 
     pairs = (
         near_dup_pairs(docs, threshold=threshold)
@@ -456,13 +436,12 @@ def near_dup_components(
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
         .withColumn("component", F.col("doc_id"))
-        .localCheckpoint(eager=True)
     )
-    prev_snapshot = _checkpoint_rdd(labels)
-    for _ in range(max_iter):
-        neighbor_min = (
+
+    def neighbor_min(cur):
+        return (
             edges.join(
-                labels.select(
+                cur.select(
                     F.col("doc_id").alias("doc_b"),
                     F.col("component").alias("nbr_component"),
                 ),
@@ -470,35 +449,12 @@ def near_dup_components(
             )
             .groupBy("doc_a")
             .agg(F.min("nbr_component").alias("nbr_min"))
+            .withColumnRenamed("doc_a", "doc_id")
         )
-        # eager localCheckpoint: materializes this round AND cuts the
-        # lineage so the next round's plan starts from a leaf
-        updated = (
-            labels.join(
-                neighbor_min, labels.doc_id == neighbor_min.doc_a, "left"
-            )
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
-                ).alias("component"),
-                (F.col("nbr_min") < F.col("component")).alias("changed"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        new_snapshot = _checkpoint_rdd(updated)
-        n_changed = updated.filter(F.col("changed")).count()
-        labels = updated.select("doc_id", "component")
-        # this round is materialized; last round's snapshot is now
-        # unreferenced — free its blocks
-        prev_snapshot.unpersist(False)
-        prev_snapshot = new_snapshot
-        if n_changed == 0:
-            break
-    # the returned plan reads from the final snapshot — it must stay
-    # pinned until the caller has consumed the result, so hand it to
-    # the session-level tracker instead of leaking it
-    track_checkpoint_rdd(prev_snapshot)
+
+    labels = propagate_min_labels(
+        labels, neighbor_min, key="doc_id", label="component", max_iter=max_iter
+    )
     out = (
         docs.select("doc_id")
         .join(labels, "doc_id", "left")

@@ -143,21 +143,17 @@ def account_clusters(parsed: DataFrame, max_iter: int = 20) -> DataFrame:
     Convergence in O(component diameter) rounds, each two joins + two
     aggs on the (user, ip) edge list only.
 
-    Lineage/block hygiene follows ``dedup.near_dup_components``:
-    every round eagerly localCheckpoints (plans stay leaf-rooted),
-    the previous round's snapshot is freed once the next is
-    materialized, and the final snapshot is handed to the session
-    cache tracker. The driver-side loop holds one changed-row count
-    per round.
+    Lineage control, checkpoint-block hygiene, and the
+    converge-or-raise contract live in the shared driver loop
+    (``iterate.propagate_min_labels``) — if a component's bipartite
+    diameter exceeds the iteration budget the call RAISES instead of
+    returning silently-split clusters.
 
     Output: (user, cluster) — cluster is the lexicographically
     smallest username in the component.
     """
-    from bigdata_logs_spark.caching import track_checkpoint_rdd
+    from bigdata_logs_spark.operators.iterate import propagate_min_labels
     from bigdata_logs_spark.operators.parse import FAILED_AUTH_EVENTS
-
-    def _checkpoint_rdd(ck: DataFrame):
-        return ck._jdf.queryExecution().analyzed().rdd()
 
     edges = (
         parsed.where(
@@ -169,45 +165,25 @@ def account_clusters(parsed: DataFrame, max_iter: int = 20) -> DataFrame:
         .distinct()
         .transform(tracked_cache)
     )
-    labels = (
-        edges.select("user")
-        .distinct()
-        .withColumn("cluster", F.col("user"))
-        .localCheckpoint(eager=True)
+    labels = edges.select("user").distinct().withColumn(
+        "cluster", F.col("user")
     )
-    prev_snapshot = _checkpoint_rdd(labels)
-    for _ in range(max_iter):
+
+    def neighbor_min(cur):
         ip_min = (
-            edges.join(labels, "user")
+            edges.join(cur, "user")
             .groupBy("ip")
             .agg(F.min("cluster").alias("ip_label"))
         )
-        nbr_min = (
+        return (
             edges.join(ip_min, "ip")
             .groupBy("user")
             .agg(F.min("ip_label").alias("nbr_min"))
         )
-        updated = (
-            labels.join(nbr_min, "user", "left")
-            .select(
-                "user",
-                F.least(
-                    F.col("cluster"),
-                    F.coalesce(F.col("nbr_min"), F.col("cluster")),
-                ).alias("cluster"),
-                (F.col("nbr_min") < F.col("cluster")).alias("changed"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        new_snapshot = _checkpoint_rdd(updated)
-        n_changed = updated.filter(F.col("changed")).count()
-        labels = updated.select("user", "cluster")
-        prev_snapshot.unpersist(False)
-        prev_snapshot = new_snapshot
-        if n_changed == 0:
-            break
-    track_checkpoint_rdd(prev_snapshot)
-    return labels.orderBy("user")
+
+    return propagate_min_labels(
+        labels, neighbor_min, key="user", label="cluster", max_iter=max_iter
+    ).orderBy("user")
 
 
 def token_graph_degrees(docs: DataFrame) -> DataFrame:

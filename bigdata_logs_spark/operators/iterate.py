@@ -1,0 +1,89 @@
+"""Shared driver loop for iterative min-label propagation
+(connected components over doc near-dup graphs, bipartite account
+clustering — any algorithm of the shape "labels shrink monotonically
+until a fixed point").
+
+One implementation of the subtle parts so they cannot drift between
+callers:
+
+- **Lineage control**: every round eagerly ``localCheckpoint``s, so
+  plans stay leaf-rooted instead of growing one join per round (the
+  classic iterative-DataFrame driver OOM during plan
+  rendering/optimization).
+- **Block hygiene**: a local checkpoint is non-recomputable cached
+  state invisible to ``spark.catalog.clearCache``; each round's
+  snapshot is unpersisted as soon as the next round has materialized,
+  and the FINAL snapshot is handed to the session cache tracker
+  (``caching.release_caches``) because the returned plan reads from
+  it.
+- **Convergence contract**: reaching ``max_iter`` with changes still
+  flowing RAISES instead of silently returning labels that violate
+  the "label = component minimum" contract (a >max_iter-diameter
+  component would otherwise split undetected).
+
+The driver holds one changed-row count per round — never label data.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bigdata_logs_spark.caching import track_checkpoint_rdd
+
+
+def _checkpoint_rdd(ck: DataFrame):
+    """The JVM RDD holding an eager localCheckpoint's blocks."""
+    return ck._jdf.queryExecution().analyzed().rdd()
+
+
+def propagate_min_labels(
+    labels: DataFrame,
+    neighbor_min: Callable[[DataFrame], DataFrame],
+    key: str,
+    label: str,
+    max_iter: int,
+) -> DataFrame:
+    """Run min-label propagation to a fixed point.
+
+    ``labels``: (key, label) — the initial assignment (label = key).
+    ``neighbor_min(labels)``: one propagation step — returns
+    (key, nbr_min) with each key's minimum label over its neighbors;
+    the graph shape (direct pair list, bipartite two-hop, ...) lives
+    entirely in this callback. Keys with no neighbors may be absent.
+
+    Returns the converged (key, label) DataFrame (reading from the
+    final tracked checkpoint). Raises ``RuntimeError`` if ``max_iter``
+    rounds pass without convergence.
+    """
+    current = labels.localCheckpoint(eager=True)
+    prev_snapshot = _checkpoint_rdd(current)
+    for _ in range(max_iter):
+        nbr = neighbor_min(current)
+        updated = (
+            current.join(nbr, key, "left")
+            .select(
+                key,
+                F.least(
+                    F.col(label),
+                    F.coalesce(F.col("nbr_min"), F.col(label)),
+                ).alias(label),
+                (F.col("nbr_min") < F.col(label)).alias("changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        new_snapshot = _checkpoint_rdd(updated)
+        n_changed = updated.filter(F.col("changed")).count()
+        current = updated.select(key, label)
+        prev_snapshot.unpersist(False)
+        prev_snapshot = new_snapshot
+        if n_changed == 0:
+            track_checkpoint_rdd(prev_snapshot)
+            return current
+    prev_snapshot.unpersist(False)
+    raise RuntimeError(
+        f"min-label propagation did not converge in {max_iter} rounds "
+        "(component diameter exceeds the iteration budget; raise max_iter)"
+    )

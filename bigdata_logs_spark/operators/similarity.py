@@ -854,13 +854,15 @@ def _pq_dists_expr(sub: int) -> str:
     """
 
 
-def _pq_assigned(emb: DataFrame) -> DataFrame:
+def _pq_assigned(emb: DataFrame, books_row: DataFrame | None = None) -> DataFrame:
     """Internal: embeddings annotated with per-subspace code and
     squared distortion columns (code_s, dist_s for s in 0..PQ_M-1).
-    The codebook collapses to ONE broadcast row; assignment is a
-    narrow per-row array expression — the corpus is never exploded
-    k-fold or m-fold."""
-    out = emb.crossJoin(F.broadcast(_pq_books_row(emb)))
+    The codebook collapses to ONE broadcast row (reused when the
+    caller already built it); assignment is a narrow per-row array
+    expression — the corpus is never exploded k-fold or m-fold."""
+    if books_row is None:
+        books_row = _pq_books_row(emb)
+    out = emb.crossJoin(F.broadcast(books_row))
     for s in range(PQ_M):
         out = out.withColumn(f"d{s}", F.expr(_pq_dists_expr(s)))
         out = out.withColumn(
@@ -897,15 +899,22 @@ def pq_distortion(emb: DataFrame) -> DataFrame:
     vector reach the (subspace, code) shuffle, pre-aggregated
     map-side.
     """
-    assigned = _pq_assigned(emb)
-    per_sub = None
-    for s in range(PQ_M):
-        leg = assigned.select(
-            F.lit(s).alias("subspace"),
-            F.col(f"code_{s}").alias("code"),
-            F.col(f"dist_{s}").alias("dist"),
-        )
-        per_sub = leg if per_sub is None else per_sub.unionAll(leg)
+    cells = F.array(
+        *[
+            F.struct(
+                F.col(f"code_{s}").alias("code"),
+                F.col(f"dist_{s}").alias("dist"),
+            )
+            for s in range(PQ_M)
+        ]
+    )
+    # ONE evaluation of the 32 distance folds per vector; the union-of-
+    # legs alternative re-evaluates the whole projection PQ_M times.
+    per_sub = _pq_assigned(emb).select(
+        F.posexplode(cells).alias("subspace", "cell")
+    ).select(
+        "subspace", F.col("cell.code").alias("code"), F.col("cell.dist").alias("dist")
+    )
     return (
         per_sub.groupBy("subspace", "code")
         .agg(
@@ -954,18 +963,15 @@ def pq_adc_topk(emb: DataFrame, top_k: int = 10) -> DataFrame:
                 (element_at(c, i) - element_at(q, {off} + i))),
               CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)) AS lut{s}"""
         )
-    lut_row = (
-        _pq_books_row(emb)
-        .crossJoin(query_row)
-        .selectExpr(*lut_cols)
-    )
+    books_row = _pq_books_row(emb)
+    lut_row = books_row.crossJoin(query_row).selectExpr(*lut_cols)
     adc = F.expr(
         " + ".join(
             f"element_at(lut{s}, code_{s} + 1)" for s in range(PQ_M)
         )
     )
     return (
-        _pq_assigned(emb)
+        _pq_assigned(emb, books_row)
         .select("vec_id", *[f"code_{s}" for s in range(PQ_M)])
         .crossJoin(F.broadcast(lut_row))
         .select("vec_id", F.round(adc, 6).alias("adc_sq_dist"))
@@ -994,32 +1000,42 @@ def truncation_fidelity(emb: DataFrame) -> DataFrame:
     the 3-group shuffle, partials combined map-side); no broadcast
     state at all.
     """
-    fe = F.expr(
-        """
-        aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
-                  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)
-        """
-    )
-    legs = []
-    for d in (8, 16, 32):
-        pe = F.expr(
+    def energy(d: int | None) -> F.Column:
+        src = "embedding" if d is None else f"slice(embedding, 1, {d})"
+        return F.expr(
             f"""
-            aggregate(transform(slice(embedding, 1, {d}),
+            aggregate(transform({src},
                                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
                       CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)
             """
         )
-        legs.append(
-            emb.withColumn("fe", fe)
-            .where(F.col("fe") > 0)
-            .select(
-                F.lit(d).alias("trunc_dim"),
-                F.sqrt(pe / F.col("fe")).alias("cos_fidelity"),
+
+    dims = (8, 16, 32)
+    # ONE corpus scan computes the full energy and every prefix energy;
+    # a union of per-dim legs would rescan (and re-fold) three times.
+    energies = emb.select(
+        energy(None).alias("fe"), *[energy(d).alias(f"pe{d}") for d in dims]
+    ).where(F.col("fe") > 0)
+    rows = energies.select(
+        F.posexplode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("trunc_dim"),
+                        F.sqrt(F.col(f"pe{d}") / F.col("fe")).alias(
+                            "cos_fidelity"
+                        ),
+                    )
+                    for d in dims
+                ]
             )
-        )
-    legs_all = legs[0].unionAll(legs[1]).unionAll(legs[2])
+        ).alias("i", "cell")
+    ).select(
+        F.col("cell.trunc_dim").alias("trunc_dim"),
+        F.col("cell.cos_fidelity").alias("cos_fidelity"),
+    )
     return (
-        legs_all.groupBy("trunc_dim")
+        rows.groupBy("trunc_dim")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
             F.round(F.sum("cos_fidelity") / F.count(F.lit(1)), 6).alias(

@@ -113,6 +113,20 @@ def cms_heavy_hitters(docs: DataFrame, top_n: int = 20) -> DataFrame:
 # exactly representable as a double in both engines.
 KMV_K = 16
 KMV_SPACE = float(1 << 52)
+# (k-1) * 2^52 as the one numerator literal every engine shares (15 has
+# 4 significant bits, so the product is an exactly-representable double).
+KMV_NUMERATOR = (KMV_K - 1) * (1 << 52)
+
+
+def kmv_hash_expr(col: str) -> str:
+    """The shared 52-bit KMV hash: first 13 hex chars of md5 parsed as
+    an integer — exactly representable as a double in every engine.
+    One definition for the batch op, the streaming merge, and the
+    registry oracles (which format it into SQL)."""
+    return (
+        f"CAST(conv(substring(md5(CAST({col} AS STRING)), 1, 13), 16, 10)"
+        " AS BIGINT)"
+    )
 
 
 def kmv_distinct(events: DataFrame, k: int = KMV_K) -> DataFrame:
@@ -135,12 +149,13 @@ def kmv_distinct(events: DataFrame, k: int = KMV_K) -> DataFrame:
     state is mergeable across partitions/streams, which is the whole
     point of the sketch.
     """
-    hashed = events.select(
+    # NULL keys are excluded on BOTH legs (a NULL hash would sort
+    # first into the sketch while COUNT(DISTINCT) ignores it — the
+    # cross-engine trap the oracle would catch).
+    keyed = events.where(F.col("user_id").isNotNull())
+    hashed = keyed.select(
         "event_type",
-        F.expr(
-            "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 13), 16, 10)"
-            " AS BIGINT)"
-        ).alias("h"),
+        F.expr(kmv_hash_expr("user_id")).alias("h"),
     ).distinct()
     from pyspark.sql import Window
 
@@ -152,7 +167,7 @@ def kmv_distinct(events: DataFrame, k: int = KMV_K) -> DataFrame:
         .agg(F.max("h").alias("kth"), F.count(F.lit(1)).alias("n_in_sketch"))
     )
     exact = (
-        events.select("event_type", "user_id")
+        keyed.select("event_type", "user_id")
         .distinct()
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_exact"))
@@ -160,7 +175,7 @@ def kmv_distinct(events: DataFrame, k: int = KMV_K) -> DataFrame:
     est = F.when(
         F.col("n_in_sketch") < k, F.col("n_in_sketch").cast("double")
     ).otherwise(
-        F.round(F.lit(float(k - 1) * KMV_SPACE) / F.col("kth"), 4)
+        F.round(F.lit(float((k - 1) * (1 << 52))) / F.col("kth"), 4)
     )
     return (
         sketch.join(exact, "event_type")

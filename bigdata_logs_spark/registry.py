@@ -5611,25 +5611,25 @@ def q_zipf_fit(spark, sf_dir):
 
 @register(
     "kmv_distinct",
-    """
+    f"""
     WITH hashed AS (
       SELECT DISTINCT event_type,
              ('0x' || substr(md5(user_id::VARCHAR), 1, 13))::BIGINT AS h
-      FROM events
+      FROM events WHERE user_id IS NOT NULL
     ), sk AS (
       SELECT event_type, MAX(h) AS kth, COUNT(*)::BIGINT AS n_in_sketch
       FROM (
         SELECT event_type, h,
                ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
         FROM hashed
-      ) WHERE rn <= 16 GROUP BY 1
+      ) WHERE rn <= {SK.KMV_K} GROUP BY 1
     ), exact AS (
       SELECT event_type, COUNT(DISTINCT user_id)::BIGINT AS n_exact
       FROM events GROUP BY 1
     )
     SELECT s.event_type, e.n_exact,
-           CASE WHEN s.n_in_sketch < 16 THEN s.n_in_sketch::DOUBLE
-                ELSE ROUND(67553994410557440.0::DOUBLE / s.kth, 4)
+           CASE WHEN s.n_in_sketch < {SK.KMV_K} THEN s.n_in_sketch::DOUBLE
+                ELSE ROUND({SK.KMV_NUMERATOR}.0::DOUBLE / s.kth, 4)
            END AS kmv_estimate,
            ROUND((kmv_estimate - e.n_exact) / e.n_exact, 4) AS rel_error
     FROM sk s JOIN exact e USING (event_type) ORDER BY event_type
@@ -5751,7 +5751,7 @@ def q_embedding_truncation_fidelity(spark, sf_dir):
 @register(
     "streaming_kmv_distinct",
     SSH_PARSE_CTE
-    + """
+    + f"""
     , hashed AS (
       SELECT DISTINCT event, ('0x' || substr(md5(ip), 1, 13))::BIGINT AS h
       FROM parsed WHERE ip IS NOT NULL
@@ -5761,11 +5761,11 @@ def q_embedding_truncation_fidelity(spark, sf_dir):
         SELECT event, h,
                ROW_NUMBER() OVER (PARTITION BY event ORDER BY h) AS rn
         FROM hashed
-      ) WHERE rn <= 16 GROUP BY 1
+      ) WHERE rn <= {SK.KMV_K} GROUP BY 1
     )
     SELECT event, n_in_sketch,
-           CASE WHEN n_in_sketch < 16 THEN n_in_sketch::DOUBLE
-                ELSE ROUND(67553994410557440.0::DOUBLE / kth, 4)
+           CASE WHEN n_in_sketch < {SK.KMV_K} THEN n_in_sketch::DOUBLE
+                ELSE ROUND({SK.KMV_NUMERATOR}.0::DOUBLE / kth, 4)
            END AS kmv_estimate
     FROM sk ORDER BY event
     """,

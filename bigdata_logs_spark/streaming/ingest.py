@@ -543,14 +543,11 @@ def streaming_kmv_state(
     import shutil
 
     spark = parsed.sparkSession
+    from bigdata_logs_spark.operators.sketches import kmv_hash_expr
+
     hashed = (
         parsed.where(F.col("ip").isNotNull())
-        .select(
-            "event",
-            F.expr(
-                "CAST(conv(substring(md5(ip), 1, 13), 16, 10) AS BIGINT)"
-            ).alias("h"),
-        )
+        .select("event", F.expr(kmv_hash_expr("ip")).alias("h"))
     )
     # Fresh deterministic drain on every call: stale state OR a stale
     # checkpoint would make availableNow skip already-seen files.
@@ -561,10 +558,11 @@ def streaming_kmv_state(
     def merge(batch: DataFrame, _batch_id: int) -> None:
         from pyspark.sql import Window
 
-        upd = batch.dropDuplicates(["event", "h"])
+        upd = batch
         if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
             upd = spark.read.parquet(state_dir).unionByName(upd)
         rn = F.row_number().over(Window.partitionBy("event").orderBy("h"))
+        # one dedup AFTER the union subsumes a per-batch pre-dedup
         new_state = (
             upd.dropDuplicates(["event", "h"])
             .withColumn("rn", rn)

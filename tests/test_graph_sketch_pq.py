@@ -339,3 +339,34 @@ def test_observed_metrics_match_direct_aggregation(spark, sf_dir, tmp_path):
     assert got["max_event_id"] == direct.m
     # the sink actually landed every observed row
     assert spark.read.parquet(str(tmp_path / "obs_store")).count() == direct.n
+
+
+def test_propagation_raises_instead_of_splitting_components(spark):
+    """iterate.propagate_min_labels must refuse to return unconverged
+    labels: a 6-node path graph needs ~5 rounds for the min label to
+    reach the far end, so max_iter=2 raises while max_iter=10
+    converges to one component."""
+    import pytest
+
+    from bigdata_logs_spark.operators.iterate import propagate_min_labels
+
+    chain = [(i, i + 1) for i in range(5)]
+    edges = spark.createDataFrame(
+        chain + [(b, a) for a, b in chain], "a long, b long"
+    )
+    labels = edges.select(F.col("a").alias("node")).distinct().withColumn(
+        "lbl", F.col("node")
+    )
+
+    def step(cur):
+        return (
+            edges.join(cur.withColumnRenamed("node", "b"), "b")
+            .groupBy("a")
+            .agg(F.min("lbl").alias("nbr_min"))
+            .withColumnRenamed("a", "node")
+        )
+
+    done = propagate_min_labels(labels, step, "node", "lbl", max_iter=10)
+    assert {r.lbl for r in done.collect()} == {0}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        propagate_min_labels(labels, step, "node", "lbl", max_iter=2)
