@@ -146,6 +146,7 @@ def main() -> None:
         "token_graph_degrees",
         "observed_etl_metrics",
         "user_attr_scd2",
+        "cdc_shared_chunks",
         # streaming_event_drift is deliberately absent: streaming-drain
         # throughput is measured by the bench_streaming section.
     ]

@@ -665,3 +665,119 @@ def quality_dedup_survivors(docs: DataFrame, threshold: float = 0.5) -> DataFram
         )
         .orderBy("doc_id")
     )
+
+
+# Content-defined chunking (DD-12): boundary after any 4-gram whose
+# 32-bit hash is 0 mod CDC_MOD -> expected chunk length ~CDC_MOD grams,
+# boundaries move WITH the content (an insertion only reshapes its own
+# chunk, unlike fixed-stride PL-10 chunks where everything downstream
+# shifts).
+CDC_GRAM = 4
+CDC_MOD = 8
+CDC_OCCUPANCY_CAP = 16
+
+
+def cdc_shared_chunks(docs: DataFrame, min_shared: int = 2) -> DataFrame:
+    """DD-12: partial-overlap detection via content-defined chunking
+    (the rolling-hash boundary trick of LBFS, Muthitacharoen et al.,
+    SOSP 2001, and dedup storage systems): split every document at
+    content-derived boundaries, fingerprint each chunk, and report
+    document pairs sharing >= ``min_shared`` chunk fingerprints.
+
+    This catches what whole-document MinHash (DD-2) structurally
+    misses: a paragraph copied into an otherwise-different long
+    document moves global Jaccard toward 0, but its chunks survive
+    verbatim — the shape contamination scans and plagiarism checks
+    need.
+
+    Cross-engine plan: the boundary hash is the engine-validated
+    md5-hex-slice integer (same family as DD-2's band hashes), chunk
+    assignment is a per-doc window cumsum over boundary flags, chunk
+    text leaves the row only as md5. Pair generation is gated by a
+    fingerprint occupancy cap (2..CDC_OCCUPANCY_CAP docs) exactly like
+    the LSH bucket cap, so a boilerplate chunk shared by half the
+    corpus can never trigger a quadratic expansion.
+    """
+    from pyspark.sql import Window
+
+    toks = (
+        spread_small_input(docs)
+        .withColumn("tokens", _tokens(F.col("text")))
+        .select("doc_id", F.posexplode("tokens").alias("pos", "token"))
+    )
+    gram = F.concat_ws(
+        " ",
+        *[
+            F.lead("token", i).over(
+                Window.partitionBy("doc_id").orderBy("pos")
+            )
+            for i in range(CDC_GRAM)
+        ],
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = (
+        toks.withColumn("gram_s", gram)
+        .withColumn(
+            "boundary",
+            (
+                (F.col("pos") > 0)
+                & F.lead("token", CDC_GRAM - 1).over(w).isNotNull()
+                & (
+                    F.expr(
+                        "CAST(conv(substring(md5(gram_s), 1, 8), 16, 10) AS BIGINT)"
+                    )
+                    % CDC_MOD
+                    == 0
+                )
+            ).cast("int"),
+        )
+    )
+    chunked = flagged.withColumn(
+        "chunk_no",
+        F.sum("boundary").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    prints = (
+        chunked.groupBy("doc_id", "chunk_no")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "token"))
+                        ),
+                        lambda s: s["token"],
+                    ),
+                    " ",
+                )
+            ).alias("fp")
+        )
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    groups = (
+        prints.groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sort_array(F.collect_list("doc_id")).alias("members"),
+        )
+        .where(
+            (F.col("n_docs") >= 2) & (F.col("n_docs") <= CDC_OCCUPANCY_CAP)
+        )
+    )
+    pairs = groups.select(
+        F.explode(
+            F.expr(
+                """
+                flatten(transform(members, (a, i) ->
+                  transform(slice(members, i + 2, size(members) - i - 1),
+                            b -> struct(a AS doc_a, b AS doc_b))))
+                """
+            )
+        ).alias("p")
+    ).select(F.col("p.doc_a"), F.col("p.doc_b"))
+    return (
+        pairs.groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_chunks"))
+        .where(F.col("n_shared_chunks") >= min_shared)
+        .orderBy("doc_a", "doc_b")
+    )

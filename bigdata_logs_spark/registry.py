@@ -6107,6 +6107,56 @@ def q_user_attr_scd2(spark, sf_dir):
     return AN.user_attr_scd2(_events(spark, sf_dir))
 
 
+@register(
+    "cdc_shared_chunks",
+    TOKS_CTE
+    + """
+    , tk AS (
+      SELECT doc_id, generate_subscripts(tokens, 1) - 1 AS pos,
+             unnest(tokens) AS token
+      FROM toks
+    ), g AS (
+      SELECT doc_id, pos, token,
+             concat_ws(' ', token, lead(token, 1) OVER w,
+                       lead(token, 2) OVER w, lead(token, 3) OVER w) AS gram_s,
+             lead(token, 3) OVER w AS t3
+      FROM tk WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), fl AS (
+      SELECT doc_id, pos, token,
+             CASE WHEN pos > 0 AND t3 IS NOT NULL
+                       AND ('0x' || substr(md5(gram_s), 1, 8))::BIGINT % 8 = 0
+                  THEN 1 ELSE 0 END AS boundary
+      FROM g
+    ), ch AS (
+      SELECT doc_id, pos, token,
+             SUM(boundary) OVER (PARTITION BY doc_id ORDER BY pos) AS chunk_no
+      FROM fl
+    ), prints AS (
+      SELECT DISTINCT doc_id, md5(string_agg(token, ' ' ORDER BY pos)) AS fp
+      FROM ch GROUP BY doc_id, chunk_no
+    ), grp AS (
+      SELECT fp FROM prints GROUP BY fp
+      HAVING COUNT(*) BETWEEN 2 AND 16
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM prints a JOIN prints b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      JOIN grp ON grp.fp = a.fp
+    )
+    SELECT doc_a, doc_b, COUNT(*)::BIGINT AS n_shared_chunks
+    FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY doc_a, doc_b
+    """,
+    tags=("DD-12",),
+)
+def q_cdc_shared_chunks(spark, sf_dir):
+    """DD-12 content-defined chunking overlap (LBFS rolling-hash
+    boundaries): doc pairs sharing >= 2 content-derived chunk
+    fingerprints — catches a copied paragraph inside an otherwise
+    different long doc, which whole-document MinHash structurally
+    misses. Chunk text leaves the row only as md5; pair generation is
+    occupancy-capped like the LSH buckets."""
+    return DD.cdc_shared_chunks(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Driver-certification order
 # ---------------------------------------------------------------------------
@@ -6151,6 +6201,7 @@ _DRIVER_FIRST = [
     "token_graph_degrees",
     "observed_etl_metrics",
     "user_attr_scd2",
+    "cdc_shared_chunks",
     "bloom_pruned_order_priority",
     "zorder_cells",
     "streaming_store_etl",

@@ -370,3 +370,36 @@ def test_propagation_raises_instead_of_splitting_components(spark):
     assert {r.lbl for r in done.collect()} == {0}
     with pytest.raises(RuntimeError, match="did not converge"):
         propagate_min_labels(labels, step, "node", "lbl", max_iter=2)
+
+
+def test_cdc_catches_copied_paragraph_where_global_jaccard_is_low(spark):
+    """DD-12 semantics on a hand-built fixture: two long documents
+    share one verbatim 40-token paragraph inside ~200 tokens of
+    otherwise-disjoint text (global 3-shingle Jaccard ~0.1, below any
+    near-dup threshold). CDC chunking must still pair them; two
+    fully-disjoint docs must not pair."""
+    from bigdata_logs_spark.operators.dedup import cdc_shared_chunks
+
+    import random
+
+    rng = random.Random(7)
+
+    def words(prefix, n):
+        return " ".join(f"{prefix}{rng.randint(0, 999)}" for _ in range(n))
+
+    para = " ".join(f"shared{i}" for i in range(40))
+    doc_a = words("aa", 100) + " " + para + " " + words("ab", 100)
+    doc_b = words("ba", 100) + " " + para + " " + words("bb", 100)
+    doc_c = words("ca", 240)
+    docs = spark.createDataFrame(
+        [
+            (1, doc_a, "en", "s", len(doc_a)),
+            (2, doc_b, "en", "s", len(doc_b)),
+            (3, doc_c, "en", "s", len(doc_c)),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    pairs = {(r.doc_a, r.doc_b): r.n_shared_chunks
+             for r in cdc_shared_chunks(docs).collect()}
+    assert (1, 2) in pairs, "shared paragraph must produce shared chunks"
+    assert all(3 not in p for p in pairs), "disjoint doc must not pair"
