@@ -147,6 +147,7 @@ def main() -> None:
         "observed_etl_metrics",
         "user_attr_scd2",
         "cdc_shared_chunks",
+        "packing_efficiency",
         # streaming_event_drift is deliberately absent: streaming-drain
         # throughput is measured by the bench_streaming section.
     ]

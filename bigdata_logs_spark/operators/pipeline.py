@@ -545,3 +545,35 @@ def curriculum_phases(docs: DataFrame, n_phases: int = 4) -> DataFrame:
         .select("doc_id", "n_tokens", "phase", "phase_rank")
         .orderBy("phase", "phase_rank")
     )
+
+
+def packing_efficiency(
+    docs: DataFrame, budget: int = 2048, n_shards: int = 8
+) -> DataFrame:
+    """PL-16: packing-efficiency report over PL-6's layout — per
+    shard, how many context windows the stream fills and the mean
+    fill fraction (bin tokens / budget). The number a pretraining
+    data team watches to decide whether document order / shard count
+    needs retuning before a run burns compute on padding.
+
+    Fill can exceed 1.0 for bins whose last document straddles the
+    boundary (PL-6 slices the stream, it does not re-fit), so the
+    report also counts straddling bins. Reduces PL-6's already-tiny
+    per-bin output — nothing corpus-sized is touched beyond the
+    packing pass itself.
+    """
+    packed = pack_token_budget(docs, budget=budget, n_shards=n_shards)
+    return (
+        packed.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_bins"),
+            F.sum("bin_tokens").alias("shard_tokens"),
+            F.round(
+                F.sum("bin_tokens") / (F.count(F.lit(1)) * budget), 4
+            ).alias("mean_fill"),
+            F.sum((F.col("bin_tokens") > budget).cast("long")).alias(
+                "straddling_bins"
+            ),
+        )
+        .orderBy("shard")
+    )

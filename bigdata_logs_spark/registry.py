@@ -6157,6 +6157,42 @@ def q_cdc_shared_chunks(spark, sf_dir):
     return DD.cdc_shared_chunks(_docs(spark, sf_dir))
 
 
+@register(
+    "packing_efficiency",
+    TOKS_CTE
+    + """
+    , sized AS (
+      SELECT doc_id, len(tokens)::INT AS n_tokens,
+             CAST(('0x' || substring(md5('pack:' || CAST(doc_id AS VARCHAR)),
+                   1, 8)) AS BIGINT) % 8 AS shard
+      FROM toks),
+    binned AS (
+      SELECT shard, doc_id, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+               AS preceding
+      FROM sized),
+    bins AS (
+      SELECT shard, CAST(FLOOR(preceding / 2048) AS INT) AS bin,
+             SUM(n_tokens)::BIGINT AS bin_tokens
+      FROM binned GROUP BY shard, bin
+    )
+    SELECT shard, COUNT(*)::BIGINT AS n_bins,
+           SUM(bin_tokens)::BIGINT AS shard_tokens,
+           ROUND(SUM(bin_tokens)::DOUBLE / (COUNT(*) * 2048), 4) AS mean_fill,
+           SUM(CASE WHEN bin_tokens > 2048 THEN 1 ELSE 0 END)::BIGINT
+             AS straddling_bins
+    FROM bins GROUP BY shard ORDER BY shard
+    """,
+    tags=("PL-16",),
+)
+def q_packing_efficiency(spark, sf_dir):
+    """PL-16 packing-efficiency report: per shard, window count, mean
+    fill fraction vs the 2048 budget, and straddling-bin count — the
+    padding-waste gauge over PL-6's packing layout."""
+    return PL.packing_efficiency(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Driver-certification order
 # ---------------------------------------------------------------------------
@@ -6168,15 +6204,14 @@ def q_cdc_shared_chunks(spark, sf_dir):
 # ``__spark_entry__.queries()`` re-keys by CERTIFICATION_ORDER.
 #
 # Round-5 rotation: front-load ``fingerprints`` (oracle ::BIGINT
-# cast landed this round — needs a driver-signed green row) and the
-# ~25 queries NEW in round 5 (never certified: the AD family, ST-12,
-# W-6/W-7, T-12/T-13, E-10/E-11, PL-12, S-15/S-16, M-7, DD-11,
-# J-14/S-14/ST-11), then the 35 queries whose latest driver row is
-# round 1. The ~50-row window certifies fingerprints + every new
-# query + the first ~24 r1-stale; the rest of the r1-stale and the
-# r3 block roll to round 6 — never-certified beats stale-but-once-
-# green when the window can't fit both. Round-4-certified entries
-# sort last.
+# cast landed this round — needs a driver-signed green row) and every
+# query NEW in round 5, newest families last within the block (the
+# AD/ST-12/W/T/E/PL/S/M/DD/J additions from the first half of the
+# round, then the graph/sketch/PQ/curriculum/SCD2/CDC/OPS batch).
+# Never-certified beats stale-but-once-green when the ~50-row window
+# can't fit both, so round 5 grew past the window: the overflow of
+# this block plus the r1-stale and r3 blocks below roll forward to
+# round 6's rotation. Round-4-certified entries sort last.
 _DRIVER_FIRST = [
     # fixed this round (oracle HUGEINT->BIGINT cast) — re-certify
     "fingerprints",
@@ -6202,6 +6237,7 @@ _DRIVER_FIRST = [
     "observed_etl_metrics",
     "user_attr_scd2",
     "cdc_shared_chunks",
+    "packing_efficiency",
     "bloom_pruned_order_priority",
     "zorder_cells",
     "streaming_store_etl",
