@@ -374,3 +374,65 @@ def test_new_batch_ops_invariant_under_partitioning(spark, sf_dir):
         base = sorted(map(str, fn(df.repartition(1)).collect()))
         alt = sorted(map(str, fn(df.repartition(13)).collect()))
         assert alt == base, fn.__name__
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abc xyz", min_size=0, max_size=60),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_cdc_chunking_matches_python_reference(spark, texts):
+    """DD-12's boundary/chunk/pair semantics re-derived in pure
+    Python (hashlib md5, same 4-gram/mod-8 rule) must agree with the
+    Spark implementation on arbitrary corpora."""
+    import hashlib
+    from collections import defaultdict
+
+    from bigdata_logs_spark.operators.dedup import (
+        CDC_GRAM,
+        CDC_MOD,
+        CDC_OCCUPANCY_CAP,
+        cdc_shared_chunks,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.n_shared_chunks
+        for r in cdc_shared_chunks(docs).collect()
+    }
+
+    def chunks(text):
+        toks = text.strip().split() if text.strip() else []
+        out, cur = [], []
+        for i, t in enumerate(toks):
+            if cur and i + CDC_GRAM - 1 < len(toks):
+                gram = " ".join(toks[i : i + CDC_GRAM])
+                h = int(hashlib.md5(gram.encode()).hexdigest()[:8], 16)
+                if h % CDC_MOD == 0:
+                    out.append(" ".join(cur))
+                    cur = []
+            cur.append(t)
+        if cur:
+            out.append(" ".join(cur))
+        return {hashlib.md5(c.encode()).hexdigest() for c in out}
+
+    fps = {i: chunks(t) for i, t in enumerate(texts)}
+    occupancy = defaultdict(set)
+    for i, s in fps.items():
+        for fp in s:
+            occupancy[fp].add(i)
+    want = defaultdict(int)
+    for fp, members in occupancy.items():
+        if 2 <= len(members) <= CDC_OCCUPANCY_CAP:
+            ms = sorted(members)
+            for x in range(len(ms)):
+                for y in range(x + 1, len(ms)):
+                    want[(ms[x], ms[y])] += 1
+    want = {k: v for k, v in want.items() if v >= 2}
+    assert got == want
