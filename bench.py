@@ -148,6 +148,8 @@ def main() -> None:
         "user_attr_scd2",
         "cdc_shared_chunks",
         "packing_efficiency",
+        "session_documents",
+        "hourly_burstiness",
         # streaming_event_drift is deliberately absent: streaming-drain
         # throughput is measured by the bench_streaming section.
     ]

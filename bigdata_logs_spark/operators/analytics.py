@@ -364,3 +364,37 @@ def user_attr_scd2(events: DataFrame) -> DataFrame:
         )
         .orderBy("user_id", "valid_from")
     )
+
+
+def hourly_burstiness(events: DataFrame) -> DataFrame:
+    """W-11: per-event-type burstiness — the Fano factor
+    (variance/mean) of hourly arrival counts over the type's ACTIVE
+    hours. ~1 is Poisson-like traffic; >>1 means bursty arrivals (the
+    retry storm / attack signature AD-1 flags pointwise, summarized
+    here as one dispersion number per type).
+
+    Exactness: hourly counts are integers, so the co-moments (n, sum,
+    sum of squares) are exact integer sums; variance/mean are
+    evaluated once in mirrored operand order (the AGG-7 discipline)
+    and rounded at 1e-4. Sample variance (n-1); single-hour types
+    report NULL.
+    """
+    cells = events.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd HH").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    m = cells.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("n").alias("s"),
+        F.sum(F.col("n") * F.col("n")).alias("ss"),
+    )
+    n = F.col("n_hours")
+    s = F.col("s").cast("double")
+    ss = F.col("ss").cast("double")
+    var = (n * ss - s * s) / (n * (n - 1))
+    mean = s / n
+    return m.select(
+        "event_type",
+        "n_hours",
+        F.col("s").alias("total_events"),
+        F.round(F.when(n > 1, var / mean), 4).alias("fano_factor"),
+    ).orderBy("event_type")

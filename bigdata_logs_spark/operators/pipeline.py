@@ -577,3 +577,66 @@ def packing_efficiency(
         )
         .orderBy("shard")
     )
+
+
+def sessions_to_documents(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """PL-17: textualize event sessions into training documents — the
+    bridge between the log world and the LLM-data world: each user
+    session (30-min gaps-and-islands, AGG-1's rule) becomes one
+    behavioral "document" of ordered ``event_type@HH:MM`` tokens, the
+    standard serialization for training sequence models on user
+    journeys. Emitted as md5 + stats (the text leaves the row only as
+    a fingerprint, like PL-10's chunks — payload-free shuffles).
+
+    Shape: one user_id shuffle, in-partition windows for the session
+    cumsum, then a (user, session) aggregation whose string_agg is
+    bounded by session length. Deterministic: (ts, event_id) totally
+    orders each session's tokens.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = gap_minutes * 60
+    sess = (
+        events.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_session",
+            (
+                F.col("prev_ts").isNull()
+                | (
+                    F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")
+                    > gap_s
+                )
+            ).cast("int"),
+        )
+        .withColumn(
+            "session_no",
+            F.sum("new_session").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    token = F.concat_ws(
+        "@", F.col("event_type"), F.date_format("ts", "HH:mm")
+    )
+    return (
+        sess.withColumn("tok", token)
+        .groupBy("user_id", "session_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("ts", "event_id", "tok")
+                            )
+                        ),
+                        lambda s: s["tok"],
+                    ),
+                    " ",
+                )
+            ).alias("doc_md5"),
+        )
+        .orderBy("user_id", "session_no")
+    )

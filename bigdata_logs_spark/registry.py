@@ -6193,6 +6193,70 @@ def q_packing_efficiency(spark, sf_dir):
     return PL.packing_efficiency(_docs(spark, sf_dir))
 
 
+@register(
+    "session_documents",
+    """
+    WITH o AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN floor(epoch(ts))::BIGINT
+                       - lag(floor(epoch(ts))::BIGINT)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                  OR floor(epoch(ts))::BIGINT
+                       - lag(floor(epoch(ts))::BIGINT)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > 1800
+             THEN 1 ELSE 0 END AS b
+      FROM events
+    ), s AS (
+      SELECT *, SUM(b) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM o
+    )
+    SELECT user_id, session_no::BIGINT AS session_no,
+           COUNT(*)::BIGINT AS n_events,
+           md5(string_agg(event_type || '@' || strftime(ts, '%H:%M'), ' '
+                          ORDER BY ts, event_id)) AS doc_md5
+    FROM s GROUP BY user_id, session_no ORDER BY user_id, session_no
+    """,
+    tags=("PL-17",),
+)
+def q_session_documents(spark, sf_dir):
+    """PL-17 sessions -> training documents: each 30-min-gap user
+    session textualized as ordered event_type@HH:MM tokens (the
+    behavioral-sequence serialization for training on user journeys),
+    emitted as md5 + stats so shuffles stay payload-free."""
+    return PL.sessions_to_documents(_events(spark, sf_dir))
+
+
+@register(
+    "hourly_burstiness",
+    """
+    WITH cells AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d %H') AS hour,
+             COUNT(*)::BIGINT AS n
+      FROM events GROUP BY 1, 2
+    ), m AS (
+      SELECT event_type, COUNT(*)::BIGINT AS n_hours, SUM(n)::BIGINT AS s,
+             SUM(n * n)::BIGINT AS ss
+      FROM cells GROUP BY 1
+    )
+    SELECT event_type, n_hours, s AS total_events,
+           ROUND(CASE WHEN n_hours > 1 THEN
+             ((n_hours * ss::DOUBLE - s::DOUBLE * s::DOUBLE)
+              / (n_hours * (n_hours - 1))) / (s::DOUBLE / n_hours)
+           END, 4) AS fano_factor
+    FROM m ORDER BY event_type
+    """,
+    tags=("W-11",),
+)
+def q_hourly_burstiness(spark, sf_dir):
+    """W-11 Fano factor of hourly arrivals per event type (~1 Poisson,
+    >>1 bursty — the dispersion summary of AD-1's pointwise flags).
+    Integer co-moments, mirrored operand order, one division pair."""
+    return AN.hourly_burstiness(_events(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Driver-certification order
 # ---------------------------------------------------------------------------
@@ -6238,6 +6302,8 @@ _DRIVER_FIRST = [
     "user_attr_scd2",
     "cdc_shared_chunks",
     "packing_efficiency",
+    "session_documents",
+    "hourly_burstiness",
     "bloom_pruned_order_priority",
     "zorder_cells",
     "streaming_store_etl",

@@ -244,3 +244,49 @@ def test_scd2_intervals_tile_each_user_history(spark, sf_dir):
             if r.valid_from <= e.ts_s and (r.valid_to is None or e.ts_s < r.valid_to)
         ]
         assert len(cover) == 1 and cover[0].k == e.k
+
+
+def test_session_documents_align_with_user_sessions(spark, sf_dir):
+    """PL-17 must carve exactly the same sessions as AGG-1: same
+    per-user session counts, and every document's event count sums to
+    the user's event total."""
+    from bigdata_logs_spark.operators.analytics import user_sessions
+    from bigdata_logs_spark.operators.pipeline import sessions_to_documents
+    from bigdata_logs_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    docs = sessions_to_documents(ev)
+    per_user = {
+        r.user_id: (r.n, r.tot)
+        for r in docs.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("n_events").alias("tot"))
+        .collect()
+    }
+    sess = {r.user_id: r.n_sessions for r in user_sessions(ev).collect()}
+    assert {u: n for u, (n, _) in per_user.items()} == dict(sess)
+    ev_tot = {
+        r.user_id: r.n
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert {u: t for u, (_, t) in per_user.items()} == ev_tot
+
+
+def test_burstiness_constant_rate_is_zero_fano(spark):
+    """A perfectly regular stream (same count every hour) has zero
+    variance -> Fano factor exactly 0."""
+    from bigdata_logs_spark.operators.analytics import hourly_burstiness
+
+    rows = [
+        (i, f"2024-01-01 {h:02d}:{m:02d}:00", 1, "click", 1.0, "{}")
+        for i, (h, m) in enumerate(
+            [(h, m) for h in range(6) for m in (0, 30)]
+        )
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    r = hourly_burstiness(ev).collect()[0]
+    assert r.n_hours == 6 and r.total_events == 12
+    assert r.fano_factor == 0.0
