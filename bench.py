@@ -150,6 +150,7 @@ def main() -> None:
         "packing_efficiency",
         "session_documents",
         "hourly_burstiness",
+        "ivf_nprobe_sweep",
         # streaming_event_drift is deliberately absent: streaming-drain
         # throughput is measured by the bench_streaming section.
     ]

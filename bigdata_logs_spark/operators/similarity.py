@@ -1045,3 +1045,37 @@ def truncation_fidelity(emb: DataFrame) -> DataFrame:
         )
         .orderBy("trunc_dim")
     )
+
+
+def ivf_nprobe_sweep(
+    emb: DataFrame, probes: tuple = (1, 2, 4), n_queries: int = 5, k: int = 5
+) -> DataFrame:
+    """E-17: the recall-vs-nprobe tuning curve — E-8's recall@k
+    measured at several probe widths in one report. This is THE knob
+    an IVF deployment turns: more probed cells buys recall linearly
+    in scan cost, and the operating point is chosen off exactly this
+    table.
+
+    Each leg reuses the registered searches (broadcast quantizer,
+    list-scoped scans); the sweep only aggregates their
+    (n_queries x k)-row outputs, so its cost is the searches
+    themselves. recall is exact-integer hits / (n_queries * k).
+    """
+    legs = []
+    for np_ in probes:
+        hits = ann_recall(emb, n_queries, k, nprobe=np_).agg(
+            F.sum("n_hits").alias("total_hits")
+        )
+        legs.append(
+            hits.select(
+                F.lit(np_).alias("nprobe"),
+                "total_hits",
+                F.round(
+                    F.col("total_hits") / F.lit(n_queries * k), 4
+                ).alias("mean_recall"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionAll(leg)
+    return out.orderBy("nprobe")

@@ -1774,9 +1774,11 @@ L2_SQL = (
 )
 
 
-@register(
-    "ann_ivf_topk",
-    f"""
+def _ivf_oracle(nprobe: int) -> str:
+    """IVF-Flat oracle SQL, parameterized by nprobe (the probes CTE's
+    rnk cutoff) so the E-17 sweep can instantiate several settings
+    without copy drift."""
+    return f"""
     WITH exploded AS (
       SELECT label, i - 1 AS dim,
              CAST(embedding[i]::DOUBLE AS DECIMAL(28,12)) AS xd
@@ -1797,7 +1799,7 @@ L2_SQL = (
       FROM ranked WHERE rnk = 1
     ), probes AS (
       SELECT vec_id AS query_id, cell, embedding AS q_emb
-      FROM ranked WHERE vec_id < 5 AND rnk <= 2
+      FROM ranked WHERE vec_id < 5 AND rnk <= {nprobe}
     ), scored AS (
       SELECT p.query_id, a.neighbor_id, a.cell,
              ROUND({DOT_SQL.format(a='p.q_emb', b='a.n_emb')}
@@ -1814,7 +1816,12 @@ L2_SQL = (
     SELECT query_id, rank::INT AS rank, neighbor_id, cell, cosine
     FROM topk WHERE rank <= 5
     ORDER BY query_id, rank
-    """,
+    """
+
+
+@register(
+    "ann_ivf_topk",
+    _ivf_oracle(nprobe=2),
     tags=("E-5",),
 )
 def q_ann_ivf_topk(spark, sf_dir):
@@ -6257,6 +6264,41 @@ def q_hourly_burstiness(spark, sf_dir):
     return AN.hourly_burstiness(_events(spark, sf_dir))
 
 
+def _recall_leg(nprobe: int) -> str:
+    """Total hits of the nprobe-wide IVF search against brute force."""
+    return f"""
+    SELECT {nprobe} AS nprobe,
+           SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             AS total_hits
+    FROM ({REGISTRY["knn_brute_force"].oracle}) e
+    LEFT JOIN ({_ivf_oracle(nprobe)}) a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    """
+
+
+@register(
+    "ivf_nprobe_sweep",
+    f"""
+    WITH legs AS (
+      {_recall_leg(1)}
+      UNION ALL {_recall_leg(2)}
+      UNION ALL {_recall_leg(4)}
+    )
+    SELECT nprobe::INT AS nprobe, total_hits,
+           ROUND(total_hits::DOUBLE / 25, 4) AS mean_recall
+    FROM legs ORDER BY nprobe
+    """,
+    tags=("E-17",),
+)
+def q_ivf_nprobe_sweep(spark, sf_dir):
+    """E-17 recall-vs-nprobe tuning curve: E-8's recall measured at
+    nprobe 1/2/4 in one report — the table an IVF deployment picks
+    its operating point from. Oracle composes the parameterized IVF
+    template, so the settings cannot drift from the registered
+    search."""
+    return SIM.ivf_nprobe_sweep(_emb(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Driver-certification order
 # ---------------------------------------------------------------------------
@@ -6304,6 +6346,7 @@ _DRIVER_FIRST = [
     "packing_efficiency",
     "session_documents",
     "hourly_burstiness",
+    "ivf_nprobe_sweep",
     "bloom_pruned_order_priority",
     "zorder_cells",
     "streaming_store_etl",

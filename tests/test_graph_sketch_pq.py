@@ -403,3 +403,17 @@ def test_cdc_catches_copied_paragraph_where_global_jaccard_is_low(spark):
              for r in cdc_shared_chunks(docs).collect()}
     assert (1, 2) in pairs, "shared paragraph must produce shared chunks"
     assert all(3 not in p for p in pairs), "disjoint doc must not pair"
+
+
+def test_nprobe_sweep_recall_monotone_and_saturating(spark, sf_dir):
+    """E-17: probing more cells can only find more true neighbors, and
+    probing every cell (nprobe >= n_cells) must reach recall 1.0."""
+    from bigdata_logs_spark.operators.similarity import ivf_nprobe_sweep
+    from bigdata_logs_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_cells = emb.select("label").distinct().count()
+    rep = ivf_nprobe_sweep(emb, probes=(1, 2, n_cells)).collect()
+    recalls = [r.mean_recall for r in rep]
+    assert recalls == sorted(recalls)
+    assert recalls[-1] == 1.0
