@@ -151,6 +151,7 @@ def main() -> None:
         "session_documents",
         "hourly_burstiness",
         "ivf_nprobe_sweep",
+        "dow_hour_anomalies",
         # streaming_event_drift is deliberately absent: streaming-drain
         # throughput is measured by the bench_streaming section.
     ]

@@ -431,3 +431,50 @@ def ewma_daily_counts(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_type", "date")
     )
+
+
+def dow_hour_anomalies(events: DataFrame) -> DataFrame:
+    """AD-8: two-factor seasonal baseline — each (date, hour) count
+    z-scored against the history of its (day-of-week, hour-of-day)
+    cell, so Monday 09:00 is compared with past Mondays at 09:00
+    rather than with every day's 09:00 (AD-1). This is the baseline
+    that stops weekday/weekend rhythm from masquerading as anomaly —
+    the first upgrade a production on-call asks for after AD-1 pages
+    them on a quiet Sunday morning.
+
+    Day-of-week is computed arithmetically ((days since epoch + 3)
+    mod 7, Monday=0) — engine date-part functions disagree on Sunday's
+    index (Spark 1-based Sunday, DuckDB 0-based Sunday), so no date
+    part is used. Same integer co-moment exactness as AD-1; the fact
+    table collapses to (date, hour) cells before any window math.
+    """
+    from pyspark.sql import Window
+
+    date = F.date_format("ts", "yyyy-MM-dd")
+    days_since_epoch = F.datediff(
+        F.to_date("ts"), F.to_date(F.lit("1970-01-01"))
+    )
+    dow = ((days_since_epoch + 3) % 7).cast("int")
+    cells = events.groupBy(
+        date.alias("date"), dow.alias("dow"), F.hour("ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("dow", "hour")
+    stats = (
+        cells.withColumn("days", F.count(F.lit(1)).over(w))
+        .withColumn("s", F.sum("n").over(w))
+        .withColumn("ss", F.sum(F.col("n") * F.col("n")).over(w))
+    )
+    days, s_, ss = F.col("days"), F.col("s"), F.col("ss")
+    var = (ss - s_ * s_ / days) / (days - 1)
+    z = F.when(
+        (days > 1) & (var > 0.0), F.round((F.col("n") - s_ / days) / F.sqrt(var), 6)
+    )
+    return stats.select(
+        "date",
+        "dow",
+        "hour",
+        "n",
+        F.round(s_ / days, 6).alias("cell_mean"),
+        z.alias("zscore"),
+        F.coalesce(z > 3.0, F.lit(False)).alias("is_anomaly"),
+    ).orderBy("date", "hour")

@@ -6299,6 +6299,42 @@ def q_ivf_nprobe_sweep(spark, sf_dir):
     return SIM.ivf_nprobe_sweep(_emb(spark, sf_dir))
 
 
+@register(
+    "dow_hour_anomalies",
+    """
+    WITH cells AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS date,
+             ((ts::DATE - DATE '1970-01-01' + 3) % 7)::INT AS dow,
+             hour(ts)::INT AS hour, COUNT(*)::BIGINT AS n
+      FROM events GROUP BY 1, 2, 3
+    ), stats AS (
+      SELECT *, (COUNT(*) OVER w)::BIGINT AS days,
+             (SUM(n) OVER w)::BIGINT AS s,
+             (SUM(n * n) OVER w)::BIGINT AS ss
+      FROM cells WINDOW w AS (PARTITION BY dow, hour)
+    )
+    SELECT date, dow, hour, n,
+      ROUND(s / days, 6) AS cell_mean,
+      CASE WHEN days > 1 AND (ss - s * s / days) / (days - 1) > 0.0::DOUBLE
+           THEN ROUND((n - s / days)
+                      / sqrt((ss - s * s / days) / (days - 1)), 6) END AS zscore,
+      COALESCE(
+        CASE WHEN days > 1 AND (ss - s * s / days) / (days - 1) > 0.0::DOUBLE
+             THEN ROUND((n - s / days)
+                        / sqrt((ss - s * s / days) / (days - 1)), 6) END
+        > 3.0::DOUBLE, FALSE) AS is_anomaly
+    FROM stats ORDER BY date, hour
+    """,
+    tags=("AD-8",),
+)
+def q_dow_hour_anomalies(spark, sf_dir):
+    """AD-8 two-factor seasonal baseline: (date, hour) counts z-scored
+    within their (day-of-week, hour) cell — weekday/weekend rhythm
+    stops masquerading as anomaly. Arithmetic day-of-week ((epoch
+    days + 3) mod 7): engine date parts disagree on Sunday's index."""
+    return AD.dow_hour_anomalies(_events(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Driver-certification order
 # ---------------------------------------------------------------------------
@@ -6347,6 +6383,7 @@ _DRIVER_FIRST = [
     "session_documents",
     "hourly_burstiness",
     "ivf_nprobe_sweep",
+    "dow_hour_anomalies",
     "bloom_pruned_order_priority",
     "zorder_cells",
     "streaming_store_etl",

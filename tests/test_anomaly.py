@@ -482,3 +482,28 @@ class TestEwmaDailyCounts:
         out = AD.ewma_daily_counts(spark.createDataFrame(rows)).collect()
         assert out[0].ewma == 4.0
         assert abs(out[-1].ewma - 8.0) < 1e-4
+
+
+def test_dow_hour_cells_partition_by_true_weekday(spark, sf_dir):
+    """AD-8: the arithmetic day-of-week must equal Python's
+    date.weekday() (Monday=0) for every cell, and cells cover exactly
+    the (date, hour) combinations with events."""
+    import datetime as dt
+
+    from bigdata_logs_spark.operators.anomaly import dow_hour_anomalies
+    from bigdata_logs_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = dow_hour_anomalies(ev).collect()
+    assert rows
+    for r in rows:
+        d = dt.date.fromisoformat(r.date)
+        assert r.dow == d.weekday(), (r.date, r.dow)
+    n_cells = (
+        ev.selectExpr(
+            "date_format(ts, 'yyyy-MM-dd') AS d", "hour(ts) AS h"
+        )
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_cells
