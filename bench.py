@@ -152,6 +152,7 @@ def main() -> None:
         "hourly_burstiness",
         "ivf_nprobe_sweep",
         "dow_hour_anomalies",
+        "char_entropy",
         # streaming_event_drift is deliberately absent: streaming-drain
         # throughput is measured by the bench_streaming section.
     ]

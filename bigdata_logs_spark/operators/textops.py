@@ -763,3 +763,36 @@ def lang_id_confusion(docs: DataFrame) -> DataFrame:
             "share_of_lang"
         ),
     ).orderBy("lang", "predicted_lang")
+
+
+def char_entropy(docs: DataFrame) -> DataFrame:
+    """T-20: per-document character-distribution Shannon entropy (in
+    nats) — the classic cheap gibberish/binary-spill detector: natural
+    prose sits in a narrow entropy band; base64 blobs and key-mash
+    score high, repeated-character padding scores near zero. The
+    standard companion gate to T-4's token-level quality signals.
+
+    Shape: one explode to (doc_id, char) rows, a combinable
+    (doc_id, char) count, then a per-doc sum of ~alphabet-size terms.
+    Exactness: each term (cnt/n)·ln(cnt/n) is one division, one
+    bit-identical ln, one multiply; the per-doc sum spans at most
+    |alphabet| ≈ dozens of terms with ~1e-15 relative error against
+    the 1e-6 rounding (the kmeans headroom argument).
+    """
+    chars = docs.select(
+        "doc_id", F.explode(F.split("text", "")).alias("ch")
+    ).where(F.col("ch") != "")
+    counts = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = counts.groupBy("doc_id").agg(F.sum("cnt").alias("n"))
+    p = F.col("cnt") / F.col("n")
+    terms = counts.join(totals, "doc_id").select(
+        "doc_id", "n", (p * F.log(p)).alias("term")
+    )
+    return (
+        terms.groupBy("doc_id")
+        .agg(
+            F.first("n").alias("n_chars_total"),
+            F.round(-F.sum("term"), 6).alias("char_entropy"),
+        )
+        .orderBy("doc_id")
+    )

@@ -6335,6 +6335,33 @@ def q_dow_hour_anomalies(spark, sf_dir):
     return AD.dow_hour_anomalies(_events(spark, sf_dir))
 
 
+@register(
+    "char_entropy",
+    """
+    WITH ch AS (
+      SELECT doc_id, substr(text, i, 1) AS ch
+      FROM documents,
+           LATERAL (SELECT unnest(range(1, length(text) + 1)) AS i)
+    ), counts AS (
+      SELECT doc_id, ch, COUNT(*)::BIGINT AS cnt FROM ch GROUP BY 1, 2
+    ), tot AS (
+      SELECT doc_id, SUM(cnt)::BIGINT AS n FROM counts GROUP BY 1
+    )
+    SELECT c.doc_id, MAX(t.n)::BIGINT AS n_chars_total,
+           ROUND(-SUM((c.cnt / t.n) * ln(c.cnt / t.n)), 6) AS char_entropy
+    FROM counts c JOIN tot t USING (doc_id)
+    GROUP BY c.doc_id ORDER BY c.doc_id
+    """,
+    tags=("T-20",),
+)
+def q_char_entropy(spark, sf_dir):
+    """T-20 character-distribution Shannon entropy per doc (nats) —
+    the cheap gibberish/base64/padding detector beside T-4's token
+    quality gates. One combinable (doc, char) count; per-doc sums
+    span at most alphabet-size terms (kmeans rounding headroom)."""
+    return TX.char_entropy(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Driver-certification order
 # ---------------------------------------------------------------------------
@@ -6384,6 +6411,7 @@ _DRIVER_FIRST = [
     "hourly_burstiness",
     "ivf_nprobe_sweep",
     "dow_hour_anomalies",
+    "char_entropy",
     "bloom_pruned_order_priority",
     "zorder_cells",
     "streaming_store_etl",

@@ -417,3 +417,28 @@ def test_nprobe_sweep_recall_monotone_and_saturating(spark, sf_dir):
     recalls = [r.mean_recall for r in rep]
     assert recalls == sorted(recalls)
     assert recalls[-1] == 1.0
+
+
+def test_char_entropy_bounds_and_known_values(spark):
+    """T-20 on hand-built fixtures: uniform text hits ln(alphabet),
+    constant text is exactly 0, and every score is within
+    [0, ln(n_distinct_chars)]."""
+    import math
+
+    from bigdata_logs_spark.operators.textops import char_entropy
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaa", "en", "s", 4),       # constant -> 0
+            (2, "abcd", "en", "s", 4),       # uniform over 4 -> ln 4
+            (3, "aab", "en", "s", 3),        # 2/3,1/3 mix
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r.doc_id: r for r in char_entropy(docs).collect()}
+    assert got[1].char_entropy == 0.0
+    assert abs(got[2].char_entropy - round(math.log(4), 6)) < 1e-9
+    want3 = -(2 / 3 * math.log(2 / 3) + 1 / 3 * math.log(1 / 3))
+    assert abs(got[3].char_entropy - round(want3, 6)) < 1e-6
+    for r in got.values():
+        assert 0.0 <= r.char_entropy <= math.log(r.n_chars_total) + 1e-9
