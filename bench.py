@@ -153,6 +153,7 @@ def main() -> None:
         "ivf_nprobe_sweep",
         "dow_hour_anomalies",
         "char_entropy",
+        "daily_value_ribbon",
         # streaming_event_drift is deliberately absent: streaming-drain
         # throughput is measured by the bench_streaming section.
     ]

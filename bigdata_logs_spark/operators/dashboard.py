@@ -500,3 +500,27 @@ def props_typed_extract(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def daily_value_ribbon(events: DataFrame) -> DataFrame:
+    """D-52: the p10/p50/p90 daily value ribbon — the spread band a
+    time-series chart draws around its median line (the reference's
+    per-hour chart shows only counts, stats_dashboard.py:61-78; this
+    is the value-distribution view that shows WHEN values got weird,
+    pairing with W-9's OHLC extremes).
+
+    Exact interpolated percentiles per day (both engines interpolate
+    linearly on the sorted set — the proven AGG-2 parity). At 100 TB
+    swap for approx_percentile: same call shape, sketch-based,
+    map-side combinable.
+    """
+    return (
+        events.groupBy(_date(F.col("ts")).alias("date"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.percentile("value", F.lit(0.1)), 6).alias("p10"),
+            F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+        )
+        .orderBy("date")
+    )

@@ -6362,6 +6362,24 @@ def q_char_entropy(spark, sf_dir):
     return TX.char_entropy(_docs(spark, sf_dir))
 
 
+@register(
+    "daily_value_ribbon",
+    """
+    SELECT strftime(ts, '%Y-%m-%d') AS date, COUNT(*)::BIGINT AS n_events,
+           ROUND(quantile_cont(value, 0.1), 6) AS p10,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50,
+           ROUND(quantile_cont(value, 0.9), 6) AS p90
+    FROM events GROUP BY 1 ORDER BY date
+    """,
+    tags=("D-52",),
+)
+def q_daily_value_ribbon(spark, sf_dir):
+    """D-52 daily p10/p50/p90 value ribbon — the spread band around
+    the median line charts draw (AGG-2's exact-interpolation parity,
+    grouped by day; approx_percentile is the same-shape 100 TB swap)."""
+    return D.daily_value_ribbon(_events(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Driver-certification order
 # ---------------------------------------------------------------------------
@@ -6412,6 +6430,7 @@ _DRIVER_FIRST = [
     "ivf_nprobe_sweep",
     "dow_hour_anomalies",
     "char_entropy",
+    "daily_value_ribbon",
     "bloom_pruned_order_priority",
     "zorder_cells",
     "streaming_store_etl",
