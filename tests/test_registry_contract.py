@@ -141,3 +141,35 @@ def test_survey_ids_and_registry_tags_stay_in_lockstep():
     tags = audit.registry_tags()
     assert sorted(tags - ids) == []
     assert sorted(i for i in ids - tags if i not in audit.WAIVED) == []
+
+
+def test_bench_extended_names_resolve_in_registry():
+    """Every name in bench.py's EXTENDED list must be a registered
+    query — a rename otherwise silently drops the op from the
+    per-round bench record (the `if name not in REGISTRY: continue`
+    guard hides it)."""
+    import ast
+    import pathlib
+
+    from bigdata_logs_spark.registry import REGISTRY
+
+    src = pathlib.Path(__file__).resolve().parents[1] / "bench.py"
+    tree = ast.parse(src.read_text())
+    names = None
+    for node in ast.walk(tree):
+        if (
+            isinstance(node, ast.Assign)
+            and any(
+                isinstance(t, ast.Name) and t.id == "EXTENDED"
+                for t in node.targets
+            )
+            and isinstance(node.value, ast.List)
+        ):
+            names = [
+                el.value
+                for el in node.value.elts
+                if isinstance(el, ast.Constant)
+            ]
+    assert names, "EXTENDED list not found in bench.py"
+    missing = [n for n in names if n not in REGISTRY]
+    assert not missing, f"bench EXTENDED names not in registry: {missing}"
