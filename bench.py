@@ -154,6 +154,7 @@ def main() -> None:
         "dow_hour_anomalies",
         "char_entropy",
         "daily_value_ribbon",
+        "snapshot_diff",
         # streaming_event_drift is deliberately absent: streaming-drain
         # throughput is measured by the bench_streaming section.
     ]

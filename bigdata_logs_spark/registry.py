@@ -6380,6 +6380,74 @@ def q_daily_value_ribbon(spark, sf_dir):
     return D.daily_value_ribbon(_events(spark, sf_dir))
 
 
+@register(
+    "snapshot_diff",
+    """
+    WITH base AS (
+      SELECT event_id,
+             (event_id % 5 != 0) AS in_v1, (event_id % 7 != 0) AS in_v2,
+             (event_id % 3 = 0) AS modified
+      FROM events
+    )
+    SELECT CASE WHEN NOT in_v1 THEN 'added'
+                WHEN NOT in_v2 THEN 'removed'
+                WHEN modified THEN 'changed' ELSE 'unchanged'
+           END AS change_type,
+           COUNT(*)::BIGINT AS n_rows
+    FROM base WHERE in_v1 OR in_v2
+    GROUP BY 1 ORDER BY change_type
+    """,
+    tags=("SET-3",),
+)
+def q_snapshot_diff(spark, sf_dir):
+    """SET-3 snapshot diff: added/removed/changed/unchanged row counts
+    between two committed versions of the S-16 store — the audit
+    behind "what did last night's load actually do". The Spark side
+    classifies by comparing the ACTUAL read-back columns of both
+    snapshots (a full-outer join on the key — store fidelity is part
+    of what the green hash certifies); the oracle re-derives both
+    versions from the raw table's predicates. Only (key, value) pairs
+    enter the join; at scale the diff is one co-partitioned
+    sort-merge join keyed on the store's primary key."""
+    import os as _o
+
+    from pyspark.sql import functions as F
+
+    from bigdata_logs_spark.sources import read_versioned, write_versioned
+
+    ev = _events(spark, sf_dir)
+    path = _scratch_path("bls_snapdiff", sf_dir)
+    if not _o.path.isdir(_o.path.join(path, "v=2")):
+        _o.makedirs(path, exist_ok=True)
+        write_versioned(ev.where(F.col("event_id") % 5 != 0), path)
+        v2 = ev.where(F.col("event_id") % 7 != 0).withColumn(
+            "value",
+            F.when(
+                F.col("event_id") % 3 == 0, F.col("value") + 500.0
+            ).otherwise(F.col("value")),
+        )
+        write_versioned(v2, path)
+    a = read_versioned(spark, path, version=1).select(
+        "event_id", F.col("value").alias("v1_value")
+    )
+    b = read_versioned(spark, path).select(
+        "event_id", F.col("value").alias("v2_value")
+    )
+    change = (
+        F.when(F.col("v1_value").isNull(), F.lit("added"))
+        .when(F.col("v2_value").isNull(), F.lit("removed"))
+        .when(F.col("v1_value") != F.col("v2_value"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        a.join(b, "event_id", "full_outer")
+        .select(change.alias("change_type"))
+        .groupBy("change_type")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("change_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-certification order
 # ---------------------------------------------------------------------------
@@ -6431,6 +6499,7 @@ _DRIVER_FIRST = [
     "dow_hour_anomalies",
     "char_entropy",
     "daily_value_ribbon",
+    "snapshot_diff",
     "bloom_pruned_order_priority",
     "zorder_cells",
     "streaming_store_etl",
