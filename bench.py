@@ -181,28 +181,52 @@ def main() -> None:
         sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
     except ValueError:
         sf = None
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "cold_value": cold_total,
-                "cold_queries": cold,
-                "sf": sf,
-                "extended_queries": extended,
-                "extended_value": round(sum(extended.values()), 4),
-                "streaming": streaming,
-                "machine": {
-                    "cpus": os.cpu_count(),
-                    "loadavg_start": [round(x, 2) for x in load_start],
-                    "loadavg_end": [round(x, 2) for x in os.getloadavg()],
-                    "cpu_calibration_sec": calibration,
-                },
-            }
-        )
+    machine = {
+        "cpus": os.cpu_count(),
+        "loadavg_start": [round(x, 2) for x in load_start],
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        "cpu_calibration_sec": calibration,
+    }
+    # The driver captures only the tail of stdout (~2000 chars), so the
+    # LAST line must be a compact summary guaranteed to fit; per-query
+    # cold + extended detail goes to BENCH_DETAIL.json next to this
+    # script (round-5 lesson: the all-in-one line outgrew the capture
+    # and the round's warm headline number was lost).
+    detail = {
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "cold_value": cold_total,
+        "cold_queries": cold,
+        "sf": sf,
+        "extended_queries": extended,
+        "extended_value": round(sum(extended.values()), 4),
+        "streaming": streaming,
+        "machine": machine,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    summary = {
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "cold_value": cold_total,
+        "sf": sf,
+        "extended_value": round(sum(extended.values()), 4),
+        "streaming_rows_per_sec": streaming.get("rows_per_sec"),
+        "machine": machine,
+        "detail": "BENCH_DETAIL.json",
+    }
+    line = json.dumps(summary)
+    if len(line) > 1900:  # belt-and-braces: never outgrow the capture
+        summary.pop("queries", None)
+        line = json.dumps(summary)
+    print(line)
 
 
 if __name__ == "__main__":

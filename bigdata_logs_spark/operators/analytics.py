@@ -337,14 +337,17 @@ def user_attr_scd2(events: DataFrame) -> DataFrame:
 
     Exactness: (ts, event_id) totally orders each user's stream;
     interval edges are picked timestamps (never arithmetic), emitted
-    as formatted strings.
+    as formatted strings. Events with no ``k`` observation are
+    filtered BEFORE the lag: ``k != prev_k`` is not NULL-safe, so an
+    interleaved NULL would otherwise swallow the change flag on both
+    sides of it and leave a stale run in the dimension.
     """
     ordered = events.select(
         "user_id",
         "ts",
         "event_id",
         F.get_json_object("props", "$.k").cast("int").alias("k"),
-    )
+    ).where(F.col("k").isNotNull())
     from bigdata_logs_spark.operators.dashboard import _ts_str
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")

@@ -55,12 +55,17 @@ def propagate_min_labels(
     entirely in this callback. Keys with no neighbors may be absent.
 
     Returns the converged (key, label) DataFrame (reading from the
-    final tracked checkpoint). Raises ``RuntimeError`` if ``max_iter``
-    rounds pass without convergence.
+    final tracked checkpoint). ``max_iter`` bounds the number of
+    LABEL-CHANGING rounds (size it to the worst-case component
+    diameter); convergence is only observable one round after the
+    last change, so one extra verification round runs beyond the
+    budget before ``RuntimeError`` is raised — a component whose
+    diameter exactly equals ``max_iter`` converges, it does not fail
+    spuriously.
     """
     current = labels.localCheckpoint(eager=True)
     prev_snapshot = _checkpoint_rdd(current)
-    for _ in range(max_iter):
+    for _ in range(max_iter + 1):
         nbr = neighbor_min(current)
         updated = (
             current.join(nbr, key, "left")

@@ -730,9 +730,11 @@ def zipf_fit(docs: DataFrame, top_r: int = 100) -> DataFrame:
     return m.select(
         "lang",
         "n_terms",
-        F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4).alias(
-            "zipf_slope"
-        ),
+        # n_terms == 1 makes the OLS denominator exactly zero (sxx ==
+        # sx*sx); emit NULL instead of cross-engine-divergent NaN/Inf
+        F.round(
+            F.when(n > 1, (n * sxy - sx * sy) / (n * sxx - sx * sx)), 4
+        ).alias("zipf_slope"),
     ).orderBy("lang")
 
 

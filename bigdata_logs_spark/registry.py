@@ -5601,9 +5601,10 @@ def q_curriculum_phases(spark, sf_dir):
       FROM q GROUP BY 1
     )
     SELECT lang, n_terms,
-           ROUND((n_terms * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
-                 / (n_terms * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 4)
-             AS zipf_slope
+           CASE WHEN n_terms > 1 THEN
+             ROUND((n_terms * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                   / (n_terms * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 4)
+           END AS zipf_slope
     FROM m ORDER BY lang
     """,
     tags=("T-17",),
@@ -6085,12 +6086,14 @@ def q_observed_etl_metrics(spark, sf_dir):
 @register(
     "user_attr_scd2",
     """
-    WITH ordered AS (
-      SELECT user_id, ts, event_id,
-             json_extract(props, '$.k')::INT AS k,
-             LAG(json_extract(props, '$.k')::INT) OVER
+    WITH observed AS (
+      SELECT user_id, ts, event_id, json_extract(props, '$.k')::INT AS k
+      FROM events WHERE json_extract(props, '$.k') IS NOT NULL
+    ), ordered AS (
+      SELECT user_id, ts, event_id, k,
+             LAG(k) OVER
                (PARTITION BY user_id ORDER BY ts, event_id) AS prev_k
-      FROM events
+      FROM observed
     ), changes AS (
       SELECT user_id, k, ts, event_id FROM ordered
       WHERE prev_k IS NULL OR k != prev_k
@@ -6386,7 +6389,7 @@ def q_daily_value_ribbon(spark, sf_dir):
     WITH base AS (
       SELECT event_id,
              (event_id % 5 != 0) AS in_v1, (event_id % 7 != 0) AS in_v2,
-             (event_id % 3 = 0) AS modified
+             (event_id % 3 = 0 AND value IS NOT NULL) AS modified
       FROM events
     )
     SELECT CASE WHEN NOT in_v1 THEN 'added'
@@ -6427,16 +6430,26 @@ def q_snapshot_diff(spark, sf_dir):
             ).otherwise(F.col("value")),
         )
         write_versioned(v2, path)
+    # Presence is an explicit flag, not value-NULLness: a row present
+    # in both snapshots with a NULL value must classify by the
+    # NULL-safe value comparison, never as added/removed.
     a = read_versioned(spark, path, version=1).select(
-        "event_id", F.col("value").alias("v1_value")
+        "event_id",
+        F.col("value").alias("v1_value"),
+        F.lit(True).alias("in_v1"),
     )
     b = read_versioned(spark, path).select(
-        "event_id", F.col("value").alias("v2_value")
+        "event_id",
+        F.col("value").alias("v2_value"),
+        F.lit(True).alias("in_v2"),
     )
     change = (
-        F.when(F.col("v1_value").isNull(), F.lit("added"))
-        .when(F.col("v2_value").isNull(), F.lit("removed"))
-        .when(F.col("v1_value") != F.col("v2_value"), F.lit("changed"))
+        F.when(F.col("in_v1").isNull(), F.lit("added"))
+        .when(F.col("in_v2").isNull(), F.lit("removed"))
+        .when(
+            ~F.col("v1_value").eqNullSafe(F.col("v2_value")),
+            F.lit("changed"),
+        )
         .otherwise(F.lit("unchanged"))
     )
     return (
