@@ -35,6 +35,143 @@ HEADLINE = [
 ]
 
 
+# Registry queries deliberately NOT in any bench section — the
+# explicit waiver list tests/test_registry_contract.py checks, so a
+# new query can never silently ship unbenched: it must be added to
+# HEADLINE/EXTENDED (or here, with the family that already represents
+# it). Most entries are family variants whose representative IS
+# benched (e.g. one of the five store round-trips, one of the window
+# family), point-lookup/CLI display shapes, or streaming queries
+# measured by bench_streaming instead.
+UNBENCHED = [
+    "global_metrics_approx",
+    "top_entities",
+    "events_per_hour",
+    "events_by_type_per_day",
+    "profile_global_stats",
+    "diversity_distribution",
+    "score_histogram",
+    "distinct_event_types",
+    "events_of_type",
+    "entity_hourly_activity",
+    "profile_percentages_long",
+    "cumulative_daily_events",
+    "latest_event_per_user",
+    "daily_event_rollup",
+    "value_percentiles",
+    "salted_event_counts",
+    "returning_users",
+    "users_never_high_value",
+    "props_key_distribution",
+    "ssh_event_counts",
+    "ssh_parse_drop_stats",
+    "ssh_parse_rejects",
+    "ssh_events_per_day",
+    "ssh_root_admin_attempts",
+    "ssh_latest_events",
+    "store_roundtrip",
+    "store_schema_evolution",
+    "csv_roundtrip",
+    "customers_without_orders",
+    "customers_with_open_orders",
+    "part_type_revenue",
+    "top_order_per_customer",
+    "customer_order_stats",
+    "order_priority_counts",
+    "segment_nation_sales",
+    "doc_stats_by_lang",
+    "token_counts",
+    "word_frequencies",
+    "quality_scores",
+    "lang_id",
+    "token_counts_pandas_udf",
+    "doc_length_zscores",
+    "fingerprints",
+    "exact_dedup",
+    "minhash_buckets",
+    "simhash",
+    "jaccard_pairs",
+    "near_dup_pairs",
+    "minhash_calibration",
+    "embedding_norms",
+    "label_centroids",
+    "lsh_sign_buckets",
+    "ann_ivf_topk",
+    "media_decode",
+    "media_stats",
+    "media_frame_offsets",
+    "streaming_hourly_counts",
+    "streaming_brute_force_detector",
+    "attack_sessions",
+    "streaming_dedup_counts",
+    "train_val_test_split",
+    "stratified_sample",
+    "simhash_near_dup",
+    "near_dup_survivors",
+    "near_dup_components",
+    "component_size_histogram",
+    "json_roundtrip",
+    "orc_roundtrip",
+    "knn_quantized",
+    "streaming_stateful_alerts",
+    "store_pruned_day",
+    "media_features",
+    "media_resize",
+    "range_join_value_bands",
+    "store_dynamic_overwrite",
+    "json_corrupt_handling",
+    "revenue_grouping_sets",
+    "event_value_cube",
+    "store_upsert",
+    "user_sessions",
+    "funnel_conversion",
+    "retention_cohorts",
+    "salted_join_order_priority",
+    "doc_semantic_neighbors",
+    "bigram_frequencies",
+    "source_mixing_weights",
+    "media_content_dedup",
+    "pii_redaction_stats",
+    "streaming_severity_counts",
+    "ann_recall",
+    "token_length_percentile_gate",
+    "streaming_latest_per_ip",
+    "supplier_nation_revenue",
+    "streaming_event_transitions",
+    "streaming_store_etl",
+    "streaming_repeat_offenders",
+    "ssh_users_per_ip",
+    "events_per_day_dense",
+    "events_daily_moving_avg",
+    "qty_price_regression",
+    "per_source_sample",
+    "key_skew_report",
+    "fk_orphans",
+    "bloom_pruned_order_priority",
+    "zorder_cells",
+    "column_profile",
+    "conversion_latency",
+    "doc_chunks",
+    "kmeans_centroid_update",
+    "boilerplate_ngrams",
+    "boilerplate_fraction",
+    "media_phash",
+    "media_perceptual_dedup",
+    "value_median_pandas_agg",
+    "props_typed_extract",
+    "store_time_travel",
+    "streaming_event_drift",
+    "leakage_safe_split",
+    "source_vocab_overlap",
+    "centroid_confusion",
+    "funnel_coverage_audit",
+    "ewma_daily_counts",
+    "streaming_kmv_distinct",
+    "python_datasource_counts",
+    "quality_dedup_survivors",
+]
+
+
 def _cpu_calibration_sec() -> float:
     """Fixed single-thread CPU burn (md5 over 16 MB, 8 rounds): a
     machine-speed/contention yardstick recorded alongside the query
@@ -157,6 +294,13 @@ def main() -> None:
         "snapshot_diff",
         # streaming_event_drift is deliberately absent: streaming-drain
         # throughput is measured by the bench_streaming section.
+        # round-6 additions:
+        "kmv_set_ops",
+        "minhash_containment",
+        "token_graph_triangles",
+        "pmi_bigrams",
+        "lm_doc_scores",
+        "dashboard_render_all",
     ]
     extended: dict[str, float] = {}
     for name in EXTENDED:

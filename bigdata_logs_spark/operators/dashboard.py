@@ -524,3 +524,108 @@ def daily_value_ribbon(events: DataFrame) -> DataFrame:
         )
         .orderBy("date")
     )
+
+
+def dashboard_render_all(events: DataFrame) -> DataFrame:
+    """D-53: the whole stats dashboard rendered as ONE multi-output
+    pass — every always-on panel of the reference UI
+    (``src/stats_dashboard.py:35-181``: the metric tiles, event/user
+    bar charts, hourly + daily lines, suspicious-vs-normal and
+    by-type evolutions, the profile-level global stats, diversity and
+    score histograms) emitted together as one long-format table
+    ``(panel, k, metric, value)``.
+
+    The reference recomputes each of these from a fresh full
+    collection scan per Streamlit interaction. Here the event stream
+    is scanned ONCE into a tracked cache, the flagship fused profile
+    (D-26..D-31) is materialized once more, and all ten panels
+    aggregate those two cached inputs — the amortized "render
+    everything" cost a long-lived dashboard session actually pays.
+    At 100 TB each panel is an independent shuffle over the shared
+    cached base (or its parquet materialization), so panels
+    parallelize across the cluster instead of serializing per
+    interaction.
+
+    Exactness: every value lands as DOUBLE — counts are exact
+    integers cast once; the two averages and the failed-rate keep
+    their source ops' ROUND(x, 2) convention; keys render as strings
+    (zero-padded hour, ISO date, integral score bin).
+    """
+    from bigdata_logs_spark.caching import tracked_cache
+
+    base = tracked_cache(
+        events.select("user_id", "event_type", "ts", "value", "props")
+    )
+    prof = tracked_cache(entity_profile(base))
+
+    def melt(df: DataFrame, panel: str, key: Column, metrics: list[str]) -> DataFrame:
+        pairs = ", ".join(f"'{m}', CAST(`{m}` AS DOUBLE)" for m in metrics)
+        return df.select(
+            F.lit(panel).alias("panel"),
+            key.alias("k"),
+            F.expr(f"stack({len(metrics)}, {pairs})").alias("metric", "value"),
+        )
+
+    panels = [
+        melt(
+            global_metrics(base),
+            "global",
+            F.lit(""),
+            [
+                "total_records",
+                "unique_users",
+                "distinct_events",
+                "failed_events",
+                "failed_rate_pct",
+            ],
+        ),
+        melt(event_type_counts(base), "event_counts", F.col("event_type"), ["n"]),
+        melt(
+            entity_value_counts(base, 10),
+            "top_users",
+            F.col("user_id").cast("string"),
+            ["n"],
+        ),
+        melt(events_per_hour(base), "per_hour", F.col("hour"), ["n"]),
+        melt(events_per_day(base), "per_day", F.col("date"), ["total_events"]),
+        melt(
+            suspicious_vs_normal_per_day(base),
+            "susp_vs_normal",
+            F.col("date"),
+            ["Suspicious", "Normal"],
+        ),
+        events_by_type_per_day(base).select(
+            F.lit("by_type_per_day").alias("panel"),
+            F.col("date").alias("k"),
+            F.col("event_type").alias("metric"),
+            F.col("n").cast("double").alias("value"),
+        ),
+        melt(
+            profile_global_stats(prof),
+            "profile_stats",
+            F.lit(""),
+            [
+                "total_entities",
+                "entities_with_failures",
+                "entities_high_value",
+                "entities_over_100_events",
+                "max_events_per_entity",
+                "avg_events_per_entity",
+                "avg_suspicious_score",
+                "entities_score_over_80",
+            ],
+        ),
+        melt(
+            diversity_distribution(prof),
+            "diversity",
+            F.col("event_diversity").cast("string"),
+            ["n"],
+        ),
+        melt(
+            score_histogram(prof),
+            "score_hist",
+            F.col("score_bin").cast("bigint").cast("string"),
+            ["n"],
+        ),
+    ]
+    return reduce(DataFrame.unionByName, panels).orderBy("panel", "k", "metric")

@@ -781,3 +781,83 @@ def cdc_shared_chunks(docs: DataFrame, min_shared: int = 2) -> DataFrame:
         .where(F.col("n_shared_chunks") >= min_shared)
         .orderBy("doc_a", "doc_b")
     )
+
+
+def minhash_containment(
+    docs: DataFrame, n_bands: int = N_BANDS, threshold: float = 0.5
+) -> DataFrame:
+    """DD-13: asymmetric CONTAINMENT over the LSH candidate pairs —
+    ``|A ∩ B| / min(|A|, |B|)`` on exact shingle sets. Whole-document
+    Jaccard misses the quote-inclusion case (a short document pasted
+    verbatim inside a much longer one dilutes the union), which is
+    exactly what containment catches: the pair scores 1.0 however
+    long the enclosing document is. The standard second gate next to
+    DD-2's Jaccard in a pretraining dedup stack (and the document-
+    level complement of DD-12's chunk-level overlap).
+
+    Shape: identical to ``near_dup_pairs`` — banded-LSH candidates
+    (occupancy-capped before pair expansion), then verification on
+    exploded (doc_id, shingle) rows: intersection as a pair-gram
+    equi-join count, set sizes from a per-doc aggregate; only
+    fixed-width rows shuffle, shingle arrays never cross the wire.
+    Note LSH recall is tuned for JACCARD: a tiny-doc-in-huge-doc pair
+    can have high containment but Jaccard below the band curve — at
+    100 TB the recall fix is banding on the min of the two docs'
+    signature (prefix-restricted MinHash), same plumbing.
+    """
+    sigs = minhash_signatures(docs, n_bands).transform(tracked_cache)
+    ok = (
+        sigs.groupBy("band", "sig")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") <= BUCKET_CAP)
+        .select("band", "sig")
+    )
+    capped = sigs.join(ok, ["band", "sig"])
+    cand = (
+        capped.select("band", "sig", F.col("doc_id").alias("doc_a"))
+        .join(
+            capped.select("band", "sig", F.col("doc_id").alias("doc_b")),
+            ["band", "sig"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    grams = (
+        spread_small_input(docs)
+        .withColumn("tokens", _tokens(F.col("text")))
+        .select("doc_id", F.explode(F.array_distinct(_shingles())).alias("gram"))
+        .transform(tracked_cache)
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        cand.join(grams.select(F.col("doc_id").alias("doc_a"), "gram"), "doc_a")
+        .join(
+            grams.select(F.col("doc_id").alias("doc_b"), "gram"),
+            ["doc_b", "gram"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    joined = inter.join(
+        sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")),
+        "doc_a",
+    ).join(
+        sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")),
+        "doc_b",
+    )
+    containment = F.round(
+        F.col("n_inter").cast("double") / F.least("sz_a", "sz_b"), 4
+    )
+    return (
+        joined.select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            "sz_a",
+            "sz_b",
+            containment.alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )

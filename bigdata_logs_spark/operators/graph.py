@@ -210,3 +210,59 @@ def token_graph_degrees(docs: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_nodes"))
         .orderBy("degree_bucket")
     )
+
+
+def token_graph_triangles(docs: DataFrame) -> DataFrame:
+    """G-4: exact triangle count + global clustering coefficient of
+    the token-adjacency graph — the one-number cohesion summary
+    (3·triangles / wedges) that distinguishes hub-and-spoke
+    boilerplate vocabularies from genuinely interlinked ones, and the
+    standard big-graph benchmark op (Suri & Vassilvitskii's MR
+    triangle counting).
+
+    Shape: the undirected edge set (src < dst, so each edge once)
+    self-joins on the middle vertex to enumerate ordered wedges
+    a<b<c, then one more equi-join closes them against the edge list
+    — each triangle counted exactly once, no cartesian anywhere. The
+    wedge total comes from the degree table alone (Σ deg·(deg−1)/2,
+    exact integers). At 100 TB the standard refinement is
+    degree-ordered orientation (orient each edge toward the
+    higher-degree endpoint) so the wedge join fans out on low-degree
+    vertices only; the id-ordered orientation here is the same plan
+    shape with a cheaper orientation key.
+
+    Exactness: counts are BIGINT; deg·(deg−1)/2 divides an even
+    integer exactly; the only float op is the final coefficient
+    division, rounded at 1e-6.
+    """
+    edges = token_adjacency_edges(docs).select("src", "dst")
+    und = edges.where(F.col("src") < F.col("dst"))
+    e_ab = und.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e_bc = und.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e_ac = und.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = (
+        e_ab.join(e_bc, "b")
+        .join(e_ac, ["a", "c"])
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    shape = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum(F.col("deg") * (F.col("deg") - 1)) / 2)
+        .cast("long")
+        .alias("n_wedges"),
+    )
+    n_edges = und.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        shape.crossJoin(n_edges)
+        .crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(
+                3.0 * F.col("n_triangles").cast("double") / F.col("n_wedges"), 6
+            ).alias("clustering_coeff"),
+        )
+    )

@@ -193,3 +193,69 @@ def kmv_distinct(events: DataFrame, k: int = KMV_K) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def kmv_set_ops(
+    events: DataFrame,
+    k: int = KMV_K,
+    type_a: str = "click",
+    type_b: str = "purchase",
+) -> DataFrame:
+    """SK-3: set operations on KMV sketches (Beyer et al., SIGMOD
+    2007) — union and intersection cardinality estimates for two key
+    sets (users who did ``type_a`` vs ``type_b``) from the k smallest
+    hashes alone, next to the exact answers. Union merges trivially
+    (k smallest of the merged hash stream — the mergeability that
+    lets every partition/day/source keep its own sketch); the
+    intersection estimate is the Jaccard ratio observed INSIDE the
+    union sketch (n_both / k) scaled by the union estimate.
+
+    Like SK-2, the whole construction is explicit md5 order
+    statistics, so the estimates themselves — not just the plumbing —
+    are certified cross-engine. Scale shape: one combinable distinct
+    over (hash, flags); the k-smallest selection is a distributed
+    TakeOrderedAndProject (never a global window sort); the "exact"
+    legs aggregate the same distinct-key table, which is the already-
+    collapsed small side.
+    """
+    keyed = events.where(
+        F.col("user_id").isNotNull() & F.col("event_type").isin(type_a, type_b)
+    )
+    flags = (
+        keyed.select(
+            F.expr(kmv_hash_expr("user_id")).alias("h"),
+            (F.col("event_type") == type_a).cast("int").alias("in_a"),
+            (F.col("event_type") == type_b).cast("int").alias("in_b"),
+        )
+        .groupBy("h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    topk = flags.orderBy("h").limit(k)
+    sk = topk.agg(
+        F.max("h").alias("kth"),
+        F.count(F.lit(1)).alias("n_in_sketch"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_both"),
+    )
+    exact = flags.agg(
+        F.sum("in_a").alias("n_a_exact"),
+        F.sum("in_b").alias("n_b_exact"),
+        F.count(F.lit(1)).alias("n_union_exact"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_inter_exact"),
+    )
+    est_union = F.when(
+        F.col("n_in_sketch") < k, F.col("n_in_sketch").cast("double")
+    ).otherwise(F.round(F.lit(float(KMV_NUMERATOR)) / F.col("kth"), 4))
+    return (
+        exact.crossJoin(sk)
+        .withColumn("kmv_union", est_union)
+        .select(
+            "n_a_exact",
+            "n_b_exact",
+            "n_union_exact",
+            "n_inter_exact",
+            "kmv_union",
+            F.round(
+                F.col("n_both").cast("double") * F.col("kmv_union") / k, 4
+            ).alias("kmv_intersection"),
+        )
+    )

@@ -798,3 +798,140 @@ def char_entropy(docs: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_ADJ_PAIRS = """
+    CASE WHEN size(tokens) < 2 THEN array()
+    ELSE transform(sequence(1, size(tokens) - 1),
+           i -> struct(element_at(tokens, i) AS w1,
+                       element_at(tokens, i + 1) AS w2))
+    END
+"""
+
+# ln quantized to integer micro-units: ln() on identical doubles is
+# bit-identical across Spark and DuckDB, and quantize-BEFORE-sum keeps
+# every downstream reduction in exact BIGINT arithmetic (the zipf_fit
+# / T-17 discipline).
+def _ln_micro(c) -> Column:
+    return F.round(F.log(c.cast("double")) * 1e6).cast("long")
+
+
+def pmi_bigrams(docs: DataFrame, min_count: int = 5, k: int = 50) -> DataFrame:
+    """T-21: pointwise mutual information of adjacent token pairs —
+    the classic phrase-mining statistic (word2vec-style collocation
+    detection; Church & Hanks 1990): PMI = ln(p(w1 w2) / (p(w1) *
+    p(w2))), reported in integer micro-nats as
+    ``q(c12) + 2 q(Nu) - q(Nb) - q(c1) - q(c2)`` where q = round(ln *
+    1e6) — each ln quantized BEFORE the sum so the score is exact
+    BIGINT arithmetic cross-engine.
+
+    Shape: two map-side-combined counts (unigrams, bigram pairs); the
+    bigram table joins the vocabulary-sized unigram table twice
+    (broadcast at any realistic vocab) plus one broadcast single-row
+    totals join; TakeOrderedAndProject top-k. Nothing corpus-sized is
+    ever sorted; the ``min_count`` floor is applied before the join,
+    which also bounds the candidate set at 100 TB.
+    """
+    toks = with_tokens(docs)
+    uni = (
+        toks.select(F.explode("tokens").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    big = (
+        toks.select(F.explode(F.expr(_ADJ_PAIRS)).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = F.broadcast(
+        uni.agg(F.sum("c").alias("n_uni")).crossJoin(
+            big.agg(F.sum("n").alias("n_big"))
+        )
+    )
+    c1 = F.broadcast(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")))
+    c2 = F.broadcast(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")))
+    return (
+        big.where(F.col("n") >= min_count)
+        .join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(totals)
+        .select(
+            "w1",
+            "w2",
+            "n",
+            (
+                _ln_micro(F.col("n"))
+                + 2 * _ln_micro(F.col("n_uni"))
+                - _ln_micro(F.col("n_big"))
+                - _ln_micro(F.col("c1"))
+                - _ln_micro(F.col("c2"))
+            ).alias("pmi_micro"),
+        )
+        .orderBy(F.desc("pmi_micro"), "w1", "w2")
+        .limit(k)
+    )
+
+
+def lm_doc_scores(docs: DataFrame) -> DataFrame:
+    """T-22: per-document negative log-likelihood under the corpus's
+    own add-one-smoothed bigram language model — the "score every
+    document with a cheap LM and gate on perplexity" quality filter
+    every large pretraining pipeline runs (CCNet / KenLM-style, here
+    with the corpus itself as the model). Per doc bigram (w1, w2):
+    nll += ln(c(w1) + V) - ln(c(w1 w2) + 1), reported as the exact
+    integer micro-nat total plus avg_nll = round(total / n, 2).
+
+    Shape: the model IS two aggregation outputs (unigram and bigram
+    count tables built in one pass each); scoring re-joins the
+    per-doc bigram stream to the bigram table on (w1, w2) — an
+    equi-join co-partitioned with the count build — and to the
+    vocabulary-sized unigram table (broadcast); one final doc_id
+    aggregation. At 100 TB the model tables are computed once and
+    reused across scoring runs, and the unigram leg stays broadcast
+    while the bigram leg is a bucketed join.
+
+    Quantize-before-sum keeps the total exact; the only float op is
+    the final integer/integer division, identical IEEE cross-engine.
+    """
+    toks = with_tokens(docs)
+    doc_pairs = toks.select(
+        "doc_id", F.explode(F.expr(_ADJ_PAIRS)).alias("p")
+    ).select("doc_id", "p.w1", "p.w2")
+    big = doc_pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    uni = (
+        toks.select(F.explode("tokens").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    vocab = F.broadcast(uni.agg(F.count(F.lit(1)).alias("v")))
+    scored = (
+        doc_pairs.join(big, ["w1", "w2"])
+        .join(F.broadcast(uni), "w1")
+        .crossJoin(vocab)
+        .select(
+            "doc_id",
+            (
+                _ln_micro(F.col("cu") + F.col("v"))
+                - _ln_micro(F.col("cb") + F.lit(1))
+            ).alias("term_micro"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("term_micro").alias("nll_micro_total"),
+    )
+    # left join back so zero-bigram docs keep a row (NULL score)
+    return (
+        toks.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            "nll_micro_total",
+            F.round(
+                F.col("nll_micro_total").cast("double") / F.col("n_bigrams"), 2
+            ).alias("avg_nll_micro"),
+        )
+        .orderBy("doc_id")
+    )

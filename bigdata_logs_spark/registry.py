@@ -6461,6 +6461,275 @@ def q_snapshot_diff(spark, sf_dir):
     )
 
 
+@register(
+    "kmv_set_ops",
+    f"""
+    WITH keyed AS (
+      SELECT DISTINCT user_id, event_type FROM events
+      WHERE user_id IS NOT NULL AND event_type IN ('click', 'purchase')
+    ), flags AS (
+      SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 13))::BIGINT AS h,
+             MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS in_a,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS in_b
+      FROM keyed GROUP BY 1
+    ), topk AS (SELECT * FROM flags ORDER BY h LIMIT {SK.KMV_K}
+    ), sk AS (
+      SELECT MAX(h) AS kth, COUNT(*)::BIGINT AS n_in_sketch,
+             SUM(in_a * in_b)::BIGINT AS n_both
+      FROM topk
+    ), ex AS (
+      SELECT SUM(in_a)::BIGINT AS n_a_exact, SUM(in_b)::BIGINT AS n_b_exact,
+             COUNT(*)::BIGINT AS n_union_exact,
+             SUM(in_a * in_b)::BIGINT AS n_inter_exact
+      FROM flags
+    )
+    SELECT ex.n_a_exact, ex.n_b_exact, ex.n_union_exact, ex.n_inter_exact,
+           CASE WHEN sk.n_in_sketch < {SK.KMV_K} THEN sk.n_in_sketch::DOUBLE
+                ELSE ROUND({SK.KMV_NUMERATOR}.0::DOUBLE / sk.kth, 4)
+           END AS kmv_union,
+           ROUND(sk.n_both::DOUBLE * kmv_union / {SK.KMV_K}, 4)
+             AS kmv_intersection
+    FROM ex CROSS JOIN sk
+    """,
+    tags=("SK-3",),
+)
+def q_kmv_set_ops(spark, sf_dir):
+    """SK-3 sketch set algebra: union + intersection cardinality from
+    merged KMV sketches (md5 order statistics, so the estimates are
+    themselves hash-certified), next to the exact answers."""
+    return SK.kmv_set_ops(_events(spark, sf_dir))
+
+
+@register(
+    "minhash_containment",
+    NDP_PAIRS_CTES
+    + """
+    , cont AS (
+      SELECT doc_a, doc_b,
+             len(list_intersect(x.shingles, y.shingles))::BIGINT AS n_inter,
+             len(x.shingles)::BIGINT AS sz_a, len(y.shingles)::BIGINT AS sz_b
+      FROM cand JOIN sh x ON cand.doc_a = x.doc_id
+                JOIN sh y ON cand.doc_b = y.doc_id
+    )
+    SELECT doc_a, doc_b, n_inter, sz_a, sz_b,
+           ROUND(n_inter::DOUBLE / LEAST(sz_a, sz_b), 4) AS containment
+    FROM cont
+    WHERE ROUND(n_inter::DOUBLE / LEAST(sz_a, sz_b), 4) >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("DD-13",),
+)
+def q_minhash_containment(spark, sf_dir):
+    """DD-13 containment dedup: |A∩B| / min(|A|,|B|) on exact shingle
+    sets over the occupancy-capped LSH candidates — catches the
+    doc-pasted-inside-doc case whole-document Jaccard dilutes."""
+    return DD.minhash_containment(_docs(spark, sf_dir))
+
+
+@register(
+    "token_graph_triangles",
+    TOKS_CTE
+    + """
+    , pairs AS (
+      SELECT unnest(tokens[:len(tokens)-1]) AS a, unnest(tokens[2:]) AS b
+      FROM toks WHERE len(tokens) >= 2
+    ), dir AS (
+      SELECT a AS src, b AS dst FROM pairs
+      UNION ALL SELECT b AS src, a AS dst FROM pairs
+    ), edges AS (
+      SELECT src, dst FROM dir GROUP BY 1, 2
+    ), und AS (SELECT src, dst FROM edges WHERE src < dst
+    ), deg AS (SELECT src, COUNT(*)::BIGINT AS deg FROM edges GROUP BY 1
+    ), tri AS (
+      SELECT COUNT(*)::BIGINT AS n_triangles
+      FROM und e1
+      JOIN und e2 ON e1.dst = e2.src
+      JOIN und e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    )
+    SELECT (SELECT COUNT(*)::BIGINT FROM deg) AS n_nodes,
+           (SELECT COUNT(*)::BIGINT FROM und) AS n_edges,
+           (SELECT (SUM(deg * (deg - 1)) / 2)::BIGINT FROM deg) AS n_wedges,
+           tri.n_triangles,
+           ROUND(3.0::DOUBLE * tri.n_triangles::DOUBLE
+                 / (SELECT (SUM(deg * (deg - 1)) / 2)::BIGINT FROM deg), 6)
+             AS clustering_coeff
+    FROM tri
+    """,
+    tags=("G-4",),
+)
+def q_token_graph_triangles(spark, sf_dir):
+    """G-4 triangle census: id-ordered wedge join closed against the
+    edge list (each triangle once, no cartesian); clustering
+    coefficient from exact integer wedge totals."""
+    return G.token_graph_triangles(_docs(spark, sf_dir))
+
+
+@register(
+    "pmi_bigrams",
+    TOKS_CTE
+    + """
+    , pairs AS (
+      SELECT unnest(tokens[1:len(tokens)-1]) AS w1,
+             unnest(tokens[2:len(tokens)]) AS w2
+      FROM toks WHERE len(tokens) >= 2
+    ), big AS (
+      SELECT w1, w2, COUNT(*)::BIGINT AS n FROM pairs GROUP BY 1, 2
+    ), uc AS (
+      SELECT w, COUNT(*)::BIGINT AS c
+      FROM (SELECT unnest(tokens) AS w FROM toks) GROUP BY 1
+    ), tot AS (
+      SELECT (SELECT SUM(c)::BIGINT FROM uc) AS n_uni,
+             (SELECT SUM(n)::BIGINT FROM big) AS n_big
+    )
+    SELECT big.w1, big.w2, big.n,
+           (ROUND(ln(big.n::DOUBLE) * 1000000.0::DOUBLE)::BIGINT
+            + 2 * ROUND(ln(tot.n_uni::DOUBLE) * 1000000.0::DOUBLE)::BIGINT
+            - ROUND(ln(tot.n_big::DOUBLE) * 1000000.0::DOUBLE)::BIGINT
+            - ROUND(ln(c1.c::DOUBLE) * 1000000.0::DOUBLE)::BIGINT
+            - ROUND(ln(c2.c::DOUBLE) * 1000000.0::DOUBLE)::BIGINT) AS pmi_micro
+    FROM big
+    CROSS JOIN tot
+    JOIN uc c1 ON big.w1 = c1.w
+    JOIN uc c2 ON big.w2 = c2.w
+    WHERE big.n >= 5
+    ORDER BY pmi_micro DESC, big.w1, big.w2 LIMIT 50
+    """,
+    tags=("T-21",),
+)
+def q_pmi_bigrams(spark, sf_dir):
+    """T-21 PMI collocations: integer micro-nat PMI of adjacent token
+    pairs (quantize-each-ln-before-sum => exact BIGINT score), top-50
+    via TakeOrderedAndProject; unigram legs broadcast."""
+    return TX.pmi_bigrams(_docs(spark, sf_dir))
+
+
+@register(
+    "lm_doc_scores",
+    TOKS_CTE
+    + """
+    , pairs AS (
+      SELECT doc_id, unnest(tokens[1:len(tokens)-1]) AS w1,
+             unnest(tokens[2:len(tokens)]) AS w2
+      FROM toks WHERE len(tokens) >= 2
+    ), big AS (
+      SELECT w1, w2, COUNT(*)::BIGINT AS cb FROM pairs GROUP BY 1, 2
+    ), uc AS (
+      SELECT w1, COUNT(*)::BIGINT AS cu
+      FROM (SELECT unnest(tokens) AS w1 FROM toks) GROUP BY 1
+    ), v AS (SELECT COUNT(*)::BIGINT AS v FROM uc
+    ), terms AS (
+      SELECT p.doc_id,
+             ROUND(ln((uc.cu + v.v)::DOUBLE) * 1000000.0::DOUBLE)::BIGINT
+             - ROUND(ln((big.cb + 1)::DOUBLE) * 1000000.0::DOUBLE)::BIGINT
+               AS term_micro
+      FROM pairs p JOIN big USING (w1, w2) JOIN uc USING (w1) CROSS JOIN v
+    ), per_doc AS (
+      SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,
+             SUM(term_micro)::BIGINT AS nll_micro_total
+      FROM terms GROUP BY 1
+    )
+    SELECT t.doc_id, COALESCE(per_doc.n_bigrams, 0)::BIGINT AS n_bigrams,
+           per_doc.nll_micro_total,
+           ROUND(per_doc.nll_micro_total::DOUBLE / per_doc.n_bigrams, 2)
+             AS avg_nll_micro
+    FROM toks t LEFT JOIN per_doc USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+    tags=("T-22",),
+)
+def q_lm_doc_scores(spark, sf_dir):
+    """T-22 bigram-LM quality scores: every doc scored by add-one-
+    smoothed NLL under the corpus's own bigram model (the KenLM-gate
+    pattern of pretraining pipelines) — exact integer micro-nat
+    totals; model tables are one aggregation pass each."""
+    return TX.lm_doc_scores(_docs(spark, sf_dir))
+
+
+@register(
+    "dashboard_render_all",
+    PROFILE_ORACLE_CTE
+    + f"""
+    , g AS (
+      SELECT COUNT(*)::BIGINT AS total_records,
+             COUNT(DISTINCT user_id)::BIGINT AS unique_users,
+             COUNT(DISTINCT event_type)::BIGINT AS distinct_events,
+             SUM({SUSP_CASE})::BIGINT AS failed_events,
+             ROUND(SUM({SUSP_CASE})::DOUBLE * 100.0::DOUBLE / COUNT(*), 2)
+               AS failed_rate_pct
+      FROM events
+    ), ps AS (
+      SELECT COUNT(*)::BIGINT AS total_entities,
+             SUM(CASE WHEN failed_events > 0 THEN 1 ELSE 0 END)::BIGINT
+               AS entities_with_failures,
+             SUM(CASE WHEN high_value_events > 0 THEN 1 ELSE 0 END)::BIGINT
+               AS entities_high_value,
+             SUM(CASE WHEN total_events > 100 THEN 1 ELSE 0 END)::BIGINT
+               AS entities_over_100_events,
+             MAX(total_events)::BIGINT AS max_events_per_entity,
+             ROUND(SUM(total_events)::DOUBLE / COUNT(*), 2)
+               AS avg_events_per_entity,
+             ROUND(SUM(suspicious_score)::DOUBLE / COUNT(*), 2)
+               AS avg_suspicious_score,
+             SUM(CASE WHEN suspicious_score > 80 THEN 1 ELSE 0 END)::BIGINT
+               AS entities_score_over_80
+      FROM profile
+    ), unioned AS (
+      SELECT 'global' AS panel, '' AS k, 'total_records' AS metric,
+             total_records::DOUBLE AS value FROM g
+      UNION ALL SELECT 'global', '', 'unique_users', unique_users::DOUBLE FROM g
+      UNION ALL SELECT 'global', '', 'distinct_events', distinct_events::DOUBLE FROM g
+      UNION ALL SELECT 'global', '', 'failed_events', failed_events::DOUBLE FROM g
+      UNION ALL SELECT 'global', '', 'failed_rate_pct', failed_rate_pct FROM g
+      UNION ALL SELECT 'event_counts', event_type, 'n', COUNT(*)::DOUBLE
+                FROM events GROUP BY 2
+      UNION ALL SELECT 'top_users', user_id::VARCHAR, 'n', n::DOUBLE FROM (
+                  SELECT user_id, COUNT(*)::BIGINT AS n FROM events
+                  GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10)
+      UNION ALL SELECT 'per_hour', strftime(ts, '%H'), 'n', COUNT(*)::DOUBLE
+                FROM events GROUP BY 2
+      UNION ALL SELECT 'per_day', strftime(ts, '%Y-%m-%d'), 'total_events',
+                COUNT(*)::DOUBLE FROM events GROUP BY 2
+      UNION ALL SELECT 'susp_vs_normal', strftime(ts, '%Y-%m-%d'), 'Suspicious',
+                SUM({SUSP_CASE})::DOUBLE FROM events GROUP BY 2
+      UNION ALL SELECT 'susp_vs_normal', strftime(ts, '%Y-%m-%d'), 'Normal',
+                SUM(CASE WHEN event_type IN {SUSP_SQL} THEN 0 ELSE 1 END)::DOUBLE
+                FROM events GROUP BY 2
+      UNION ALL SELECT 'by_type_per_day', strftime(ts, '%Y-%m-%d'), event_type,
+                COUNT(*)::DOUBLE FROM events GROUP BY 2, 3
+      UNION ALL SELECT 'profile_stats', '', 'total_entities',
+                total_entities::DOUBLE FROM ps
+      UNION ALL SELECT 'profile_stats', '', 'entities_with_failures',
+                entities_with_failures::DOUBLE FROM ps
+      UNION ALL SELECT 'profile_stats', '', 'entities_high_value',
+                entities_high_value::DOUBLE FROM ps
+      UNION ALL SELECT 'profile_stats', '', 'entities_over_100_events',
+                entities_over_100_events::DOUBLE FROM ps
+      UNION ALL SELECT 'profile_stats', '', 'max_events_per_entity',
+                max_events_per_entity::DOUBLE FROM ps
+      UNION ALL SELECT 'profile_stats', '', 'avg_events_per_entity',
+                avg_events_per_entity FROM ps
+      UNION ALL SELECT 'profile_stats', '', 'avg_suspicious_score',
+                avg_suspicious_score FROM ps
+      UNION ALL SELECT 'profile_stats', '', 'entities_score_over_80',
+                entities_score_over_80::DOUBLE FROM ps
+      UNION ALL SELECT 'diversity', event_diversity::VARCHAR, 'n',
+                COUNT(*)::DOUBLE FROM profile GROUP BY 2
+      UNION ALL SELECT 'score_hist',
+                (FLOOR(suspicious_score / 5.0::DOUBLE) * 5.0::DOUBLE)::BIGINT::VARCHAR,
+                'n', COUNT(*)::DOUBLE FROM profile GROUP BY 2
+    )
+    SELECT panel, k, metric, value FROM unioned ORDER BY panel, k, metric
+    """,
+    tags=("D-53",),
+)
+def q_dashboard_render_all(spark, sf_dir):
+    """D-53 full-dashboard composite: the reference UI's always-on
+    panels (src/stats_dashboard.py:35-181) rendered in one pass — a
+    tracked-cache base scan + the fused profile feed all ten panels,
+    amortizing what the reference recomputes per interaction."""
+    return D.dashboard_render_all(_events(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Driver-certification order
 # ---------------------------------------------------------------------------
@@ -6471,68 +6740,16 @@ def q_snapshot_diff(spark, sf_dir):
 # bench, and tests see a stable, readable ordering; the driver-facing
 # ``__spark_entry__.queries()`` re-keys by CERTIFICATION_ORDER.
 #
-# Round-5 rotation: front-load ``fingerprints`` (oracle ::BIGINT
-# cast landed this round — needs a driver-signed green row) and every
-# query NEW in round 5, newest families last within the block (the
-# AD/ST-12/W/T/E/PL/S/M/DD/J additions from the first half of the
-# round, then the graph/sketch/PQ/curriculum/SCD2/CDC/OPS batch).
-# Never-certified beats stale-but-once-green when the ~50-row window
-# can't fit both, so round 5 grew past the window: the overflow of
-# this block plus the r1-stale and r3 blocks below roll forward to
-# round 6's rotation. Round-4-certified entries sort last.
+# Round-6 rotation: the 11 round-5 queries that overflowed the
+# window lead (never driver-certified), then the 6 new round-6
+# queries, then the r1-stale block (latest driver row is round 1),
+# then the r3 block. Everything certified in rounds 4-5 falls to the
+# unlisted tail — never-certified beats stale-but-once-green, and
+# stalest-first thereafter. With a ~50-row window this certifies the
+# 17 never-certified + ~33 of the 35 r1 entries; the r1 remainder
+# and the r3 block lead round 7.
 _DRIVER_FIRST = [
-    # fixed this round (oracle HUGEINT->BIGINT cast) — re-certify
-    "fingerprints",
-    # new this round — never driver-certified
-    "textrank_keywords",
-    "cms_heavy_hitters",
-    "vocab_growth",
-    "pq_codes",
-    "pq_distortion",
-    "curriculum_phases",
-    "zipf_fit",
-    "kmv_distinct",
-    "pq_adc_topk",
-    "ssh_account_clusters",
-    "embedding_truncation_fidelity",
-    "streaming_kmv_distinct",
-    "python_datasource_counts",
-    "daily_value_ohlc",
-    "daily_value_interpolated",
-    "lang_id_confusion",
-    "quality_dedup_survivors",
-    "token_graph_degrees",
-    "observed_etl_metrics",
-    "user_attr_scd2",
-    "cdc_shared_chunks",
-    "packing_efficiency",
-    "session_documents",
-    "hourly_burstiness",
-    "ivf_nprobe_sweep",
-    "dow_hour_anomalies",
-    "char_entropy",
-    "daily_value_ribbon",
-    "snapshot_diff",
-    "bloom_pruned_order_priority",
-    "zorder_cells",
-    "streaming_store_etl",
-    "hourly_event_anomalies",
-    "brute_force_ips",
-    "order_price_outliers",
-    "event_type_drift",
-    "streaming_event_drift",
-    "corpus_manifest",
-    "rollup_incremental_maintenance",
-    "ssh_incident_report",
-    "interarrival_stats",
-    "media_phash",
-    "media_perceptual_dedup",
-    "store_time_travel",
-    "minhash_calibration",
-    "value_median_pandas_agg",
-    "props_typed_extract",
-    "commonness_scores",
-    "embedding_random_projection",
+    # never driver-certified: the 11 that overflowed round 5's window
     "rare_transitions",
     "user_activity_deciles",
     "ngram_novelty",
@@ -6544,7 +6761,14 @@ _DRIVER_FIRST = [
     "centroid_confusion",
     "funnel_coverage_audit",
     "ewma_daily_counts",
-    # latest driver row is round 1 (stalest first)
+    # new in round 6 — never driver-certified
+    "kmv_set_ops",
+    "minhash_containment",
+    "token_graph_triangles",
+    "pmi_bigrams",
+    "lm_doc_scores",
+    "dashboard_render_all",
+    # latest driver row is round 1 (stalest certified block)
     "events_of_type",
     "entity_hourly_activity",
     "top_events_with_others",

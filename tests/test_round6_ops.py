@@ -1,0 +1,213 @@
+"""Round-6 operator invariants: the full-dashboard composite (D-53),
+PMI collocations (T-21), bigram-LM scoring (T-22), containment dedup
+(DD-13), triangle census (G-4), and KMV set algebra (SK-3) — hand
+fixtures pin the semantics the oracle hash cannot distinguish from a
+mirrored bug, plus plan-shape pins for the two join-heavy ops."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from bigdata_logs_spark.operators import dashboard as D
+from bigdata_logs_spark.operators import dedup as DD
+from bigdata_logs_spark.operators import graph as G
+from bigdata_logs_spark.operators import sketches as SK
+from bigdata_logs_spark.operators import textops as TX
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [
+            Row(doc_id=i, lang="en", source="t", n_chars=len(t), text=t)
+            for i, t in enumerate(rows)
+        ]
+    )
+
+
+class TestDashboardRenderAll:
+    def test_panels_and_global_row_match_direct_aggregates(self, spark, events):
+        out = D.dashboard_render_all(events)
+        rows = out.collect()
+        panels = {r.panel for r in rows}
+        assert panels == {
+            "global",
+            "event_counts",
+            "top_users",
+            "per_hour",
+            "per_day",
+            "susp_vs_normal",
+            "by_type_per_day",
+            "profile_stats",
+            "diversity",
+            "score_hist",
+        }
+        by_key = {(r.panel, r.k, r.metric): r.value for r in rows}
+        assert by_key[("global", "", "total_records")] == float(events.count())
+        assert by_key[("global", "", "unique_users")] == float(
+            events.select("user_id").distinct().count()
+        )
+        # top_users is exactly 10 rows; per_day covers every day once
+        assert sum(1 for r in rows if r.panel == "top_users") == 10
+        n_days = events.select(F.to_date("ts")).distinct().count()
+        assert sum(1 for r in rows if r.panel == "per_day") == n_days
+        # susp_vs_normal emits BOTH classes for every day (0-filled)
+        assert sum(1 for r in rows if r.panel == "susp_vs_normal") == 2 * n_days
+
+    def test_values_match_the_standalone_panel_ops(self, spark, events):
+        out = {
+            (r.k, r.metric): r.value
+            for r in D.dashboard_render_all(events)
+            .where(F.col("panel") == "event_counts")
+            .collect()
+        }
+        direct = {
+            (r.event_type, "n"): float(r.n)
+            for r in D.event_type_counts(events).collect()
+        }
+        assert out == direct
+
+
+class TestPmiBigrams:
+    def test_exclusive_pair_outranks_promiscuous_pair(self, spark):
+        # "aa bb" always and only together (PMI high); "cc" pairs with
+        # many different partners (PMI low). 6 repeats clear min_count.
+        docs = _docs(
+            spark,
+            ["aa bb"] * 6
+            + ["cc d1", "cc d2", "cc d3", "cc d4", "cc d5", "cc d6"]
+            + ["cc ee"] * 6,
+        )
+        out = TX.pmi_bigrams(docs, min_count=5, k=10).collect()
+        scores = {(r.w1, r.w2): r.pmi_micro for r in out}
+        assert ("aa", "bb") in scores and ("cc", "ee") in scores
+        assert scores[("aa", "bb")] > scores[("cc", "ee")]
+
+    def test_min_count_floor_applies(self, spark):
+        docs = _docs(spark, ["x y"] * 4)  # below the floor of 5
+        assert TX.pmi_bigrams(docs, min_count=5).count() == 0
+
+
+class TestLmDocScores:
+    def test_duplicate_docs_score_identically_and_rare_scores_higher(
+        self, spark
+    ):
+        common = "the cat sat on the mat"
+        docs = _docs(spark, [common] * 8 + ["zz qq vv ww rr tt"])
+        out = {r.doc_id: r for r in TX.lm_doc_scores(docs).collect()}
+        assert out[0].avg_nll_micro == out[7].avg_nll_micro
+        # the one-off doc's bigrams are all count-1 -> higher NLL
+        assert out[8].avg_nll_micro > out[0].avg_nll_micro
+
+    def test_zero_bigram_doc_keeps_a_null_scored_row(self, spark):
+        docs = _docs(spark, ["solo", "a b a b"])
+        out = {r.doc_id: r for r in TX.lm_doc_scores(docs).collect()}
+        assert out[0].n_bigrams == 0
+        assert out[0].avg_nll_micro is None
+        assert out[1].n_bigrams == 3
+
+
+class TestMinhashContainment:
+    def test_short_doc_inside_long_doc_scores_one_where_jaccard_is_low(
+        self, spark
+    ):
+        # The short doc appears verbatim at the head of the long one
+        # (fixture sized so the pair still shares an LSH bucket —
+        # candidate recall is Jaccard-tuned by design; md5 is fixed,
+        # so this is deterministic forever).
+        short = "alpha beta gamma delta epsilon zeta"
+        long_doc = short + " " + " ".join(f"w{i}" for i in range(8))
+        docs = _docs(spark, [short, long_doc])
+        out = DD.minhash_containment(docs, threshold=0.5).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r.doc_a, r.doc_b) == (0, 1)
+        assert r.containment == 1.0  # every shingle of the short doc
+        # while symmetric Jaccard sits well under the 0.5 gate
+        assert r.n_inter / (r.sz_a + r.sz_b - r.n_inter) < 0.35
+
+    def test_disjoint_docs_produce_no_pair(self, spark):
+        docs = _docs(spark, ["a b c d e f", "q r s t u v"])
+        assert DD.minhash_containment(docs).count() == 0
+
+    def test_plan_has_no_cartesian(self, spark):
+        docs = _docs(spark, ["a b c d", "a b c d e"])
+        plan = (
+            DD.minhash_containment(docs)
+            ._jdf.queryExecution()
+            .explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
+        )
+        assert "CartesianProduct" not in plan
+
+
+class TestTokenGraphTriangles:
+    def test_hand_triangle(self, spark):
+        # "a b c a" -> undirected edges {a-b, b-c, a-c}: one triangle,
+        # every node degree 2 -> 3 wedges -> coefficient exactly 1.0
+        docs = _docs(spark, ["a b c a"])
+        r = G.token_graph_triangles(docs).collect()[0]
+        assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == (3, 3, 3, 1)
+        assert r.clustering_coeff == 1.0
+
+    def test_path_graph_has_wedges_but_no_triangle(self, spark):
+        docs = _docs(spark, ["a b c d"])
+        r = G.token_graph_triangles(docs).collect()[0]
+        assert r.n_triangles == 0
+        assert r.n_wedges == 2  # b and c are wedge centers
+        assert r.clustering_coeff == 0.0
+
+    def test_plan_has_no_cartesian(self, spark, sf_dir):
+        from bigdata_logs_spark.registry import REGISTRY
+
+        plan = (
+            REGISTRY["token_graph_triangles"]
+            .fn(spark, sf_dir)
+            ._jdf.queryExecution()
+            .explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
+        )
+        assert "CartesianProduct" not in plan
+
+
+class TestKmvSetOps:
+    def _events(self, spark, a_ids, b_ids):
+        rows = [
+            Row(event_id=i, user_id=u, event_type="click")
+            for i, u in enumerate(a_ids)
+        ] + [
+            Row(event_id=1000 + i, user_id=u, event_type="purchase")
+            for i, u in enumerate(b_ids)
+        ]
+        return spark.createDataFrame(rows)
+
+    def test_small_range_is_exact(self, spark):
+        # fewer distinct keys than k=16: the sketch IS the set, so the
+        # union estimate equals the exact union and the intersection
+        # estimate equals the exact overlap
+        ev = self._events(spark, [1, 2, 3, 4], [3, 4, 5])
+        r = SK.kmv_set_ops(ev).collect()[0]
+        assert (r.n_a_exact, r.n_b_exact) == (4, 3)
+        assert r.n_union_exact == 5 and r.n_inter_exact == 2
+        assert r.kmv_union == 5.0
+        # n_both/k * union with the full set in-sketch: 2/16 * 5
+        assert r.kmv_intersection == pytest.approx(2 / 16 * 5.0, abs=1e-4)
+
+    def test_disjoint_sets_estimate_zero_intersection(self, spark):
+        ev = self._events(spark, range(1, 200), range(1000, 1200))
+        r = SK.kmv_set_ops(ev).collect()[0]
+        assert r.n_inter_exact == 0
+        assert r.kmv_intersection == 0.0
+
+    def test_estimate_within_kmv_error_bound(self, spark):
+        # rsd ~ 1/sqrt(k-2) ~ 27% at k=16; assert a loose 3x bound
+        ev = self._events(spark, range(1, 400), range(200, 600))
+        r = SK.kmv_set_ops(ev).collect()[0]
+        assert abs(r.kmv_union - r.n_union_exact) / r.n_union_exact < 0.8
