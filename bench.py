@@ -301,6 +301,8 @@ def main() -> None:
         "pmi_bigrams",
         "lm_doc_scores",
         "dashboard_render_all",
+        "ivfpq_adc_topk",
+        "winnowing_overlap",
     ]
     extended: dict[str, float] = {}
     for name in EXTENDED:

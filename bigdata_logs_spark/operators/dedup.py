@@ -861,3 +861,66 @@ def minhash_containment(
         .filter(F.col("containment") >= threshold)
         .orderBy("doc_a", "doc_b")
     )
+
+
+WINNOW_W = 4  # winnowing window: guaranteed density 2/(w+1)
+
+
+def winnowing_overlap(
+    docs: DataFrame, w: int = WINNOW_W, min_shared: int = 2
+) -> DataFrame:
+    """DD-14: winnowed-fingerprint overlap (Schleimer, Wilkerson &
+    Aiken, SIGMOD 2003 — the MOSS algorithm): hash every k-gram,
+    slide a window of ``w`` consecutive hashes over each document,
+    keep each window's MINIMUM — the winnowing guarantee is that any
+    shared run of at least w+k-1 tokens contributes at least one
+    IDENTICAL selected fingerprint to both documents, at an expected
+    density of only 2/(w+1) of the grams. Pairs sharing
+    ``min_shared``+ fingerprints are local-overlap candidates: the
+    positional selection makes this the plagiarism-detection
+    complement of DD-12's content-defined chunks (which fire on
+    copied paragraphs) and whole-doc MinHash (which needs global
+    similarity).
+
+    Scale shape: selection is a narrow per-row array expression (the
+    document collapses to its ~2n/(w+1) fingerprint BIGINTs before
+    anything shuffles); pair generation is the LSH discipline —
+    distinct (doc, fp) rows, occupancy cap on degenerate fingerprints
+    (boilerplate) BEFORE the self-join, equi-join on fp only. 52-bit
+    hashes keep every fingerprint double-exact cross-engine.
+    """
+    hs = F.expr(
+        "transform(shingles,"
+        " s -> CAST(conv(substring(md5(s), 1, 13), 16, 10) AS BIGINT))"
+    )
+    mins = F.expr(
+        f"""
+        array_distinct(transform(
+          sequence(1, greatest(size(hs) - {w} + 1, 1)),
+          i -> array_min(slice(hs, i, {w}))))
+        """
+    )
+    fps = (
+        spread_small_input(docs)
+        .withColumn("tokens", _tokens(F.col("text")))
+        .withColumn("shingles", _shingles())
+        .withColumn("hs", hs)
+        .select("doc_id", F.explode(mins).alias("fp"))
+        .transform(tracked_cache)
+    )
+    ok = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") <= BUCKET_CAP)
+        .select("fp")
+    )
+    capped = fps.join(ok, "fp")
+    return (
+        capped.select("fp", F.col("doc_id").alias("doc_a"))
+        .join(capped.select("fp", F.col("doc_id").alias("doc_b")), "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .orderBy("doc_a", "doc_b")
+    )

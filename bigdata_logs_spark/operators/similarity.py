@@ -1079,3 +1079,93 @@ def ivf_nprobe_sweep(
     for leg in legs[1:]:
         out = out.unionAll(leg)
     return out.orderBy("nprobe")
+
+
+def ivfpq_adc_topk(
+    emb: DataFrame, n_queries: int = 3, top_k: int = 10, nprobe: int = 2
+) -> DataFrame:
+    """E-18: IVF-PQ search — the two tiers composed the way FAISS's
+    IVFPQ index does (Jégou, Douze & Schmid, TPAMI 2011): the coarse
+    quantizer (E-5's label centroids) routes each vector to a cell,
+    product quantization encodes the RESIDUAL (vector − its cell
+    centroid) to PQ_M one-byte codes, and a query probes its
+    ``nprobe`` nearest cells, scanning only those cells' code lists
+    with a per-(query, cell) ADC lookup table built from the query's
+    residual against that cell. Encoding residuals instead of raw
+    vectors is what makes the codebook sharp: residual magnitudes are
+    small and centered, so the same 8 codes per subspace cover them
+    far tighter than they cover raw space.
+
+    This is the billion-vector serving architecture end to end:
+    memory per vector = one cell id + PQ_M bytes (the floats are
+    dropped after encode); search cost = nprobe/n_cells of the corpus
+    scanned as integer code lookups.
+
+    Scale shape: centroids and the residual codebook each collapse to
+    ONE broadcast row; assignment and encoding are narrow per-row
+    expressions (corpus never shuffles); the LUT table is
+    (n_queries × nprobe) rows, broadcast into the cell-keyed join
+    against the code list; top-k per query is a bounded window over
+    probe-limited candidates.
+
+    Exactness: centroids are DECIMAL-accumulated and rounded at 1e-6
+    (bit-identical cross-engine); residual subtraction and the
+    LUT/encode folds are fixed-order double chains mirrored
+    op-for-op by the oracle; ADC sums PQ_M doubles left to right,
+    rounded at 1e-6 with neighbor-id tie-break.
+    """
+    cent = centroid_vectors(emb)
+    resid = F.expr("zip_with(embedding, cvec, (x, c) -> CAST(x AS DOUBLE) - c)")
+    ranked = (
+        emb.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "embedding",
+            "cell",
+            "cvec",
+            F.round(_l2("embedding", "cvec"), 6).alias("dist"),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("cell"))
+            ),
+        )
+    )
+    assign = ranked.filter(F.col("rnk") == 1).select(
+        "vec_id", "cell", resid.alias("embedding")
+    )
+    books_row = _pq_books_row(assign)  # codebook over the residuals
+    coded = _pq_assigned(assign, books_row).select(
+        "vec_id", "cell", *[f"code_{s}" for s in range(PQ_M)]
+    )
+    probes = ranked.filter(
+        (F.col("vec_id") < n_queries) & (F.col("rnk") <= nprobe)
+    ).select(F.col("vec_id").alias("query_id"), "cell", resid.alias("embedding"))
+    luts = probes.crossJoin(F.broadcast(books_row))
+    for s in range(PQ_M):
+        luts = luts.withColumn(f"lut{s}", F.expr(_pq_dists_expr(s)))
+    luts = luts.select("query_id", "cell", *[f"lut{s}" for s in range(PQ_M)])
+    adc = F.expr(
+        " + ".join(f"element_at(lut{s}, code_{s} + 1)" for s in range(PQ_M))
+    )
+    scored = (
+        F.broadcast(luts)
+        .join(coded, "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "cell",
+            F.round(adc, 6).alias("adc_sq_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_sq_dist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", "rank", "neighbor_id", "cell", "adc_sq_dist")
+        .orderBy("query_id", "rank")
+    )

@@ -6462,6 +6462,131 @@ def q_snapshot_diff(spark, sf_dir):
 
 
 @register(
+    "winnowing_overlap",
+    TOKS_CTE
+    + f"""
+    , sh AS (SELECT doc_id, {SHINGLES_EXPR} AS shingles FROM toks)
+    , hashed AS (
+      SELECT doc_id,
+             list_transform(shingles,
+               s2 -> ('0x' || substr(md5(s2), 1, 13))::BIGINT) AS hs
+      FROM sh
+    ), fps AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(hs) - 4 + 1, 1) + 1),
+               i -> list_aggregate(hs[i : i + 3], 'min')))) AS fp
+      FROM hashed
+    ), ok AS (
+      SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 64
+    ), capped AS (SELECT f.* FROM fps f JOIN ok USING (fp)
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*)::BIGINT AS n_shared
+      FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_shared FROM pairs
+    WHERE n_shared >= 2 ORDER BY doc_a, doc_b
+    """,
+    tags=("DD-14",),
+)
+def q_winnowing_overlap(spark, sf_dir):
+    """DD-14 winnowing (MOSS): per-window minimum k-gram hashes at
+    guaranteed 2/(w+1) density; pairs sharing >= 2 selected
+    fingerprints, occupancy-capped before the fp self-join."""
+    return DD.winnowing_overlap(_docs(spark, sf_dir))
+
+
+def _pq_resid_cols(vec: str, out: str) -> str:
+    """Per-subspace PQ columns over a RESIDUAL double array ``vec``
+    (already double, no cast needed), mirroring
+    ``similarity._pq_dists_expr`` op-for-op; distance lists land as
+    ``{out}0..{out}3`` with codes only emitted for the encode leg."""
+    cols = []
+    for s in range(4):
+        off = s * 16
+        cols.append(
+            f"""
+            list_transform(s.seeds, c -> list_aggregate(
+              list_transform(range(1, 17), i ->
+                (c[{off} + i] - {vec}[{off} + i])
+                * (c[{off} + i] - {vec}[{off} + i])),
+              'sum')) AS {out}{s}"""
+        )
+    return ",".join(cols)
+
+
+_RESID_SQL = (
+    "list_transform(range(1, len({e}) + 1), i -> {e}[i]::DOUBLE - {c}[i])"
+)
+
+_IVFPQ_ORACLE = f"""
+    WITH exploded AS (
+      SELECT label, i - 1 AS dim,
+             CAST(embedding[i]::DOUBLE AS DECIMAL(28,12)) AS xd
+      FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i)
+    ), cent AS (
+      SELECT label AS cell, list(c ORDER BY dim) AS cvec FROM (
+        SELECT label, dim, ROUND(CAST(SUM(xd) AS DOUBLE) / COUNT(*), 6) AS c
+        FROM exploded GROUP BY label, dim)
+      GROUP BY label
+    ), ranked AS (
+      SELECT e.vec_id, e.embedding, c.cell, c.cvec,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+               ROUND({{L2}}, 6), c.cell) AS rnk
+      FROM embeddings e CROSS JOIN cent c
+    ), assign AS (
+      SELECT vec_id, cell,
+             {_RESID_SQL.format(e='embedding', c='cvec')} AS rvec
+      FROM ranked WHERE rnk = 1
+    ), seeds AS (
+      SELECT list(rvec ORDER BY vec_id) AS seeds
+      FROM (SELECT vec_id, rvec FROM assign ORDER BY vec_id LIMIT 8)
+    ), coded AS (
+      SELECT a.vec_id, a.cell, {_pq_resid_cols('a.rvec', 'd')},
+             (list_position(d0, list_aggregate(d0, 'min')) - 1)::INT AS code_0,
+             (list_position(d1, list_aggregate(d1, 'min')) - 1)::INT AS code_1,
+             (list_position(d2, list_aggregate(d2, 'min')) - 1)::INT AS code_2,
+             (list_position(d3, list_aggregate(d3, 'min')) - 1)::INT AS code_3
+      FROM assign a CROSS JOIN seeds s
+    ), probes AS (
+      SELECT r.vec_id AS query_id, r.cell,
+             {_RESID_SQL.format(e='r.embedding', c='r.cvec')} AS qr
+      FROM ranked r WHERE r.vec_id < 3 AND r.rnk <= 2
+    ), luts AS (
+      SELECT p.query_id, p.cell, {_pq_resid_cols('p.qr', 'lut')}
+      FROM probes p CROSS JOIN seeds s
+    ), scored AS (
+      SELECT l.query_id, c.vec_id AS neighbor_id, c.cell,
+             ROUND(l.lut0[c.code_0 + 1] + l.lut1[c.code_1 + 1]
+                   + l.lut2[c.code_2 + 1] + l.lut3[c.code_3 + 1], 6)
+               AS adc_sq_dist
+      FROM luts l JOIN coded c USING (cell)
+      WHERE l.query_id != c.vec_id
+    ), topk AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY adc_sq_dist, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, rank::INT AS rank, neighbor_id, cell, adc_sq_dist
+    FROM topk WHERE rank <= 10
+    ORDER BY query_id, rank
+    """
+
+
+@register(
+    "ivfpq_adc_topk",
+    _IVFPQ_ORACLE.format(L2=L2_SQL.format(a="e.embedding", b="c.cvec")),
+    tags=("E-18",),
+)
+def q_ivfpq_adc_topk(spark, sf_dir):
+    """E-18 IVF-PQ: coarse cells route, product quantization encodes
+    the RESIDUALS, queries probe nprobe cells with per-cell ADC
+    lookup tables — the FAISS IVFPQ billion-vector architecture,
+    composed from the certified E-5/E-13 tiers."""
+    return SIM.ivfpq_adc_topk(_emb(spark, sf_dir))
+
+
+@register(
     "kmv_set_ops",
     f"""
     WITH keyed AS (
@@ -6768,6 +6893,8 @@ _DRIVER_FIRST = [
     "pmi_bigrams",
     "lm_doc_scores",
     "dashboard_render_all",
+    "ivfpq_adc_topk",
+    "winnowing_overlap",
     # latest driver row is round 1 (stalest certified block)
     "events_of_type",
     "entity_hourly_activity",

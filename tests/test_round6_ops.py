@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from bigdata_logs_spark.operators import dashboard as D
 from bigdata_logs_spark.operators import dedup as DD
 from bigdata_logs_spark.operators import graph as G
+from bigdata_logs_spark.operators import similarity as SIM
 from bigdata_logs_spark.operators import sketches as SK
 from bigdata_logs_spark.operators import textops as TX
 
@@ -211,3 +212,89 @@ class TestKmvSetOps:
         ev = self._events(spark, range(1, 400), range(200, 600))
         r = SK.kmv_set_ops(ev).collect()[0]
         assert abs(r.kmv_union - r.n_union_exact) / r.n_union_exact < 0.8
+
+
+class TestWinnowingOverlap:
+    def test_shared_long_run_is_caught_disjoint_docs_are_not(self, spark):
+        # winnowing guarantee: a shared run of >= w+k-1 = 6 tokens
+        # produces at least one identical selected fingerprint
+        run = "one two three four five six seven eight"
+        docs = _docs(
+            spark,
+            [
+                "p1 p2 p3 p4 " + run,
+                run + " z1 z2 z3 z4",
+                "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10",
+            ],
+        )
+        out = DD.winnowing_overlap(docs, min_shared=1).collect()
+        pairs = {(r.doc_a, r.doc_b) for r in out}
+        assert (0, 1) in pairs
+        assert all(2 not in p for p in pairs)
+
+    def test_density_guarantee(self, spark):
+        # expected fingerprint density is 2/(w+1); assert the selected
+        # set is well under half the gram count for a long doc
+        text = " ".join(f"tok{i}" for i in range(200))
+        docs = _docs(spark, [text])
+        from bigdata_logs_spark.operators.dedup import (
+            _shingles,
+            _tokens,
+            WINNOW_W,
+        )
+
+        hs = F.expr(
+            "transform(shingles,"
+            " s -> CAST(conv(substring(md5(s), 1, 13), 16, 10) AS BIGINT))"
+        )
+        mins = F.expr(
+            f"""
+            array_distinct(transform(
+              sequence(1, greatest(size(hs) - {WINNOW_W} + 1, 1)),
+              i -> array_min(slice(hs, i, {WINNOW_W}))))
+            """
+        )
+        row = (
+            docs.withColumn("tokens", _tokens(F.col("text")))
+            .withColumn("shingles", _shingles())
+            .withColumn("hs", hs)
+            .select(
+                F.size("shingles").alias("n_grams"),
+                F.size(mins).alias("n_fps"),
+            )
+            .collect()[0]
+        )
+        assert row.n_fps <= row.n_grams / 2
+        assert row.n_fps >= row.n_grams * 2 / (WINNOW_W + 1) * 0.5
+
+
+class TestIvfpqAdcTopk:
+    def _emb(self, spark, vecs):
+        return spark.createDataFrame(
+            [
+                Row(vec_id=i, label=i % 2, embedding=[float(x) for x in v])
+                for i, v in enumerate(vecs)
+            ]
+        )
+
+    def test_duplicate_vector_ranks_first_with_zero_distance(self, spark):
+        import random
+
+        rng = random.Random(7)
+        vecs = [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(12)]
+        vecs.append(list(vecs[0]))  # vec 12 duplicates query vec 0
+        out = SIM.ivfpq_adc_topk(self._emb(spark, vecs), n_queries=1)
+        top = out.collect()[0]
+        assert top.query_id == 0 and top.rank == 1
+        assert top.neighbor_id == 12
+        assert top.adc_sq_dist == 0.0
+
+    def test_output_shape_and_probe_restriction(self, spark, sf_dir):
+        from bigdata_logs_spark.sources import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        out = SIM.ivfpq_adc_topk(emb).collect()
+        assert len(out) == 30  # 3 queries x top-10
+        for r in out:
+            assert 1 <= r.rank <= 10
+            assert r.adc_sq_dist >= 0.0
