@@ -303,6 +303,8 @@ def main() -> None:
         "dashboard_render_all",
         "ivfpq_adc_topk",
         "winnowing_overlap",
+        "semantic_dedup",
+        "token_budget_allocation",
     ]
     extended: dict[str, float] = {}
     for name in EXTENDED:

@@ -640,3 +640,95 @@ def sessions_to_documents(events: DataFrame, gap_minutes: int = 30) -> DataFrame
         )
         .orderBy("user_id", "session_no")
     )
+
+
+def token_budget_allocation(docs: DataFrame, budget: int = 100_000) -> DataFrame:
+    """PL-18: temperature-scaled token-budget allocation — split a
+    global training-token budget across sources with tau = 0.5
+    sampling (weights proportional to sqrt of each source's token
+    mass — the multilingual-pretraining rebalance of mBERT/XLM-R that
+    upweights small sources without letting a giant one dominate),
+    rounded to EXACT integer budgets by the largest-remainder
+    (Hamilton) method so the per-source budgets sum to precisely
+    ``budget``. Per source, also reports how many of its documents
+    (in doc_id order) actually fit the allocation — the cut a
+    sampling job would apply.
+
+    Exactness: sqrt is IEEE exact-rounded (bit-identical
+    cross-engine) and is immediately quantized to micro-units, so
+    quota arithmetic is pure BIGINT: base = (budget * w) div (sum w),
+    remainder ranks distribute the shortfall, ties on source name.
+    The fit count is an integer running sum per source.
+
+    Scale shape: the corpus collapses to (source, doc_id, n_tokens)
+    in one pass; everything after runs on the |sources|-row table
+    (broadcast totals, remainder window over |sources| rows); the fit
+    leg is one in-partition cumulative sum over per-source metadata —
+    document text never moves.
+    """
+    from pyspark.sql import Window
+
+    from bigdata_logs_spark.operators.textops import with_tokens
+
+    sized = with_tokens(docs).select(
+        "source", "doc_id", F.size("tokens").cast("long").alias("n_tokens")
+    )
+    per_source = sized.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("source_tokens"),
+    )
+    ws = per_source.withColumn(
+        "w_micro",
+        F.round(F.sqrt(F.col("source_tokens").cast("double")) * 1e6).cast(
+            "long"
+        ),
+    )
+    den = ws.agg(F.sum("w_micro").alias("denom"))
+    based = ws.crossJoin(F.broadcast(den)).select(
+        "source",
+        "n_docs",
+        "source_tokens",
+        "w_micro",
+        F.expr(f"({budget}L * w_micro) div denom").alias("base"),
+        F.expr(f"({budget}L * w_micro) % denom").alias("rem"),
+    )
+    tot = based.agg(F.sum("base").alias("base_total"))
+    w_rem = Window.orderBy(F.desc("rem"), F.asc("source"))
+    alloc = (
+        based.crossJoin(F.broadcast(tot))
+        .withColumn("rnk", F.row_number().over(w_rem))
+        .select(
+            "source",
+            "n_docs",
+            "source_tokens",
+            "w_micro",
+            (
+                F.col("base")
+                + F.when(
+                    F.col("rnk") <= F.lit(budget) - F.col("base_total"), 1
+                ).otherwise(0)
+            ).alias("token_budget"),
+        )
+    )
+    w_cum = Window.partitionBy("source").orderBy("doc_id")
+    cum = sized.withColumn("cum", F.sum("n_tokens").over(w_cum))
+    fit = (
+        cum.join(
+            F.broadcast(alloc.select("source", "token_budget")), "source"
+        )
+        .where(F.col("cum") <= F.col("token_budget"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs_fit"))
+    )
+    return (
+        alloc.join(fit, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "source_tokens",
+            "w_micro",
+            "token_budget",
+            F.coalesce(F.col("n_docs_fit"), F.lit(0)).alias("n_docs_fit"),
+        )
+        .orderBy("source")
+    )

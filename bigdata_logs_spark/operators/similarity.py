@@ -1169,3 +1169,116 @@ def ivfpq_adc_topk(
         .select("query_id", "rank", "neighbor_id", "cell", "adc_sq_dist")
         .orderBy("query_id", "rank")
     )
+
+
+def semantic_dedup(
+    emb: DataFrame, threshold: float = 0.4, max_iter: int = 20
+) -> DataFrame:
+    """DD-15: semantic deduplication (SemDeDup — Abbas et al., 2023):
+    cluster the corpus (the label cells, i.e. the same coarse
+    quantizer IVF uses), connect WITHIN-cluster pairs whose cosine
+    exceeds ``threshold``, and per duplicate group keep exactly one
+    representative — following the paper, the member with the LOWEST
+    cosine to its cluster centroid (the least-typical example carries
+    the most residual information; ties break on vec_id). Every
+    vector gets an audit row (vec_id, cell, component, centroid_cos,
+    keep) — the keep=false rows are the reviewable dedup decision
+    record, like PL-15's.
+
+    This is the embedding-space member of the dedup stack: exact
+    (DD-1) and token-level tiers (DD-2/DD-13/DD-14) cannot see a
+    paraphrase; cosine over embeddings can.
+
+    Scale shape: pair generation never leaves a cell (equi-join on
+    the cell id — no cross-cell candidates by construction, the
+    SemDeDup design point that keeps a billion-vector corpus
+    tractable); components run through the shared
+    ``iterate.propagate_min_labels`` loop ON THE PAIR LIST ONLY;
+    centroids collapse to one broadcast row set. The final left join
+    attaching singleton labels is the only corpus-wide pass.
+    """
+    from bigdata_logs_spark.caching import tracked_cache
+    from bigdata_logs_spark.operators.iterate import propagate_min_labels
+
+    n = emb.select(
+        "vec_id",
+        F.col("label").alias("cell"),
+        "embedding",
+        F.sqrt(_dot("embedding", "embedding")).alias("nrm"),
+    ).transform(tracked_cache)
+    cent = centroid_vectors(emb).withColumn(
+        "c_nrm", F.sqrt(_dot("cvec", "cvec"))
+    )
+    withc = n.join(F.broadcast(cent), "cell").select(
+        "vec_id",
+        "cell",
+        F.round(
+            _dot("embedding", "cvec") / (F.col("nrm") * F.col("c_nrm")), 6
+        ).alias("centroid_cos"),
+    )
+    a = n.select(
+        F.col("cell"),
+        F.col("vec_id").alias("u"),
+        F.col("embedding").alias("e_u"),
+        F.col("nrm").alias("n_u"),
+    )
+    b = n.select(
+        F.col("cell"),
+        F.col("vec_id").alias("v"),
+        F.col("embedding").alias("e_v"),
+        F.col("nrm").alias("n_v"),
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("u") < F.col("v"))
+        .filter(
+            F.round(_dot("e_u", "e_v") / (F.col("n_u") * F.col("n_v")), 6)
+            >= threshold
+        )
+        .select("u", "v")
+        .transform(tracked_cache)
+    )
+    edges = pairs.union(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).transform(tracked_cache)
+    labels = (
+        edges.select(F.col("u").alias("vec_id"))
+        .distinct()
+        .withColumn("component", F.col("vec_id"))
+    )
+
+    def neighbor_min(cur):
+        return (
+            edges.join(
+                cur.select(
+                    F.col("vec_id").alias("v"),
+                    F.col("component").alias("nbr_component"),
+                ),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.min("nbr_component").alias("nbr_min"))
+            .withColumnRenamed("u", "vec_id")
+        )
+
+    comp = propagate_min_labels(
+        labels, neighbor_min, key="vec_id", label="component", max_iter=max_iter
+    )
+    labeled = withc.join(comp, "vec_id", "left").select(
+        "vec_id",
+        "cell",
+        F.coalesce(F.col("component"), F.col("vec_id")).alias("component"),
+        "centroid_cos",
+    )
+    w = Window.partitionBy("component").orderBy("centroid_cos", "vec_id")
+    return (
+        labeled.withColumn("rn", F.row_number().over(w))
+        .select(
+            "vec_id",
+            "cell",
+            "component",
+            "centroid_cos",
+            (F.col("rn") == 1).alias("keep"),
+        )
+        .orderBy("vec_id")
+    )

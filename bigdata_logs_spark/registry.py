@@ -6462,6 +6462,115 @@ def q_snapshot_diff(spark, sf_dir):
 
 
 @register(
+    "token_budget_allocation",
+    TOKS_CTE
+    + """
+    , sized AS (SELECT source, doc_id, len(tokens)::BIGINT AS n_tokens FROM toks)
+    , per_source AS (
+      SELECT source, COUNT(*)::BIGINT AS n_docs,
+             SUM(n_tokens)::BIGINT AS source_tokens
+      FROM sized GROUP BY 1
+    ), ws AS (
+      SELECT *, ROUND(SQRT(source_tokens::DOUBLE) * 1000000.0::DOUBLE)::BIGINT
+                  AS w_micro
+      FROM per_source
+    ), den AS (SELECT SUM(w_micro)::BIGINT AS denom FROM ws
+    ), based AS (
+      SELECT ws.*, ((100000 * w_micro) // denom)::BIGINT AS base,
+             ((100000 * w_micro) % denom)::BIGINT AS rem
+      FROM ws CROSS JOIN den
+    ), tot AS (SELECT SUM(base)::BIGINT AS base_total FROM based
+    ), alloc AS (
+      SELECT b.source, b.n_docs, b.source_tokens, b.w_micro,
+             (b.base + CASE WHEN ROW_NUMBER() OVER
+                (ORDER BY b.rem DESC, b.source) <= 100000 - t.base_total
+                THEN 1 ELSE 0 END)::BIGINT AS token_budget
+      FROM based b CROSS JOIN tot t
+    ), cum AS (
+      SELECT source, doc_id,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+      FROM sized
+    ), fit AS (
+      SELECT c.source, COUNT(*)::BIGINT AS n_docs_fit
+      FROM cum c JOIN alloc a USING (source)
+      WHERE c.cum <= a.token_budget GROUP BY 1
+    )
+    SELECT a.source, a.n_docs, a.source_tokens, a.w_micro, a.token_budget,
+           COALESCE(f.n_docs_fit, 0)::BIGINT AS n_docs_fit
+    FROM alloc a LEFT JOIN fit f USING (source)
+    ORDER BY a.source
+    """,
+    tags=("PL-18",),
+)
+def q_token_budget_allocation(spark, sf_dir):
+    """PL-18 budget split: tau=0.5 temperature weights (sqrt token
+    mass, quantized to BIGINT micro-units) + largest-remainder
+    rounding so per-source budgets sum to the global budget exactly;
+    per-source fit counts from an in-partition running sum."""
+    return PL.token_budget_allocation(_docs(spark, sf_dir))
+
+
+_SEMDEDUP_ORACLE = f"""
+    WITH RECURSIVE exploded AS (
+      SELECT label, i - 1 AS dim,
+             CAST(embedding[i]::DOUBLE AS DECIMAL(28,12)) AS xd
+      FROM embeddings, LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i)
+    ), cent AS (
+      SELECT label AS cell, list(c ORDER BY dim) AS cvec FROM (
+        SELECT label, dim, ROUND(CAST(SUM(xd) AS DOUBLE) / COUNT(*), 6) AS c
+        FROM exploded GROUP BY label, dim)
+      GROUP BY label
+    ), n AS (
+      SELECT vec_id, label AS cell, embedding,
+             SQRT({DOT_SQL.format(a='embedding', b='embedding')}) AS nrm
+      FROM embeddings
+    ), withc AS (
+      SELECT n.vec_id, n.cell,
+             ROUND({DOT_SQL.format(a='n.embedding', b='c.cvec')}
+                   / (n.nrm * SQRT({DOT_SQL.format(a='c.cvec', b='c.cvec')})), 6)
+               AS centroid_cos
+      FROM n JOIN cent c ON n.cell = c.cell
+    ), prs AS (
+      SELECT a.vec_id AS u, b.vec_id AS v
+      FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE ROUND({DOT_SQL.format(a='a.embedding', b='b.embedding')}
+                  / (a.nrm * b.nrm), 6) >= 0.4
+    ), edges AS (
+      SELECT u, v FROM prs UNION ALL SELECT v, u FROM prs
+    ), reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ), comp AS (
+      SELECT u AS vec_id, least(u, MIN(v)) AS component FROM reach GROUP BY u
+    ), labeled AS (
+      SELECT w.vec_id, w.cell,
+             COALESCE(c.component, w.vec_id) AS component, w.centroid_cos
+      FROM withc w LEFT JOIN comp c USING (vec_id)
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY component ORDER BY centroid_cos, vec_id) AS rn
+      FROM labeled
+    )
+    SELECT vec_id, cell, component, centroid_cos, (rn = 1) AS keep
+    FROM ranked ORDER BY vec_id
+    """
+
+
+@register(
+    "semantic_dedup",
+    _SEMDEDUP_ORACLE,
+    tags=("DD-15",),
+)
+def q_semantic_dedup(spark, sf_dir):
+    """DD-15 SemDeDup: within-cell cosine components, keep the member
+    least similar to its cluster centroid — the embedding-space dedup
+    tier that sees paraphrases the token tiers cannot. Pairs never
+    leave a cell; components run on the pair list only."""
+    return SIM.semantic_dedup(_emb(spark, sf_dir))
+
+
+@register(
     "winnowing_overlap",
     TOKS_CTE
     + f"""
@@ -6895,6 +7004,8 @@ _DRIVER_FIRST = [
     "dashboard_render_all",
     "ivfpq_adc_topk",
     "winnowing_overlap",
+    "semantic_dedup",
+    "token_budget_allocation",
     # latest driver row is round 1 (stalest certified block)
     "events_of_type",
     "entity_hourly_activity",

@@ -298,3 +298,101 @@ class TestIvfpqAdcTopk:
         for r in out:
             assert 1 <= r.rank <= 10
             assert r.adc_sq_dist >= 0.0
+
+
+class TestSemanticDedup:
+    def _emb(self, spark, vecs, labels=None):
+        return spark.createDataFrame(
+            [
+                Row(
+                    vec_id=i,
+                    label=(labels[i] if labels else 0),
+                    embedding=[float(x) for x in v],
+                )
+                for i, v in enumerate(vecs)
+            ]
+        )
+
+    def test_near_identical_pair_keeps_exactly_one(self, spark):
+        import random
+
+        rng = random.Random(3)
+        base = [rng.uniform(-1, 1) for _ in range(64)]
+        near = [x * 1.001 for x in base]  # cosine ~1 with base
+        far = [-x for x in base]  # cosine -1: never a dup of base
+        out = {
+            r.vec_id: r
+            for r in SIM.semantic_dedup(
+                self._emb(spark, [base, near, far]), threshold=0.9
+            ).collect()
+        }
+        assert out[0].component == out[1].component
+        assert out[2].component != out[0].component
+        kept = [v for v in (0, 1) if out[v].keep]
+        assert len(kept) == 1
+        assert out[2].keep  # singleton always survives
+
+    def test_pairs_never_cross_cells(self, spark):
+        import random
+
+        rng = random.Random(4)
+        base = [rng.uniform(-1, 1) for _ in range(64)]
+        # identical vectors but DIFFERENT labels -> different cells ->
+        # never compared, both survive as singletons
+        out = SIM.semantic_dedup(
+            self._emb(spark, [base, list(base)], labels=[0, 1]),
+            threshold=0.9,
+        ).collect()
+        assert all(r.keep for r in out)
+        assert out[0].component != out[1].component
+
+
+class TestTokenBudgetAllocation:
+    def test_budgets_sum_exactly_and_sqrt_rebalance_holds(self, spark, sf_dir):
+        from bigdata_logs_spark.operators.pipeline import (
+            token_budget_allocation,
+        )
+        from bigdata_logs_spark.sources import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        out = token_budget_allocation(docs).collect()
+        assert sum(r.token_budget for r in out) == 100_000
+        # temperature scaling: budget share is flatter than token share
+        big = max(out, key=lambda r: r.source_tokens)
+        tot_tokens = sum(r.source_tokens for r in out)
+        assert big.token_budget / 100_000 < big.source_tokens / tot_tokens or (
+            len({r.source_tokens for r in out}) == 1
+        )
+
+    def test_largest_remainder_against_python(self, spark):
+        import math
+
+        rows = [
+            Row(doc_id=i, lang="en", source=f"s{i % 3}", n_chars=5, text=t)
+            for i, t in enumerate(
+                ["a b c", "d e", "f", "g h i j", "k l", "m n o p q"]
+            )
+        ]
+        from bigdata_logs_spark.operators.pipeline import (
+            token_budget_allocation,
+        )
+
+        out = {
+            r.source: r
+            for r in token_budget_allocation(
+                spark.createDataFrame(rows)
+            ).collect()
+        }
+        toks = {"s0": 3 + 4, "s1": 2 + 2, "s2": 1 + 5}
+        w = {s: round(math.sqrt(t) * 1e6) for s, t in toks.items()}
+        denom = sum(w.values())
+        base = {s: (100_000 * w[s]) // denom for s in w}
+        rem = {s: (100_000 * w[s]) % denom for s in w}
+        leftover = 100_000 - sum(base.values())
+        order = sorted(w, key=lambda s: (-rem[s], s))
+        want = {
+            s: base[s] + (1 if order.index(s) < leftover else 0) for s in w
+        }
+        for s in w:
+            assert out[s].token_budget == want[s], s
+        assert sum(r.token_budget for r in out.values()) == 100_000
