@@ -305,6 +305,7 @@ def main() -> None:
         "winnowing_overlap",
         "semantic_dedup",
         "token_budget_allocation",
+        "scd2_asof_enrichment",
     ]
     extended: dict[str, float] = {}
     for name in EXTENDED:

@@ -401,3 +401,51 @@ def hourly_burstiness(events: DataFrame) -> DataFrame:
         F.col("s").alias("total_events"),
         F.round(F.when(n > 1, var / mean), 4).alias("fano_factor"),
     ).orderBy("event_type")
+
+
+def scd2_asof_enrichment(events: DataFrame) -> DataFrame:
+    """J-16: point-in-time enrichment against the S-18 SCD2 dimension
+    — every event joined to the attribute interval that was valid AT
+    ITS TIMESTAMP (the "what plan was this user on when they clicked"
+    join every warehouse feature pipeline runs), then rolled up per
+    attribute value. Events before a user's first attribute
+    observation enrich to the -1 bucket. This is the CONSUME side of
+    ``user_attr_scd2``: building the dimension is only half the
+    pattern; the correctness that matters is that interval semantics
+    round-trip (no event matches two intervals, none silently drops).
+
+    Shape: the dimension is change-point-compressed (one row per
+    value run), so the interval join is an equi-join on user_id with
+    a residual range predicate — Spark plans the user_id key into a
+    co-partitioned sort-merge join and evaluates the interval filter
+    in-partition; the dimension side is orders of magnitude smaller
+    than the fact stream. Interval edges compare as the same
+    microsecond-formatted ISO strings the dimension emits
+    (lexicographic order == timestamp order for this format, the
+    proven J-9 discipline).
+    """
+    dim = user_attr_scd2(events).select(
+        F.col("user_id").alias("d_user"), "k", "valid_from", "valid_to"
+    )
+    from bigdata_logs_spark.operators.dashboard import _ts_str
+
+    e = events.select(
+        "event_id", "user_id", "value", _ts_str(F.col("ts")).alias("ts_s")
+    )
+    joined = e.join(
+        dim,
+        (e["user_id"] == dim["d_user"])
+        & (F.col("ts_s") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ts_s") < F.col("valid_to"))),
+        "left",
+    )
+    return (
+        joined.groupBy(F.coalesce(F.col("k"), F.lit(-1)).alias("attr_k"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("attr_k")
+    )

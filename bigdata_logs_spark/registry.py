@@ -6462,6 +6462,49 @@ def q_snapshot_diff(spark, sf_dir):
 
 
 @register(
+    "scd2_asof_enrichment",
+    """
+    WITH observed AS (
+      SELECT user_id, ts, event_id, json_extract(props, '$.k')::INT AS k
+      FROM events WHERE json_extract(props, '$.k') IS NOT NULL
+    ), ordered AS (
+      SELECT user_id, ts, event_id, k,
+             LAG(k) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev_k
+      FROM observed
+    ), changes AS (
+      SELECT user_id, k, ts, event_id FROM ordered
+      WHERE prev_k IS NULL OR k != prev_k
+    ), dim AS (
+      SELECT user_id, k,
+             strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+             strftime(LEAD(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id),
+                      '%Y-%m-%d %H:%M:%S.%f') AS valid_to
+      FROM changes
+    ), enriched AS (
+      SELECT e.event_id, e.value, d.k
+      FROM events e LEFT JOIN dim d
+        ON e.user_id = d.user_id
+       AND strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') >= d.valid_from
+       AND (d.valid_to IS NULL
+            OR strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') < d.valid_to)
+    )
+    SELECT COALESCE(k, -1) AS attr_k, COUNT(*)::BIGINT AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM enriched GROUP BY 1 ORDER BY attr_k
+    """,
+    tags=("J-16",),
+)
+def q_scd2_asof_enrichment(spark, sf_dir):
+    """J-16 point-in-time enrichment: every event joined to the S-18
+    dimension interval valid at its timestamp (equi-join on user_id +
+    in-partition range predicate), rolled up per attribute value —
+    the consume side proving the SCD2 intervals round-trip."""
+    return AN.scd2_asof_enrichment(_events(spark, sf_dir))
+
+
+@register(
     "token_budget_allocation",
     TOKS_CTE
     + """
@@ -7006,6 +7049,7 @@ _DRIVER_FIRST = [
     "winnowing_overlap",
     "semantic_dedup",
     "token_budget_allocation",
+    "scd2_asof_enrichment",
     # latest driver row is round 1 (stalest certified block)
     "events_of_type",
     "entity_hourly_activity",

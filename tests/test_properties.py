@@ -436,3 +436,123 @@ def test_cdc_chunking_matches_python_reference(spark, texts):
                     want[(ms[x], ms[y])] += 1
     want = {k: v for k, v in want.items() if v >= 2}
     assert got == want
+
+
+budget_sources = st.lists(
+    st.tuples(
+        st.sampled_from(["s0", "s1", "s2", "s3", "s4"]),
+        st.integers(1, 30),
+    ),
+    min_size=2,
+    max_size=12,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(budget_sources)
+@settings(max_examples=10, deadline=None)
+def test_budget_allocation_sums_exactly_and_is_quota_fair(spark, srcs):
+    """PL-18 largest-remainder properties on arbitrary source mixes:
+    budgets sum EXACTLY to the global budget, and every source's
+    integer budget is within 1 token of its real-valued quota (the
+    Hamilton-method fairness bound)."""
+    from pyspark.sql import Row
+
+    from bigdata_logs_spark.operators.pipeline import token_budget_allocation
+
+    rows = [
+        Row(
+            doc_id=i * 100 + j,
+            lang="en",
+            source=s,
+            n_chars=5,
+            text=" ".join(f"t{k}" for k in range(n)),
+        )
+        for i, (s, n) in enumerate(srcs)
+        for j in range(2)
+    ]
+    out = token_budget_allocation(spark.createDataFrame(rows)).collect()
+    assert sum(r.token_budget for r in out) == 100_000
+    denom = sum(r.w_micro for r in out)
+    for r in out:
+        quota = 100_000 * r.w_micro / denom
+        assert quota - 1 < r.token_budget < quota + 1, (r.source, quota)
+
+
+shared_run_docs = st.tuples(
+    st.lists(st.sampled_from("abcdef"), min_size=6, max_size=12),
+    st.integers(0, 8),
+    st.integers(0, 8),
+)
+
+
+@given(shared_run_docs)
+@settings(max_examples=10, deadline=None)
+def test_winnowing_guarantee_catches_any_shared_run(spark, case):
+    """DD-14 winnowing guarantee on generated fixtures: two documents
+    sharing a verbatim run of >= w + k - 1 = 6 tokens ALWAYS share at
+    least one selected fingerprint — the paper's detection guarantee,
+    which must hold for every run content and every amount of
+    distinct surrounding text."""
+    from pyspark.sql import Row
+
+    from bigdata_logs_spark.operators.dedup import winnowing_overlap
+
+    run_letters, pre, post = case
+    run = " ".join(f"r{c}{i}" for i, c in enumerate(run_letters))
+    d0 = " ".join(f"p{i}x p{i}y" for i in range(pre)) + " " + run
+    d1 = run + " " + " ".join(f"q{i}x q{i}y" for i in range(post))
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=i, lang="en", source="t", n_chars=len(t), text=t.strip())
+            for i, t in enumerate([d0, d1])
+        ]
+    )
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in winnowing_overlap(docs, min_shared=1).collect()
+    }
+    assert (0, 1) in pairs
+
+
+kmv_id_sets = st.tuples(
+    st.sets(st.integers(1, 3000), min_size=1, max_size=120),
+    st.sets(st.integers(1, 3000), min_size=1, max_size=120),
+)
+
+
+@given(kmv_id_sets)
+@settings(max_examples=8, deadline=None)
+def test_kmv_set_ops_matches_python_replay(spark, sets):
+    """SK-3 is explicit md5 order statistics, so a pure-Python replay
+    of the sketch must reproduce the Spark estimates EXACTLY — union
+    and intersection, small-range rule included."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from bigdata_logs_spark.operators.sketches import KMV_K, kmv_set_ops
+
+    a_ids, b_ids = sets
+    rows = [
+        Row(event_id=i, user_id=u, event_type="click")
+        for i, u in enumerate(sorted(a_ids))
+    ] + [
+        Row(event_id=10_000 + i, user_id=u, event_type="purchase")
+        for i, u in enumerate(sorted(b_ids))
+    ]
+    got = kmv_set_ops(spark.createDataFrame(rows)).collect()[0]
+
+    def h(u):
+        return int(hashlib.md5(str(u).encode()).hexdigest()[:13], 16)
+
+    flags = {h(u): [u in a_ids, u in b_ids] for u in a_ids | b_ids}
+    top = sorted(flags)[:KMV_K]
+    n_both = sum(1 for hh in top if flags[hh][0] and flags[hh][1])
+    if len(flags) < KMV_K:
+        union_est = float(len(top))
+    else:
+        union_est = round((KMV_K - 1) * float(1 << 52) / top[-1], 4)
+    assert got.n_union_exact == len(flags)
+    assert got.kmv_union == union_est
+    assert got.kmv_intersection == round(n_both * union_est / KMV_K, 4)

@@ -1,8 +1,11 @@
 """Round-6 operator invariants: the full-dashboard composite (D-53),
 PMI collocations (T-21), bigram-LM scoring (T-22), containment dedup
-(DD-13), triangle census (G-4), and KMV set algebra (SK-3) — hand
-fixtures pin the semantics the oracle hash cannot distinguish from a
-mirrored bug, plus plan-shape pins for the two join-heavy ops."""
+(DD-13), triangle census (G-4), KMV set algebra (SK-3), winnowing
+overlap (DD-14), IVF-PQ search (E-18), semantic dedup (DD-15), and
+token-budget allocation (PL-18) — hand fixtures pin the semantics the
+oracle hash cannot distinguish from a mirrored bug, plus plan-shape
+pins for the join-heavy ops. Generated-input properties live in
+test_properties.py."""
 
 from __future__ import annotations
 
@@ -396,3 +399,47 @@ class TestTokenBudgetAllocation:
         for s in w:
             assert out[s].token_budget == want[s], s
         assert sum(r.token_budget for r in out.values()) == 100_000
+
+
+class TestScd2AsofEnrichment:
+    def test_events_partition_exactly_and_intervals_resolve(
+        self, spark, events
+    ):
+        from bigdata_logs_spark.operators.analytics import (
+            scd2_asof_enrichment,
+        )
+
+        out = scd2_asof_enrichment(events).collect()
+        # partition property: every event lands in exactly one bucket
+        assert sum(r.n_events for r in out) == events.count()
+        assert len({r.attr_k for r in out}) == len(out)
+
+    def test_hand_timeline(self, spark):
+        import datetime as dt
+
+        def ev(i, uid, k, value=10.0):
+            return Row(
+                event_id=i,
+                user_id=uid,
+                ts=dt.datetime(2024, 1, 1, 0, 0, i),
+                event_type="click",
+                value=value,
+                props='{"k": %d}' % k if k is not None else "{}",
+            )
+
+        # user 1: k=5 at t1, (no k) at t2, k=7 at t3 -> the t2 event
+        # must enrich to 5 (the interval still valid), t3 flips to 7
+        rows = [ev(1, 1, 5), ev(2, 1, None), ev(3, 1, 7), ev(4, 2, None)]
+        from bigdata_logs_spark.operators.analytics import (
+            scd2_asof_enrichment,
+        )
+
+        out = {
+            r.attr_k: r.n_events
+            for r in scd2_asof_enrichment(
+                spark.createDataFrame(rows)
+            ).collect()
+        }
+        # user 2 never observed -> -1 bucket; user 1: two events under
+        # k=5 (t1 + the unobserved t2), one under k=7
+        assert out == {-1: 1, 5: 2, 7: 1}
