@@ -169,6 +169,8 @@ UNBENCHED = [
     "streaming_kmv_distinct",
     "python_datasource_counts",
     "quality_dedup_survivors",
+    # streaming family: drain throughput is bench_streaming's metric
+    "streaming_near_dup_pairs",
 ]
 
 

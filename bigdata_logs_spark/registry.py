@@ -6462,6 +6462,59 @@ def q_snapshot_diff(spark, sf_dir):
 
 
 @register(
+    "streaming_near_dup_pairs",
+    TOKS_CTE
+    + f"""
+    , sh AS (SELECT doc_id, list_distinct({SHINGLES_EXPR}) AS shingles FROM toks)
+    , sigs AS (
+      SELECT doc_id, r.band::INT AS band,
+             list_min(list_transform(shingles,
+               s -> CASE WHEN r.band < 4 THEN substr(md5(s), r.band * 8 + 1, 8)
+                    ELSE substr(md5('#' || s), (r.band - 4) * 8 + 1, 8) END)) AS sig
+      FROM sh CROSS JOIN range(0, 8) AS r(band)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(len(list_intersect(x.shingles, y.shingles))::DOUBLE
+                 / len(list_distinct(list_concat(x.shingles, y.shingles))), 4)
+             AS jaccard
+    FROM cand JOIN sh x ON cand.doc_a = x.doc_id
+              JOIN sh y ON cand.doc_b = y.doc_id
+    WHERE ROUND(len(list_intersect(x.shingles, y.shingles))::DOUBLE
+                / len(list_distinct(list_concat(x.shingles, y.shingles))), 4)
+          >= 0.05
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("ST-14",),
+)
+def q_streaming_near_dup_pairs(spark, sf_dir):
+    """ST-14 streaming incremental LSH dedup: documents drain in
+    forced multi-file micro-batches; each batch appends signatures +
+    shingle fingerprints to parquet state and emits verified pairs
+    batch-vs-seen-so-far (never old×old). Pair emission is
+    batch-split invariant, so — like ST-13 — this streaming query
+    carries a full hash-match oracle (the uncapped LSH pair set)."""
+    import os as _o
+
+    from bigdata_logs_spark.streaming.ingest import streaming_lsh_dedup_state
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    src = _scratch_path("bls_docstream_src", sf_dir)
+    if not _o.path.exists(_o.path.join(src, "_SUCCESS")):
+        docs.repartition(4, "doc_id").write.mode("overwrite").json(src)
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    state = _scratch_path("bls_lshdedup_state", sf_dir)
+    return streaming_lsh_dedup_state(stream, state, threshold=0.05)
+
+
+@register(
     "scd2_asof_enrichment",
     """
     WITH observed AS (
@@ -7050,6 +7103,7 @@ _DRIVER_FIRST = [
     "semantic_dedup",
     "token_budget_allocation",
     "scd2_asof_enrichment",
+    "streaming_near_dup_pairs",
     # latest driver row is round 1 (stalest certified block)
     "events_of_type",
     "entity_hourly_activity",

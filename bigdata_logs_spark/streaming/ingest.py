@@ -594,3 +594,139 @@ def streaming_kmv_state(
     for d in (state_dir + "__ckpt", state_dir + "__tmp"):
         if os.path.exists(d):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def streaming_lsh_dedup_state(
+    doc_stream: DataFrame,
+    state_dir: str,
+    threshold: float = 0.05,
+    timeout_sec: int = 180,
+) -> DataFrame:
+    """ST-14: streaming incremental MinHash-LSH deduplication — the
+    streaming twin of DD-9 (``incremental_near_dup``): documents
+    arrive in micro-batches; each batch's signatures and shingle
+    fingerprints are appended to parquet state tables, candidate
+    pairs are generated ONLY between the batch and everything seen so
+    far (batch×state plus batch×batch — never state×state, which
+    earlier batches already emitted), verified with exact shingle
+    Jaccard against the fingerprint state, and appended to a pairs
+    ledger. Per-batch cost scales with |batch| × bucket occupancy.
+
+    Split-invariance (why this STREAMING query gets a full hash-match
+    oracle): a pair is emitted exactly once — in the micro-batch of
+    whichever member arrives later (or their shared batch) — and the
+    emitted set equals the batch ``near_dup_pairs`` WITHOUT the
+    occupancy cap, regardless of how the feed splits into batches.
+    (The cap is deliberately absent here: capping per batch against a
+    growing state would make emission order-dependent; a production
+    deployment caps at candidate-generation time per batch and
+    accepts the bounded recall drift, documented.)
+
+    State layout under ``state_dir``: ``sigs/`` (doc_id, band, sig),
+    ``grams/`` (doc_id, gram md5) — fingerprints only, text is never
+    stored — and ``pairs/`` (doc_a, doc_b, jaccard), all
+    append-mode parquet (single writer; the final read happens after
+    the drain completes).
+    """
+    import os
+    import shutil
+
+    spark = doc_stream.sparkSession
+    from bigdata_logs_spark.operators.dedup import (
+        _shingles,
+        _tokens,
+        minhash_signatures,
+    )
+
+    for d in (state_dir, state_dir + "__ckpt"):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+    sig_dir = os.path.join(state_dir, "sigs")
+    gram_dir = os.path.join(state_dir, "grams")
+    pair_dir = os.path.join(state_dir, "pairs")
+
+    def merge(batch: DataFrame, _batch_id: int) -> None:
+        batch = batch.select("doc_id", "text")
+        minhash_signatures(batch).write.mode("append").parquet(sig_dir)
+        (
+            batch.withColumn("tokens", _tokens(F.col("text")))
+            .select(
+                "doc_id",
+                F.explode(F.array_distinct(_shingles())).alias("gram"),
+            )
+            .write.mode("append")
+            .parquet(gram_dir)
+        )
+        all_sigs = spark.read.parquet(sig_dir)
+        batch_ids = batch.select("doc_id")
+        batch_sigs = all_sigs.join(batch_ids, "doc_id", "left_semi")
+        cand = (
+            batch_sigs.select("band", "sig", F.col("doc_id").alias("u"))
+            .join(
+                all_sigs.select("band", "sig", F.col("doc_id").alias("v")),
+                ["band", "sig"],
+            )
+            .filter(F.col("u") != F.col("v"))
+            .select(
+                F.least("u", "v").alias("doc_a"),
+                F.greatest("u", "v").alias("doc_b"),
+            )
+            .distinct()
+        )
+        # drop pairs already emitted by an earlier batch (both-old
+        # pairs cannot appear — one side is always from this batch —
+        # but a batch doc can re-pair with the same partner through a
+        # second shared bucket in a later... same batch only; the
+        # anti-join also makes re-delivered batches idempotent)
+        if os.path.exists(os.path.join(pair_dir, "_SUCCESS")):
+            seen = spark.read.parquet(pair_dir).select("doc_a", "doc_b")
+            cand = cand.join(seen, ["doc_a", "doc_b"], "left_anti")
+        grams = spark.read.parquet(gram_dir)
+        sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+        inter = (
+            cand.join(
+                grams.select(F.col("doc_id").alias("doc_a"), "gram"), "doc_a"
+            )
+            .join(
+                grams.select(F.col("doc_id").alias("doc_b"), "gram"),
+                ["doc_b", "gram"],
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+        joined = inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")),
+            "doc_a",
+        ).join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")),
+            "doc_b",
+        )
+        union = F.col("sz_a") + F.col("sz_b") - F.col("n_inter")
+        (
+            joined.select(
+                "doc_a",
+                "doc_b",
+                F.round(F.col("n_inter").cast("double") / union, 4).alias(
+                    "jaccard"
+                ),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .write.mode("append")
+            .parquet(pair_dir)
+        )
+
+    q = (
+        doc_stream.writeStream.foreachBatch(merge)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", state_dir + "__ckpt")
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:
+        q.stop()
+    shutil.rmtree(state_dir + "__ckpt", ignore_errors=True)
+    if os.path.exists(os.path.join(pair_dir, "_SUCCESS")):
+        return spark.read.parquet(pair_dir).orderBy("doc_a", "doc_b")
+    return spark.createDataFrame(
+        [], "doc_a bigint, doc_b bigint, jaccard double"
+    )

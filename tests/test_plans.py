@@ -425,3 +425,45 @@ def test_truncation_fidelity_narrow_three_group_shuffle(spark, sf_dir):
     plan = _plan(spark, "embedding_truncation_fidelity", sf_dir)
     for op in ("Join", "CartesianProduct", "Window"):
         assert op not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        # round-6 additions: every join-bearing new query must stay
+        # cartesian-free (single-row broadcast cross joins plan as
+        # BroadcastNestedLoopJoin over a 1-row build side, which is
+        # the accepted totals/codebook pattern — not CartesianProduct)
+        "dashboard_render_all",
+        "pmi_bigrams",
+        "lm_doc_scores",
+        "minhash_containment",
+        "token_graph_triangles",
+        "kmv_set_ops",
+        "ivfpq_adc_topk",
+        "winnowing_overlap",
+        "semantic_dedup",
+        "token_budget_allocation",
+        "scd2_asof_enrichment",
+    ],
+)
+def test_round6_queries_have_no_cartesian(spark, sf_dir, name):
+    assert "CartesianProduct" not in _plan(spark, name, sf_dir)
+
+
+def test_pmi_broadcasts_the_unigram_legs(spark, sf_dir):
+    """T-21's two unigram joins and the totals join must all be
+    broadcast at test scale — the bigram table is the only large
+    relation and must never be the build side of a shuffle join."""
+    plan = _plan(spark, "pmi_bigrams", sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_ivfpq_scan_reads_codes_not_floats(spark, sf_dir):
+    """E-18's final scored scan must be driven by the broadcast LUT
+    row (1-row build side), with the corpus side carrying only codes:
+    a TakeOrdered/window top-k, never a global sort of raw vectors."""
+    plan = _plan(spark, "ivfpq_adc_topk", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan

@@ -447,3 +447,37 @@ def test_streaming_kmv_state_batch_split_invariant(spark, sf_dir, tmp_path):
         # drain cleanup leaves only the state dir behind
         assert not os.path.exists(state + "__ckpt")
     assert states["one_batch"] == states["per_file"]
+
+
+def test_streaming_lsh_dedup_is_batch_split_invariant(spark, sf_dir, tmp_path):
+    """ST-14's whole oracle claim: the emitted pair set must be
+    bit-identical whether the feed drains as ONE batch or as four —
+    and must equal the uncapped batch LSH pipeline's verified pairs."""
+    from pyspark.sql import functions as F
+
+    from bigdata_logs_spark.sources import load_table
+    from bigdata_logs_spark.streaming.ingest import streaming_lsh_dedup_state
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "docsrc")
+    docs.repartition(4, "doc_id").write.mode("overwrite").json(src)
+
+    def drain(max_files, state):
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", max_files)
+            .json(src)
+        )
+        return sorted(
+            map(
+                str,
+                streaming_lsh_dedup_state(
+                    stream, str(tmp_path / state)
+                ).collect(),
+            )
+        )
+
+    one_batch = drain(4, "state_one")
+    four_batches = drain(1, "state_four")
+    assert one_batch == four_batches
+    assert len(one_batch) > 0
