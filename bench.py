@@ -308,6 +308,7 @@ def main() -> None:
         "semantic_dedup",
         "token_budget_allocation",
         "scd2_asof_enrichment",
+        "dq_expectations",
     ]
     extended: dict[str, float] = {}
     for name in EXTENDED:

@@ -629,3 +629,60 @@ def dashboard_render_all(events: DataFrame) -> DataFrame:
         ),
     ]
     return reduce(DataFrame.unionByName, panels).orderBy("panel", "k", "metric")
+
+
+def dq_expectations(events: DataFrame) -> DataFrame:
+    """OPS-2: declarative data-quality gate (the Deequ /
+    Great-Expectations pattern): a fixed suite of constraints is
+    evaluated in ONE aggregation pass over the fact table, and each
+    emits an audit row ``(constraint, observed, threshold, passed)``
+    — the report a pipeline checks before promoting a load, next to
+    OPS-1's write-time metrics. D-46's column profile DESCRIBES the
+    table; this one JUDGES it against declared expectations.
+
+    Suite: completeness (value / user_id null fraction), uniqueness
+    (event_id), domain (event_type within the closed set), range
+    (value >= 0), and freshness-shape (ts parses inside the fixture
+    era). Observed values are exact integer counts scaled to
+    micro-fractions (BIGINT), so pass/fail thresholds compare
+    integers — no float drift can flip a verdict cross-engine.
+
+    Scale shape: one map-side-combinable aggregate (the uniqueness
+    check rides count-distinct — swap for approx_count_distinct at
+    100 TB, same expression shape); the unpivot happens on the
+    single result row.
+    """
+    domain = F.col("event_type").isin(*EVENT_TYPES)
+    era = (F.col("ts") >= F.lit("2020-01-01")) & (
+        F.col("ts") < F.lit("2030-01-01")
+    )
+    m = events.agg(
+        F.count(F.lit(1)).alias("n"),
+        count_if(F.col("value").isNull()).alias("value_nulls"),
+        count_if(F.col("user_id").isNull()).alias("user_nulls"),
+        (F.count(F.lit(1)) - F.countDistinct("event_id")).alias("dup_ids"),
+        count_if(~domain).alias("out_of_domain"),
+        count_if(F.col("value") < 0).alias("negative_values"),
+        count_if(~era).alias("ts_out_of_era"),
+    )
+    # integer division (div / //) on BOTH engines: float division cast
+    # to BIGINT truncates in Spark but rounds in DuckDB
+    micro = lambda c: F.expr(f"({c} * 1000000L) div n")  # noqa: E731
+    checks = [
+        ("completeness:value", micro("value_nulls"), 10_000),
+        ("completeness:user_id", micro("user_nulls"), 0),
+        ("uniqueness:event_id", F.col("dup_ids").cast("long"), 0),
+        ("domain:event_type", F.col("out_of_domain").cast("long"), 0),
+        ("range:value>=0", F.col("negative_values").cast("long"), 0),
+        ("freshness:ts_in_era", F.col("ts_out_of_era").cast("long"), 0),
+    ]
+    rows = [
+        m.select(
+            F.lit(name).alias("constraint"),
+            obs.alias("observed"),
+            F.lit(limit).cast("long").alias("threshold"),
+            (obs <= F.lit(limit)).alias("passed"),
+        )
+        for name, obs, limit in checks
+    ]
+    return reduce(DataFrame.unionByName, rows).orderBy("constraint")

@@ -6462,6 +6462,49 @@ def q_snapshot_diff(spark, sf_dir):
 
 
 @register(
+    "dq_expectations",
+    f"""
+    WITH m AS (
+      SELECT COUNT(*)::BIGINT AS n,
+             SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::BIGINT
+               AS value_nulls,
+             SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)::BIGINT
+               AS user_nulls,
+             (COUNT(*) - COUNT(DISTINCT event_id))::BIGINT AS dup_ids,
+             SUM(CASE WHEN event_type NOT IN
+                 ('click', 'error', 'purchase', 'signup', 'view')
+                 THEN 1 ELSE 0 END)::BIGINT AS out_of_domain,
+             SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END)::BIGINT
+               AS negative_values,
+             SUM(CASE WHEN ts >= '2020-01-01' AND ts < '2030-01-01'
+                 THEN 0 ELSE 1 END)::BIGINT AS ts_out_of_era
+      FROM events
+    ), checks AS (
+      SELECT 'completeness:value' AS "constraint",
+             ((value_nulls * 1000000) // n)::BIGINT AS observed,
+             10000::BIGINT AS threshold FROM m
+      UNION ALL SELECT 'completeness:user_id',
+             ((user_nulls * 1000000) // n)::BIGINT, 0 FROM m
+      UNION ALL SELECT 'uniqueness:event_id', dup_ids, 0 FROM m
+      UNION ALL SELECT 'domain:event_type', out_of_domain, 0 FROM m
+      UNION ALL SELECT 'range:value>=0', negative_values, 0 FROM m
+      UNION ALL SELECT 'freshness:ts_in_era', ts_out_of_era, 0 FROM m
+    )
+    SELECT "constraint", observed, threshold,
+           (observed <= threshold) AS passed
+    FROM checks ORDER BY "constraint"
+    """,
+    tags=("OPS-2",),
+)
+def q_dq_expectations(spark, sf_dir):
+    """OPS-2 data-quality gate: one aggregation pass evaluates the
+    declared constraint suite (completeness / uniqueness / domain /
+    range / freshness); observed values are integer micro-fractions,
+    so verdicts compare integers — no float drift can flip a gate."""
+    return D.dq_expectations(_events(spark, sf_dir))
+
+
+@register(
     "streaming_near_dup_pairs",
     TOKS_CTE
     + f"""
@@ -7104,6 +7147,7 @@ _DRIVER_FIRST = [
     "token_budget_allocation",
     "scd2_asof_enrichment",
     "streaming_near_dup_pairs",
+    "dq_expectations",
     # latest driver row is round 1 (stalest certified block)
     "events_of_type",
     "entity_hourly_activity",

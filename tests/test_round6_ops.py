@@ -443,3 +443,44 @@ class TestScd2AsofEnrichment:
         # user 2 never observed -> -1 bucket; user 1: two events under
         # k=5 (t1 + the unobserved t2), one under k=7
         assert out == {-1: 1, 5: 2, 7: 1}
+
+
+class TestDqExpectations:
+    def test_clean_fixture_passes_all_gates(self, spark, events):
+        out = D.dq_expectations(events).collect()
+        assert len(out) == 6
+        assert all(r.passed for r in out)
+
+    def test_violations_flip_exactly_their_gates(self, spark):
+        import datetime as dt
+
+        rows = [
+            Row(
+                event_id=i,
+                user_id=(None if i == 0 else i),
+                ts=dt.datetime(2024, 1, 1 + i),
+                event_type=("bogus" if i == 1 else "click"),
+                value=(-5.0 if i == 2 else 1.0),
+            )
+            for i in range(4)
+        ] + [
+            Row(  # duplicate event_id 3
+                event_id=3,
+                user_id=9,
+                ts=dt.datetime(2035, 1, 1),  # out of era too
+                event_type="click",
+                value=1.0,
+            )
+        ]
+        out = {
+            r.constraint: r.passed
+            for r in D.dq_expectations(spark.createDataFrame(rows)).collect()
+        }
+        assert out == {
+            "completeness:value": True,
+            "completeness:user_id": False,
+            "uniqueness:event_id": False,
+            "domain:event_type": False,
+            "range:value>=0": False,
+            "freshness:ts_in_era": False,
+        }
