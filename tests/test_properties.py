@@ -556,3 +556,45 @@ def test_kmv_set_ops_matches_python_replay(spark, sets):
     assert got.n_union_exact == len(flags)
     assert got.kmv_union == union_est
     assert got.kmv_intersection == round(n_both * union_est / KMV_K, 4)
+
+
+def test_dashboard_render_all_invariant_under_partitioning(spark, events):
+    """D-53 unions ten panels off a shared cache — every panel value
+    must be independent of the input's physical partitioning (the
+    decimal-accumulation / exact-integer disciplines compose through
+    the melt)."""
+    from bigdata_logs_spark.caching import release_caches
+    from bigdata_logs_spark.operators.dashboard import dashboard_render_all
+
+    def run(df):
+        out = sorted(map(str, dashboard_render_all(df).collect()))
+        release_caches()
+        spark.catalog.clearCache()
+        return out
+
+    base = run(events.repartition(1))
+    assert run(events.repartition(7)) == base
+
+
+def test_semantic_dedup_invariant_under_partitioning_and_row_order(
+    spark, sf_dir
+):
+    """DD-15's component labels and keep decisions must not depend on
+    physical layout: the propagation loop, centroid means, and the
+    window tie-breaks are all order-free by construction."""
+    from pyspark.sql import functions as F
+
+    from bigdata_logs_spark.operators.similarity import semantic_dedup
+    from bigdata_logs_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = sorted(map(str, semantic_dedup(emb.repartition(1)).collect()))
+    alt = sorted(
+        map(
+            str,
+            semantic_dedup(
+                emb.orderBy(F.rand(seed=11)).repartition(5)
+            ).collect(),
+        )
+    )
+    assert alt == base
