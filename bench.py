@@ -309,6 +309,8 @@ def main() -> None:
         "token_budget_allocation",
         "scd2_asof_enrichment",
         "dq_expectations",
+        "cusum_changepoints",
+        "binary_knn",
     ]
     extended: dict[str, float] = {}
     for name in EXTENDED:

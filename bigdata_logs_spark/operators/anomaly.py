@@ -478,3 +478,56 @@ def dow_hour_anomalies(events: DataFrame) -> DataFrame:
         z.alias("zscore"),
         F.coalesce(z > 3.0, F.lit(False)).alias("is_anomaly"),
     ).orderBy("date", "hour")
+
+
+def cusum_changepoints(events: DataFrame) -> DataFrame:
+    """AD-9: CUSUM change-point detection (Page 1954) over the daily
+    count series of each event type — the sequential-detection
+    complement of the pointwise z-score (AD-1), the smoothed level
+    (AD-7) and the seasonal baseline (AD-8): a SUSTAINED small shift
+    that never trips a pointwise threshold accumulates in the CUSUM
+    and crosses it.
+
+    Exactness: the classic recursion S_t = max(0, S_{t-1} + d_t) is
+    not a window function, but it has the closed form
+    ``S_t = P_t − min(0, min_{j≤t} P_j)`` with P the running sum of
+    deviations — two ordered window passes. Deviations are kept
+    integer by scaling: d_t = n_days·x_t − total (so "mean" is never
+    divided), making every CUSUM value an exact BIGINT; the flag
+    threshold h = total (one day-mean of accumulated excess, in the
+    same scaled units) compares integers.
+
+    Shape: the corpus collapses to (type, date) cells first; both
+    window passes share one partitioning by event_type. 100 TB: the
+    cell table is bounded by types × days — trivially small.
+    """
+    daily = events.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("date")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    per_type = Window.partitionBy("event_type")
+    sized = daily.withColumn(
+        "n_days", F.count(F.lit(1)).over(per_type)
+    ).withColumn("total", F.sum("n").over(per_type))
+    d = F.col("n_days") * F.col("n") - F.col("total")
+    w_ord = (
+        Window.partitionBy("event_type")
+        .orderBy("date")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = sized.withColumn("p", F.sum(d).over(w_ord))
+    cum = cum.withColumn(
+        "cusum_pos", F.col("p") - F.least(F.lit(0), F.min("p").over(w_ord))
+    ).withColumn(
+        "cusum_neg", F.greatest(F.lit(0), F.max("p").over(w_ord)) - F.col("p")
+    )
+    flagged = (F.col("cusum_pos") > F.col("total")) | (
+        F.col("cusum_neg") > F.col("total")
+    )
+    return cum.select(
+        "event_type",
+        "date",
+        "n",
+        "cusum_pos",
+        "cusum_neg",
+        flagged.alias("flagged"),
+    ).orderBy("event_type", "date")

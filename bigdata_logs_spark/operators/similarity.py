@@ -1282,3 +1282,103 @@ def semantic_dedup(
         )
         .orderBy("vec_id")
     )
+
+
+def binary_knn(
+    emb: DataFrame, n_queries: int = 3, top_k: int = 5, shortlist: int = 20
+) -> DataFrame:
+    """E-19: binary-quantized kNN — each 64-dim embedding collapses
+    to its 64 SIGN BITS packed into two 32-bit halves (lo, hi), the
+    Hamming distance over those bits shortlists candidates, and exact
+    cosine re-ranks the shortlist. This is the 32x-memory-cut serving
+    trick modern vector stores ship (binary quantization + rescoring):
+    sign-bit Hamming is a proxy for angle (E-4's hyperplane argument,
+    here with the identity planes), the scan is two XOR+popcount ops
+    per vector, and recall is recovered by re-scoring only
+    ``shortlist`` true vectors per query.
+
+    Versus the siblings: E-4 BUCKETS on a few random sign bits (no
+    ranking), E-13/E-15 quantize magnitudes to codebook cells; this
+    keeps one bit per dimension and RANKS by bit disagreement.
+
+    Exactness: bit packing, XOR and popcount are integer-exact on
+    both engines (two 32-bit halves, so no sign-bit overflow
+    ambiguity in the packed BIGINTs); the only floats are the
+    re-rank cosines — the proven fold order, rounded at 1e-6.
+
+    Scale shape: the signature table is 16 bytes/vector and scans
+    with two-integer rows; queries broadcast; the shortlist window is
+    bounded per query; only shortlist-many full vectors are ever
+    fetched for re-rank (a semi-join-shaped lookup, not a scan).
+    """
+    def pack(lo_bit: int) -> Column:
+        return F.expr(
+            f"""
+            aggregate(transform(sequence(1, 32),
+                i -> IF(CAST(element_at(embedding, {lo_bit} + i) AS DOUBLE) > 0,
+                        shiftleft(CAST(1 AS BIGINT), i - 1), CAST(0 AS BIGINT))),
+              CAST(0 AS BIGINT), (acc, x) -> acc + x)
+            """
+        )
+
+    sigs = emb.select(
+        "vec_id", pack(0).alias("lo"), pack(32).alias("hi")
+    )
+    q = sigs.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("lo").alias("q_lo"),
+        F.col("hi").alias("q_hi"),
+    )
+    hamming = F.bit_count(
+        F.col("q_lo").bitwiseXOR(F.col("lo"))
+    ) + F.bit_count(F.col("q_hi").bitwiseXOR(F.col("hi")))
+    scored = (
+        sigs.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            hamming.cast("int").alias("hamming"),
+        )
+    )
+    w_short = Window.partitionBy("query_id").orderBy(
+        "hamming", "neighbor_id"
+    )
+    short = (
+        scored.withColumn("rs", F.row_number().over(w_short))
+        .filter(F.col("rs") <= shortlist)
+        .drop("rs")
+    )
+    qe = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    ne = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("n_emb"),
+    )
+    rer = (
+        short.join(F.broadcast(qe.filter(F.col("query_id") < n_queries)), "query_id")
+        .join(ne, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "hamming",
+            F.round(
+                _dot("q_emb", "n_emb")
+                / (
+                    F.sqrt(_dot("q_emb", "q_emb"))
+                    * F.sqrt(_dot("n_emb", "n_emb"))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", "rank", "neighbor_id", "hamming", "cosine")
+        .orderBy("query_id", "rank")
+    )

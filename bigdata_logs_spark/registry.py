@@ -6462,6 +6462,97 @@ def q_snapshot_diff(spark, sf_dir):
 
 
 @register(
+    "binary_knn",
+    f"""
+    WITH sigs AS (
+      SELECT vec_id,
+             list_sum(list_transform(range(1, 33),
+               i -> CASE WHEN embedding[i]::DOUBLE > 0
+                    THEN (1::BIGINT << (i - 1)) ELSE 0 END))::BIGINT AS lo,
+             list_sum(list_transform(range(33, 65),
+               i -> CASE WHEN embedding[i]::DOUBLE > 0
+                    THEN (1::BIGINT << (i - 33)) ELSE 0 END))::BIGINT AS hi
+      FROM embeddings
+    ), scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             (bit_count(xor(q.lo, c.lo))
+              + bit_count(xor(q.hi, c.hi)))::INT AS hamming
+      FROM sigs q JOIN sigs c
+        ON q.vec_id < 3 AND q.vec_id != c.vec_id
+    ), short AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rs
+        FROM scored) WHERE rs <= 20
+    ), rer AS (
+      SELECT s.query_id, s.neighbor_id, s.hamming,
+             ROUND({DOT_SQL.format(a='qe.embedding', b='ne.embedding')}
+                   / (SQRT({DOT_SQL.format(a='qe.embedding', b='qe.embedding')})
+                      * SQRT({DOT_SQL.format(a='ne.embedding', b='ne.embedding')})),
+                   6) AS cosine
+      FROM short s
+      JOIN embeddings qe ON s.query_id = qe.vec_id
+      JOIN embeddings ne ON s.neighbor_id = ne.vec_id
+    )
+    SELECT query_id, rank, neighbor_id, hamming, cosine FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)::INT AS rank
+      FROM rer) WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+    tags=("E-19",),
+)
+def q_binary_knn(spark, sf_dir):
+    """E-19 binary quantization + rescoring: 64 sign bits in two
+    32-bit halves, XOR+popcount Hamming shortlist, exact-cosine
+    re-rank of shortlist-many true vectors — the 32x-memory serving
+    scan next to the PQ (magnitude-codebook) tier."""
+    return SIM.binary_knn(_emb(spark, sf_dir))
+
+
+@register(
+    "cusum_changepoints",
+    """
+    WITH daily AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS date,
+             COUNT(*)::BIGINT AS n
+      FROM events GROUP BY 1, 2
+    ), sized AS (
+      SELECT *, COUNT(*) OVER (PARTITION BY event_type)::BIGINT AS n_days,
+             SUM(n) OVER (PARTITION BY event_type)::BIGINT AS total
+      FROM daily
+    ), cum AS (
+      SELECT *, SUM(n_days * n - total) OVER (
+               PARTITION BY event_type ORDER BY date
+               ROWS UNBOUNDED PRECEDING)::BIGINT AS p
+      FROM sized
+    ), ribbons AS (
+      SELECT *,
+             (p - LEAST(0, MIN(p) OVER (
+                PARTITION BY event_type ORDER BY date
+                ROWS UNBOUNDED PRECEDING)))::BIGINT AS cusum_pos,
+             (GREATEST(0, MAX(p) OVER (
+                PARTITION BY event_type ORDER BY date
+                ROWS UNBOUNDED PRECEDING)) - p)::BIGINT AS cusum_neg
+      FROM cum
+    )
+    SELECT event_type, date, n, cusum_pos, cusum_neg,
+           (cusum_pos > total OR cusum_neg > total) AS flagged
+    FROM ribbons ORDER BY event_type, date
+    """,
+    tags=("AD-9",),
+)
+def q_cusum_changepoints(spark, sf_dir):
+    """AD-9 CUSUM: sequential change-point ribbon per event type via
+    the prefix-sum closed form (S_t = P_t - min(0, running-min P)) —
+    integer-scaled deviations so every CUSUM value is exact BIGINT;
+    catches sustained small shifts pointwise thresholds miss."""
+    from bigdata_logs_spark.operators.anomaly import cusum_changepoints
+
+    return cusum_changepoints(_events(spark, sf_dir))
+
+
+@register(
     "dq_expectations",
     f"""
     WITH m AS (
@@ -7148,6 +7239,8 @@ _DRIVER_FIRST = [
     "scd2_asof_enrichment",
     "streaming_near_dup_pairs",
     "dq_expectations",
+    "cusum_changepoints",
+    "binary_knn",
     # latest driver row is round 1 (stalest certified block)
     "events_of_type",
     "entity_hourly_activity",

@@ -484,3 +484,102 @@ class TestDqExpectations:
             "range:value>=0": False,
             "freshness:ts_in_era": False,
         }
+
+
+class TestCusumChangepoints:
+    def test_level_shift_flags_where_pointwise_would_not(self, spark):
+        import datetime as dt
+
+        # 30 days at 10/day, then 30 days at 12/day: each single day is
+        # a mild +2 deviation, but the CUSUM accumulates and flags.
+        rows = [
+            Row(
+                event_id=d * 100 + i,
+                ts=dt.datetime(2024, 1, 1) + dt.timedelta(days=d),
+                event_type="x",
+            )
+            for d in range(60)
+            for i in range(10 if d < 30 else 12)
+        ]
+        out = AD_cusum(spark, rows)
+        assert any(r.flagged for r in out)
+        # the maximum positive excursion sits at the END of the raised
+        # regime (deviations keep accumulating until the series ends)
+        peak = max(out, key=lambda r: (r.cusum_pos, r.date))
+        assert peak.date == "2024-02-29"
+
+    def test_constant_series_never_flags_and_cusum_is_zero(self, spark):
+        import datetime as dt
+
+        rows = [
+            Row(
+                event_id=d * 10 + i,
+                ts=dt.datetime(2024, 3, 1) + dt.timedelta(days=d),
+                event_type="y",
+            )
+            for d in range(20)
+            for i in range(7)
+        ]
+        out = AD_cusum(spark, rows)
+        assert all(r.cusum_pos == 0 and r.cusum_neg == 0 for r in out)
+        assert not any(r.flagged for r in out)
+
+    def test_matches_python_recursion(self, spark):
+        import datetime as dt
+
+        counts = [5, 9, 2, 14, 7, 7, 1, 11]
+        rows = [
+            Row(
+                event_id=d * 100 + i,
+                ts=dt.datetime(2024, 5, 1) + dt.timedelta(days=d),
+                event_type="z",
+            )
+            for d, c in enumerate(counts)
+            for i in range(c)
+        ]
+        out = AD_cusum(spark, rows)
+        n_days, total = len(counts), sum(counts)
+        s_pos = s_neg = 0
+        for r, c in zip(out, counts):
+            d = n_days * c - total
+            s_pos = max(0, s_pos + d)
+            s_neg = max(0, s_neg - d)
+            assert (r.cusum_pos, r.cusum_neg) == (s_pos, s_neg), r.date
+
+
+def AD_cusum(spark, rows):
+    from bigdata_logs_spark.operators.anomaly import cusum_changepoints
+
+    return sorted(
+        cusum_changepoints(spark.createDataFrame(rows)).collect(),
+        key=lambda r: (r.event_type, r.date),
+    )
+
+
+class TestBinaryKnn:
+    def test_duplicate_vector_is_hamming_zero_and_rank_one(self, spark):
+        import random
+
+        rng = random.Random(11)
+        vecs = [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(30)]
+        vecs.append(list(vecs[1]))  # vec 30 duplicates query vec 1
+        emb = spark.createDataFrame(
+            [
+                Row(vec_id=i, label=i % 2, embedding=[float(x) for x in v])
+                for i, v in enumerate(vecs)
+            ]
+        )
+        out = SIM.binary_knn(emb, n_queries=2).collect()
+        top1 = {r.query_id: r for r in out if r.rank == 1}
+        assert top1[1].neighbor_id == 30
+        assert top1[1].hamming == 0
+        assert top1[1].cosine == 1.0
+
+    def test_shortlist_bounds_and_shape(self, spark, sf_dir):
+        from bigdata_logs_spark.sources import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        out = SIM.binary_knn(emb).collect()
+        assert len(out) == 15  # 3 queries x top-5
+        for r in out:
+            assert 0 <= r.hamming <= 64
