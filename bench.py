@@ -311,6 +311,7 @@ def main() -> None:
         "dq_expectations",
         "cusum_changepoints",
         "binary_knn",
+        "duplicate_ngram_fraction",
     ]
     extended: dict[str, float] = {}
     for name in EXTENDED:

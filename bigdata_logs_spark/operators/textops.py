@@ -935,3 +935,47 @@ def lm_doc_scores(docs: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def duplicate_ngram_fraction(docs: DataFrame, k: int = 3) -> DataFrame:
+    """T-23: cross-document duplicate n-gram fraction — for each doc,
+    the share of its distinct k-grams that also occur in at least one
+    OTHER document (the Gopher/RefinedWeb-family duplication quality
+    signal, the corpus-level complement of T-7's within-doc
+    repetition): high values mark boilerplate and templated spam that
+    per-pair dedup tiers only catch quadratically.
+
+    Exactness: the fraction is a ratio of exact integers, rounded at
+    1e-4; "occurs elsewhere" is corpus occurrences minus own
+    occurrences (so a gram repeated only WITHIN the doc does not
+    count — that is T-7's signal, not this one).
+
+    Shape: one explode to distinct (doc, gram, own_count) rows, one
+    map-side-combined gram count, one equi-join on the gram key, one
+    doc_id aggregation — no pair expansion anywhere; this is the
+    linear-cost screen that runs BEFORE the quadratic-candidate
+    tiers. At 100 TB grams ride as md5 fingerprints.
+    """
+    from bigdata_logs_spark.operators.dedup import _shingles
+
+    per_doc = (
+        with_tokens(docs)
+        .select("doc_id", F.explode(_shingles()).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("own"))
+    )
+    corpus = per_doc.groupBy("gram").agg(F.sum("own").alias("corpus_n"))
+    frac = F.round(
+        F.sum((F.col("corpus_n") > F.col("own")).cast("int"))
+        / F.count(F.lit(1)),
+        4,
+    )
+    return (
+        per_doc.join(corpus, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_grams"),
+            frac.alias("dup_gram_fraction"),
+        )
+        .orderBy("doc_id")
+    )

@@ -6462,6 +6462,33 @@ def q_snapshot_diff(spark, sf_dir):
 
 
 @register(
+    "duplicate_ngram_fraction",
+    TOKS_CTE
+    + f"""
+    , per_doc AS (
+      SELECT doc_id, gram, COUNT(*)::BIGINT AS own
+      FROM (SELECT doc_id, unnest({SHINGLES_EXPR}) AS gram FROM toks)
+      GROUP BY 1, 2
+    ), corpus AS (
+      SELECT gram, SUM(own)::BIGINT AS corpus_n FROM per_doc GROUP BY 1
+    )
+    SELECT p.doc_id, COUNT(*)::BIGINT AS n_distinct_grams,
+           ROUND(SUM(CASE WHEN c.corpus_n > p.own THEN 1 ELSE 0 END)::DOUBLE
+                 / COUNT(*), 4) AS dup_gram_fraction
+    FROM per_doc p JOIN corpus c USING (gram)
+    GROUP BY 1 ORDER BY p.doc_id
+    """,
+    tags=("T-23",),
+)
+def q_duplicate_ngram_fraction(spark, sf_dir):
+    """T-23 duplicate n-gram fraction: per-doc share of distinct
+    shingles occurring in OTHER docs (corpus count minus own) — the
+    Gopher-style linear-cost duplication screen that runs before any
+    quadratic-candidate dedup tier."""
+    return TX.duplicate_ngram_fraction(_docs(spark, sf_dir))
+
+
+@register(
     "binary_knn",
     f"""
     WITH sigs AS (
@@ -7205,12 +7232,12 @@ def q_dashboard_render_all(spark, sf_dir):
 # ``__spark_entry__.queries()`` re-keys by CERTIFICATION_ORDER.
 #
 # Round-6 rotation: the 11 round-5 queries that overflowed the
-# window lead (never driver-certified), then the 6 new round-6
+# window lead (never driver-certified), then the 16 new round-6
 # queries, then the r1-stale block (latest driver row is round 1),
 # then the r3 block. Everything certified in rounds 4-5 falls to the
 # unlisted tail — never-certified beats stale-but-once-green, and
 # stalest-first thereafter. With a ~50-row window this certifies the
-# 17 never-certified + ~33 of the 35 r1 entries; the r1 remainder
+# 27 never-certified + ~23 of the 35 r1 entries; the r1 remainder
 # and the r3 block lead round 7.
 _DRIVER_FIRST = [
     # never driver-certified: the 11 that overflowed round 5's window
@@ -7241,6 +7268,7 @@ _DRIVER_FIRST = [
     "dq_expectations",
     "cusum_changepoints",
     "binary_knn",
+    "duplicate_ngram_fraction",
     # latest driver row is round 1 (stalest certified block)
     "events_of_type",
     "entity_hourly_activity",

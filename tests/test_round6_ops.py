@@ -583,3 +583,31 @@ class TestBinaryKnn:
         assert len(out) == 15  # 3 queries x top-5
         for r in out:
             assert 0 <= r.hamming <= 64
+
+
+class TestDuplicateNgramFraction:
+    def test_copied_doc_scores_one_unique_doc_scores_zero(self, spark):
+        docs = _docs(
+            spark,
+            [
+                "the quick brown fox jumps high",
+                "the quick brown fox jumps high",  # verbatim copy
+                "completely different words here now",
+            ],
+        )
+        out = {
+            r.doc_id: r.dup_gram_fraction
+            for r in TX.duplicate_ngram_fraction(docs).collect()
+        }
+        assert out[0] == 1.0 and out[1] == 1.0
+        assert out[2] == 0.0
+
+    def test_within_doc_repetition_does_not_count(self, spark):
+        # a shingle repeated only INSIDE one doc is T-7's signal, not
+        # cross-document duplication
+        docs = _docs(spark, ["a b c a b c a b c", "x y z w v u"])
+        out = {
+            r.doc_id: r.dup_gram_fraction
+            for r in TX.duplicate_ngram_fraction(docs).collect()
+        }
+        assert out[0] == 0.0 and out[1] == 0.0
