@@ -312,6 +312,17 @@ def main() -> None:
         "cusum_changepoints",
         "binary_knn",
         "duplicate_ngram_fraction",
+        "hll_distinct",
+        "bloom_membership",
+        "robust_daily_trend",
+        "weighted_median_price",
+        "multiset_except_all",
+        "multiset_intersect_all",
+        "benford_first_digit",
+        "token_graph_kcore",
+        "confusable_usernames",
+        "kwic_concordance",
+        "inverted_index_postings",
     ]
     extended: dict[str, float] = {}
     for name in EXTENDED:

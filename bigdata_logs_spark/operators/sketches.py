@@ -195,6 +195,219 @@ def kmv_distinct(events: DataFrame, k: int = KMV_K) -> DataFrame:
     )
 
 
+# Explicit-HLL parameters (SK-4): b=6 -> m=64 registers; the 52-bit
+# md5 hash splits into a 6-bit register index and a 46-bit field whose
+# leading-zero count (+1) is the register value rho in [1, 47].
+HLL_B = 6
+HLL_M = 1 << HLL_B  # 64
+HLL_FIELD = 52 - HLL_B  # 46
+HLL_FIELD_MASK = (1 << HLL_FIELD) - 1
+HLL_RHO_MAX = HLL_FIELD + 1  # 47, the all-zero-field value
+# alpha_64 from Flajolet et al. 2007 Fig. 3 (0.7213/(1+1.079/m) -> 0.709
+# at m=64); kept as ONE double literal on both engines.
+HLL_ALPHA = 0.709
+# 2^47: the fixed-point scale that makes the harmonic-mean denominator
+# an exact BIGINT (each register contributes 2^(47-rho), an integer).
+HLL_ZSCALE = 1 << (HLL_RHO_MAX)
+
+
+def hll_distinct(events: DataFrame, group_col: str = "event_type") -> DataFrame:
+    """SK-4: explicit HyperLogLog distinct-count sketch (Flajolet,
+    Fuchs, Gandouet & Meunier, AofA 2007) — per group, a 64-register
+    HLL estimate of distinct users next to the exact count.
+
+    `global_metrics_approx` uses the ENGINE's HLL and therefore gets
+    only a rows-only check (register layout is engine-internal). This
+    operator re-derives HLL from first principles so the estimate
+    itself hash-certifies cross-engine, exactly like the KMV twin:
+
+    - hash = first 13 md5 hex chars (52 bits, double-exact);
+    - register index = top 6 bits, field w = low 46 bits;
+    - rho(w) = leading zeros of the 46-bit field + 1, computed as
+      ``47 - length(bin(w))`` (``bin`` drops leading zeros on both
+      engines; w = 0 -> rho = 47);
+    - registers = MAX(rho) per (group, index) — the only reduction,
+      an exact integer max;
+    - harmonic denominator kept in fixed point: each register
+      contributes the exact BIGINT 2^(47-rho), absent registers
+      contribute 2^47, so Z_int is an exact integer sum and the
+      estimate alpha*m^2*2^47/Z_int is a single double division;
+    - standard small-range correction: if raw <= 2.5m and some
+      registers are empty, linear counting m*ln(m/V) (ln is
+      bit-identical cross-engine).
+
+    Scale shape: identical to SK-2 — one combinable distinct over
+    (group, key), then all sketch math runs on <= m rows per group;
+    registers are mergeable by MAX across partitions/streams, which
+    is why production engines ship HLL as their default distinct
+    sketch. Output: one row per group.
+    """
+    keyed = events.where(F.col("user_id").isNotNull())
+    hashed = (
+        keyed.select(group_col, "user_id")
+        .distinct()
+        .select(
+            group_col,
+            F.expr(kmv_hash_expr("user_id")).alias("h"),
+        )
+    )
+    parts = hashed.select(
+        group_col,
+        F.expr(f"shiftright(h, {HLL_FIELD})").alias("idx"),
+        F.expr(f"h & {HLL_FIELD_MASK}").alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, F.lit(HLL_RHO_MAX)).otherwise(
+        F.lit(HLL_RHO_MAX) - F.length(F.expr("bin(w)"))
+    )
+    regs = (
+        parts.select(group_col, "idx", rho.alias("rho"))
+        .groupBy(group_col, "idx")
+        .agg(F.max("rho").alias("r"))
+    )
+    z = regs.groupBy(group_col).agg(
+        F.sum(
+            F.expr(f"shiftleft(1L, cast({HLL_RHO_MAX} - r as int))")
+        ).alias("z_present"),
+        F.count(F.lit(1)).alias("m_present"),
+    )
+    v = F.lit(HLL_M) - F.col("m_present")
+    z_int = F.col("z_present") + v * F.lit(HLL_ZSCALE)
+    raw = (
+        F.lit(HLL_ALPHA)
+        * F.lit(float(HLL_M * HLL_M))
+        * F.lit(float(HLL_ZSCALE))
+        / z_int
+    )
+    # Small-range (linear-counting) correction, per the paper.
+    corrected = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (v > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v),
+    ).otherwise(raw)
+    exact = (
+        keyed.select(group_col, "user_id")
+        .distinct()
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    return (
+        z.join(exact, group_col)
+        .select(
+            group_col,
+            "n_exact",
+            F.round(corrected, 4).alias("hll_estimate"),
+            v.cast("bigint").alias("n_zero_registers"),
+        )
+        .withColumn(
+            "rel_error",
+            F.round(
+                (F.col("hll_estimate") - F.col("n_exact")) / F.col("n_exact"),
+                4,
+            ),
+        )
+        .orderBy(group_col)
+    )
+
+
+# Explicit-Bloom parameters (SK-5): m bits, k affine hashes of the
+# shared 52-bit md5 hash. Distinct odd multipliers from the CMS row
+# constants keep the k positions decorrelated.
+BLOOM_M = 1024
+BLOOM_A = (13, 19, 23, 31)
+BLOOM_B = (7, 61, 97, 131)
+
+
+def bloom_membership(
+    events: DataFrame, member_type: str = "purchase"
+) -> DataFrame:
+    """SK-5: explicit Bloom-filter membership audit (Bloom, CACM
+    1970) — build an m=1024-bit, k=4-hash filter over the users who
+    performed ``member_type``, probe it with EVERY distinct user, and
+    report the observed false-positive rate next to the filter's
+    occupancy.
+
+    The engine already USES a Bloom filter (J-14's bloom-pruned
+    semi-join rides Spark's built-in, necessarily rows-only); this is
+    the certifiable construction — bit positions are explicit affine
+    transforms ``(a*h + b) % P % m`` of the 52-bit md5 hash, the
+    filter is the distinct set of set-bit positions, and a probe is
+    positive iff ALL its k positions are set — so the false-positive
+    count itself hash-matches cross-engine, and the no-false-negative
+    guarantee is pytest-pinned.
+
+    Scale shape: the corpus collapses to distinct keys first (one
+    combinable shuffle); the filter is <= m rows and broadcasts; the
+    probe leg is a broadcast equi-join on bit position followed by a
+    per-key count — the exact shape a Bloom-pruned shuffle join uses
+    to drop non-matching rows before the expensive exchange. Output:
+    ONE summary row.
+    """
+    keyed = events.where(F.col("user_id").isNotNull())
+    members = (
+        keyed.where(F.col("event_type") == member_type)
+        .select("user_id")
+        .distinct()
+    )
+    probes = keyed.select("user_id").distinct()
+
+    def positions(df: DataFrame) -> DataFrame:
+        h = F.expr(kmv_hash_expr("user_id"))
+        pos = F.array(
+            *[
+                ((h * F.lit(a) + F.lit(b)) % CMS_P % BLOOM_M)
+                for a, b in zip(BLOOM_A, BLOOM_B)
+            ]
+        )
+        return df.select("user_id", F.explode(pos).alias("bit"))
+
+    bits = positions(members).select("bit").distinct()
+    probed = (
+        positions(probes)
+        .distinct()  # a key whose hashes collide probes one bit once
+        .join(
+            F.broadcast(bits.withColumn("hit", F.lit(1))), "bit", "left"
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pos"),
+            F.coalesce(F.sum("hit"), F.lit(0)).alias("n_hit"),
+        )
+        .withColumn("positive", (F.col("n_hit") == F.col("n_pos")).cast("int"))
+        .join(
+            members.withColumn("is_member", F.lit(1)), "user_id", "left"
+        )
+        .withColumn("is_member", F.coalesce(F.col("is_member"), F.lit(0)))
+    )
+    n_bits = bits.agg(F.count(F.lit(1)).alias("n_set_bits"))
+    # No-false-negative guarantee makes n_member_positives == n_members;
+    # the subtraction still uses the member-positive count so the output
+    # stays honest if the construction ever breaks (pytest pins equality).
+    fp = F.col("n_positives") - F.col("n_member_positives")
+    non_members = F.col("n_probes") - F.col("n_members")
+    return (
+        probed.agg(
+            F.count(F.lit(1)).alias("n_probes"),
+            F.sum("is_member").alias("n_members"),
+            F.sum("positive").alias("n_positives"),
+            F.sum(F.col("positive") * F.col("is_member")).alias(
+                "n_member_positives"
+            ),
+        )
+        .crossJoin(F.broadcast(n_bits))
+        .select(
+            "n_probes",
+            "n_members",
+            "n_set_bits",
+            "n_positives",
+            "n_member_positives",
+            fp.alias("n_false_positives"),
+            F.when(
+                non_members > 0,
+                F.round(fp.cast("double") / non_members, 6),
+            ).alias("fpp_observed"),
+        )
+    )
+
+
 def kmv_set_ops(
     events: DataFrame,
     k: int = KMV_K,

