@@ -449,3 +449,125 @@ def scd2_asof_enrichment(events: DataFrame) -> DataFrame:
         )
         .orderBy("attr_k")
     )
+
+
+def robust_daily_trend(events: DataFrame) -> DataFrame:
+    """AGG-10: robust per-type trend — Theil-Sen slope (median of all
+    pairwise day-count slopes; Sen, JASA 1968) plus the Mann-Kendall
+    S statistic (sum of pairwise count-difference signs), per event
+    type over the daily-count series.
+
+    AGG-7's OLS slope moves arbitrarily far under one corrupted day;
+    the Theil-Sen estimator has a 29.3% breakdown point and
+    Mann-Kendall gives the distribution-free trend direction — the
+    standard robust pair for "is this metric actually drifting".
+
+    Exactness: slopes are single BIGINT/INT divisions (bit-identical
+    IEEE cross-engine); the median is a deterministic ROW_NUMBER pick
+    (lower median, ordered by (slope, d1, d2)); S is an exact integer
+    sum of {-1, 0, 1}.
+
+    Scale shape: the corpus collapses to the (type, day) count table
+    FIRST (one combinable shuffle); the O(days^2) pair join runs on
+    that bounded aggregate only (365 days -> ~66k pairs per type-year,
+    broadcastable), never on the event stream. At longer horizons the
+    standard sub-quadratic refinement (repeated median over day
+    blocks) keeps the same plan shape.
+    """
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("date")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.date") < F.col("b.date")),
+        )
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            F.col("a.date").alias("d1"),
+            F.col("b.date").alias("d2"),
+            (F.col("b.n") - F.col("a.n")).alias("dn"),
+            F.datediff(F.col("b.date"), F.col("a.date")).alias("dd"),
+        )
+        .withColumn("slope", F.col("dn") / F.col("dd"))
+    )
+    wr = Window.partitionBy("event_type").orderBy("slope", "d1", "d2")
+    wp = Window.partitionBy("event_type")
+    med = (
+        pairs.withColumn("rn", F.row_number().over(wr))
+        .withColumn("n_pairs", F.count(F.lit(1)).over(wp))
+        .where(F.col("rn") == F.expr("(n_pairs + 1) div 2"))
+        .select("event_type", "slope")
+    )
+    sign = F.when(F.col("dn") > 0, 1).when(F.col("dn") < 0, -1).otherwise(0)
+    stats = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(sign).alias("mann_kendall_s"),
+    )
+    n_days = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days")
+    )
+    trend = (
+        F.when(F.col("mann_kendall_s") > 0, F.lit("increasing"))
+        .when(F.col("mann_kendall_s") < 0, F.lit("decreasing"))
+        .otherwise(F.lit("flat"))
+    )
+    return (
+        n_days.join(stats, "event_type")
+        .join(med, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "n_pairs",
+            F.round("slope", 6).alias("theil_sen_slope"),
+            "mann_kendall_s",
+            trend.alias("trend"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def weighted_median_price(lineitem: DataFrame) -> DataFrame:
+    """AGG-11: weighted median — per return flag, the smallest
+    extended price whose cumulative quantity weight reaches half the
+    total (the inventory-weighted "typical price" an unweighted
+    median misstates when cheap lines carry most of the volume).
+
+    Exactness: prices and quantities ride as DECIMAL(18,2) (exact
+    sums in any order), the half-total comparison is 2*cum >= total
+    in DECIMAL (no division), and equal prices aggregate BEFORE the
+    cumulative window so the pick is order-free.
+
+    Scale shape: one combinable (flag, price) pre-aggregation
+    collapses the fact table, then a bounded per-flag ordered window
+    over distinct prices; the standard at-scale variant (bucketed
+    quantile on a fixed price grid) keeps the same two-pass shape.
+    """
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    per_price = lineitem.groupBy(
+        "l_returnflag", price.alias("price")
+    ).agg(F.sum(qty).alias("w"))
+    wo = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wp = Window.partitionBy("l_returnflag")
+    cum = per_price.withColumn("cw", F.sum("w").over(wo)).withColumn(
+        "total", F.sum("w").over(wp)
+    )
+    eligible = cum.where(F.col("cw") * 2 >= F.col("total"))
+    wmin = Window.partitionBy("l_returnflag").orderBy("price")
+    return (
+        eligible.withColumn("rn", F.row_number().over(wmin))
+        .where(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("price").cast("double").alias("weighted_median_price"),
+            F.col("total").cast("double").alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )

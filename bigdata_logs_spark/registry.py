@@ -7343,6 +7343,162 @@ def q_bloom_membership(spark, sf_dir):
     return SK.bloom_membership(_events(spark, sf_dir))
 
 
+@register(
+    "robust_daily_trend",
+    """
+    WITH daily AS (
+      SELECT event_type, ts::DATE AS date, COUNT(*)::BIGINT AS n
+      FROM events GROUP BY 1, 2
+    ), pairs AS (
+      SELECT a.event_type, a.date AS d1, b.date AS d2,
+             (b.n - a.n)::BIGINT AS dn,
+             date_diff('day', a.date, b.date)::INT AS dd
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.date < b.date
+    ), sl AS (SELECT *, dn / dd AS slope FROM pairs
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY slope, d1, d2) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type)::BIGINT AS n_pairs
+      FROM sl
+    ), med AS (
+      SELECT event_type, slope FROM ranked WHERE rn = (n_pairs + 1) // 2
+    ), st AS (
+      SELECT event_type, COUNT(*)::BIGINT AS n_pairs,
+             SUM(CASE WHEN dn > 0 THEN 1 WHEN dn < 0 THEN -1 ELSE 0
+                 END)::BIGINT AS mann_kendall_s
+      FROM sl GROUP BY 1
+    ), nd AS (
+      SELECT event_type, COUNT(*)::BIGINT AS n_days FROM daily GROUP BY 1
+    )
+    SELECT nd.event_type, nd.n_days, st.n_pairs,
+           ROUND(med.slope, 6) AS theil_sen_slope, st.mann_kendall_s,
+           CASE WHEN st.mann_kendall_s > 0 THEN 'increasing'
+                WHEN st.mann_kendall_s < 0 THEN 'decreasing'
+                ELSE 'flat' END AS trend
+    FROM nd JOIN st USING (event_type) JOIN med USING (event_type)
+    ORDER BY event_type
+    """,
+    tags=("AGG-10",),
+)
+def q_robust_daily_trend(spark, sf_dir):
+    """AGG-10 robust trend: Theil-Sen median slope + Mann-Kendall S
+    per event type over daily counts — the 29.3%-breakdown robust
+    pair beside AGG-7's outlier-fragile OLS; all pair math runs on
+    the bounded (type, day) aggregate, never the event stream."""
+    return AN.robust_daily_trend(_events(spark, sf_dir))
+
+
+@register(
+    "weighted_median_price",
+    """
+    WITH per_price AS (
+      SELECT l_returnflag, l_extendedprice::DECIMAL(18,2) AS price,
+             SUM(l_quantity::DECIMAL(18,2)) AS w
+      FROM lineitem GROUP BY 1, 2
+    ), cum AS (
+      SELECT *, SUM(w) OVER (PARTITION BY l_returnflag ORDER BY price
+                             ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(w) OVER (PARTITION BY l_returnflag) AS total
+      FROM per_price
+    ), eligible AS (SELECT * FROM cum WHERE cw * 2 >= total
+    )
+    SELECT l_returnflag,
+           MIN(price)::DOUBLE AS weighted_median_price,
+           MIN(total)::DOUBLE AS total_weight
+    FROM eligible GROUP BY 1 ORDER BY 1
+    """,
+    tags=("AGG-11",),
+)
+def q_weighted_median_price(spark, sf_dir):
+    """AGG-11 weighted median: smallest price whose cumulative
+    quantity weight reaches half the per-flag total — DECIMAL-exact
+    (2*cum >= total, no division), equal prices pre-aggregated so
+    the pick is order-free."""
+    return AN.weighted_median_price(load_table(spark, sf_dir, "lineitem"))
+
+
+_MULTISET_LEG = (
+    "SELECT user_id, event_type FROM events WHERE ts {op} "
+    "'2024-01-15 00:00:00'::TIMESTAMP"
+)
+
+
+@register(
+    "multiset_except_all",
+    f"""
+    WITH rem AS (
+      {_MULTISET_LEG.format(op='<')}
+      EXCEPT ALL
+      {_MULTISET_LEG.format(op='>=')}
+    )
+    SELECT event_type, COUNT(*)::BIGINT AS n_surplus_rows,
+           COUNT(DISTINCT user_id)::BIGINT AS n_users
+    FROM rem GROUP BY 1 ORDER BY 1
+    """,
+    tags=("SET-4",),
+)
+def q_multiset_except_all(spark, sf_dir):
+    """SET-4 EXCEPT ALL (multiset difference): per (user, type) the
+    first-half occurrences beyond the second half's count — bag
+    semantics SET-2's anti-join (existence only) cannot express.
+    Plans as one count-aggregate per leg joined on the key, so the
+    event table shuffles once per leg, pre-combined map-side."""
+    from pyspark.sql import functions as F
+
+    ev = _events(spark, sf_dir)
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    cols = ["user_id", "event_type"]
+    first = ev.filter(F.col("ts") < cut).select(cols)
+    second = ev.filter(F.col("ts") >= cut).select(cols)
+    return (
+        first.exceptAll(second)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_surplus_rows"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "multiset_intersect_all",
+    f"""
+    WITH rem AS (
+      {_MULTISET_LEG.format(op='<')}
+      INTERSECT ALL
+      {_MULTISET_LEG.format(op='>=')}
+    )
+    SELECT event_type, COUNT(*)::BIGINT AS n_common_rows,
+           COUNT(DISTINCT user_id)::BIGINT AS n_users
+    FROM rem GROUP BY 1 ORDER BY 1
+    """,
+    tags=("SET-5",),
+)
+def q_multiset_intersect_all(spark, sf_dir):
+    """SET-5 INTERSECT ALL (multiset intersection): min of the two
+    halves' occurrence counts per (user, type) — the bag twin of
+    SET-1's distinct INTERSECT; same one-shuffle-per-leg count-join
+    plan as SET-4."""
+    from pyspark.sql import functions as F
+
+    ev = _events(spark, sf_dir)
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    cols = ["user_id", "event_type"]
+    first = ev.filter(F.col("ts") < cut).select(cols)
+    second = ev.filter(F.col("ts") >= cut).select(cols)
+    return (
+        first.intersectAll(second)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_common_rows"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-certification order
 # ---------------------------------------------------------------------------

@@ -67,3 +67,75 @@ class TestBloomMembership:
         assert r.n_probes == r.n_members == 30
         assert r.n_false_positives == 0
         assert r.fpp_observed is None  # no non-members to misclassify
+
+
+class TestRobustDailyTrend:
+    def _ev_days(self, spark, counts, etype="a"):
+        import datetime
+
+        rows = []
+        i = 0
+        for day, n in enumerate(counts):
+            for _ in range(n):
+                rows.append(
+                    Row(
+                        event_id=i,
+                        user_id=1,
+                        event_type=etype,
+                        value=1.0,
+                        ts=datetime.datetime(2024, 1, 1 + day, 12, 0, 0),
+                    )
+                )
+                i += 1
+        return spark.createDataFrame(rows)
+
+    def test_clean_linear_series(self, spark):
+        from bigdata_logs_spark.operators import analytics as AN
+
+        out = AN.robust_daily_trend(self._ev_days(spark, [1, 2, 3, 4, 5]))
+        r = out.collect()[0]
+        assert r.theil_sen_slope == 1.0
+        assert r.mann_kendall_s == r.n_pairs == 10
+        assert r.trend == "increasing"
+
+    def test_one_wild_outlier_does_not_move_the_slope(self, spark):
+        from bigdata_logs_spark.operators import analytics as AN
+
+        # day 4 spikes to 50x: OLS slope would be dominated by it,
+        # the pairwise median stays on the underlying +1/day trend.
+        out = AN.robust_daily_trend(
+            self._ev_days(spark, [1, 2, 3, 150, 5, 6, 7, 8, 9])
+        )
+        r = out.collect()[0]
+        assert 0.5 <= r.theil_sen_slope <= 1.5
+        assert r.trend == "increasing"
+
+
+class TestWeightedMedian:
+    def test_volume_outweighs_row_count(self, spark):
+        from bigdata_logs_spark.operators import analytics as AN
+
+        li = spark.createDataFrame(
+            [
+                Row(l_returnflag="A", l_extendedprice=1.0, l_quantity=98.0),
+                Row(l_returnflag="A", l_extendedprice=100.0, l_quantity=1.0),
+                Row(l_returnflag="A", l_extendedprice=1000.0, l_quantity=1.0),
+            ]
+        )
+        r = AN.weighted_median_price(li).collect()[0]
+        # 98 of 100 units are the cheap line: the weighted median is
+        # its price, where the unweighted row median would say 100.
+        assert r.weighted_median_price == 1.0
+        assert r.total_weight == 100.0
+
+    def test_half_total_boundary_picks_lower(self, spark):
+        from bigdata_logs_spark.operators import analytics as AN
+
+        li = spark.createDataFrame(
+            [
+                Row(l_returnflag="A", l_extendedprice=10.0, l_quantity=1.0),
+                Row(l_returnflag="A", l_extendedprice=20.0, l_quantity=1.0),
+            ]
+        )
+        r = AN.weighted_median_price(li).collect()[0]
+        assert r.weighted_median_price == 10.0  # 2*cum == total qualifies
