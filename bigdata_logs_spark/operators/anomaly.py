@@ -531,3 +531,49 @@ def cusum_changepoints(events: DataFrame) -> DataFrame:
         "cusum_neg",
         flagged.alias("flagged"),
     ).orderBy("event_type", "date")
+
+
+def benford_first_digit(orders: DataFrame) -> DataFrame:
+    """AD-10: Benford first-digit conformance (Newcomb 1881 / Benford
+    1938) — the leading-digit distribution of order totals against
+    log10(1 + 1/d), with per-digit chi-square contributions; the
+    classic fabricated-amounts screen (invented numbers are uniform-
+    ish in the lead digit, organic multiplicative amounts are not).
+
+    Exactness: amounts become exact DECIMAL cents (BIGINT), the lead
+    digit is the first character of the integer's decimal string
+    (never float log10 of the value), expected probabilities are
+    ln-ratio chains (ln is bit-identical cross-engine), and chi-square
+    terms are short fixed-order double chains over exact integers.
+
+    Scale shape: one map-side-combinable 9-group aggregation over a
+    narrow projection; everything after runs on 9 rows.
+    """
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    digit = F.substring(F.col("cents").cast("string"), 1, 1).cast("int")
+    obs = (
+        orders.select(cents.alias("cents"))
+        .where(F.col("cents") > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    total = obs.agg(F.sum("n_obs").alias("n_total"))
+    p = F.log((F.col("digit") + 1) / F.col("digit")) / F.log(F.lit(10.0))
+    expected = F.col("n_total") * p
+    chi2 = (
+        (F.col("n_obs") - expected)
+        * (F.col("n_obs") - expected)
+        / expected
+    )
+    return (
+        obs.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n_obs",
+            F.round(F.col("n_obs") / F.col("n_total"), 6).alias("obs_p"),
+            F.round(p, 6).alias("benford_p"),
+            F.round(chi2, 4).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )

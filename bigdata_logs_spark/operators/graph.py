@@ -266,3 +266,53 @@ def token_graph_triangles(docs: DataFrame) -> DataFrame:
             ).alias("clustering_coeff"),
         )
     )
+
+
+def token_graph_kcore(docs: DataFrame, k: int = 3, rounds: int = 4) -> DataFrame:
+    """G-5: k-core peeling profile (Seidman 1983; Batagelj-Zaversnik
+    peel) — ``rounds`` fixed rounds of "drop every vertex with degree
+    < k" on the token-adjacency graph, reporting surviving node/edge
+    counts per round; the cohesion ladder that separates a corpus's
+    densely interlinked core vocabulary from hapax fringe (round 0 is
+    the whole graph, the fixed point is the k-core).
+
+    The round count is FIXED, not run-to-convergence, so the output
+    is deterministic and the oracle can replay the identical unrolled
+    peels; once the peel converges, further rounds are no-ops, so a
+    converged profile shows equal tail rows (visible in the output
+    rather than hidden behind a raised error).
+
+    Scale shape: each round is one degree aggregation + two hash
+    semi-joins on the CACHED vocabulary-sized edge list (the corpus
+    is scanned exactly once, by the edge build); the peel count is a
+    constant, so the lineage is bounded and checkpoint-free.
+    """
+    edges = tracked_cache(
+        token_adjacency_edges(docs).select("src", "dst")
+    )
+    rows = []
+    cur = edges
+    for rnd in range(rounds + 1):
+        stats = cur.agg(
+            F.lit(rnd).alias("round"),
+            F.countDistinct("src").alias("n_nodes"),
+            (F.count(F.lit(1)) / 2).cast("bigint").alias("n_edges"),
+        )
+        rows.append(stats)
+        if rnd == rounds:
+            break
+        alive = (
+            cur.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .where(F.col("deg") >= k)
+            .select("src")
+        )
+        cur = tracked_cache(
+            cur.join(alive, "src", "left_semi")
+            .join(alive.withColumnRenamed("src", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("round")

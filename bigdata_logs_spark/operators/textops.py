@@ -979,3 +979,160 @@ def duplicate_ngram_fraction(docs: DataFrame, k: int = 3) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def confusable_usernames(parsed: DataFrame) -> DataFrame:
+    """T-24: one-keystroke confusable usernames — for every attempted
+    username, the count of OTHER attempted usernames within edit
+    distance 1 (the typo-squat / credential-stuffing signal: `admin`
+    vs `admln` attempts are one campaign, not two accounts).
+
+    Candidate generation is the FastSS / SymSpell deletion
+    neighbourhood (Bocek et al., 2007): each name emits itself plus
+    every single-character deletion as blocking keys; two names
+    within edit distance 1 ALWAYS share a key (substitution — both
+    delete the differing position; insertion/deletion — the longer
+    name's deletion equals the shorter name), so the equi-join on
+    keys has exact recall with NO all-pairs scan, then the built-in
+    `levenshtein` verifies. Output: one row per username with >= 1
+    confusable neighbour.
+
+    Scale shape: keys are linear in total name length; candidates are
+    bounded by per-key occupancy (names sharing a deletion), so the
+    self-join is an equi-join whose fan-out rides the key histogram —
+    the LSH candidate->verify discipline applied to edit distance.
+    """
+    users = (
+        parsed.where(F.col("user").isNotNull())
+        .groupBy(F.col("user").alias("name"))
+        .agg(F.count(F.lit(1)).alias("n_attempts"))
+    )
+    deletes = F.expr(
+        "array_union(array(name), transform(sequence(1, length(name)), "
+        "i -> concat(substring(name, 1, i - 1), substring(name, i + 1))))"
+    )
+    keyed = users.select(
+        "name", "n_attempts", F.explode(deletes).alias("k")
+    ).distinct()
+    a, b = keyed.alias("a"), keyed.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.name") != F.col("b.name")),
+        )
+        .select(
+            F.col("a.name").alias("name"),
+            F.col("a.n_attempts").alias("n_attempts"),
+            F.col("b.name").alias("neighbor"),
+        )
+        .distinct()
+        .where(F.levenshtein("name", "neighbor") == 1)
+    )
+    return (
+        pairs.groupBy("name", "n_attempts")
+        .agg(
+            F.count(F.lit(1)).alias("n_confusables"),
+            F.min("neighbor").alias("first_neighbor"),
+        )
+        .orderBy("name")
+    )
+
+
+def kwic_concordance(
+    docs: DataFrame, top_terms: int = 3, per_term: int = 50
+) -> DataFrame:
+    """T-25: keyword-in-context concordance — for the ``top_terms``
+    most frequent tokens, every occurrence with two tokens of left
+    and right context (the corpus-inspection view behind "why is this
+    token so frequent": boilerplate shows identical contexts, organic
+    usage varies), capped at ``per_term`` deterministic rows each.
+
+    Scale shape: the term list is a broadcast top-k; occurrence
+    extraction is one posexplode joined against it (corpus scanned
+    once, narrow); context slices are per-row array expressions — no
+    window over the corpus, and the per-term cap bounds the output.
+    """
+    from pyspark.sql import Window
+
+    toks = with_tokens(docs).where(F.size("tokens") > 0)
+    counts = (
+        toks.select(F.explode("tokens").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = (
+        counts.orderBy(F.desc("n"), "term")
+        .limit(top_terms)
+        .select("term")
+    )
+    occ = toks.select(
+        "doc_id", "tokens", F.posexplode("tokens").alias("pos0", "term")
+    ).withColumn("pos", F.col("pos0") + 1)
+    left = F.array_join(
+        F.slice(
+            F.col("tokens"),
+            F.greatest(F.col("pos") - 2, F.lit(1)),
+            F.col("pos") - F.greatest(F.col("pos") - 2, F.lit(1)),
+        ),
+        " ",
+    )
+    right = F.array_join(
+        F.slice(
+            F.col("tokens"),
+            F.col("pos") + 1,
+            F.least(F.lit(2), F.size("tokens") - F.col("pos")),
+        ),
+        " ",
+    )
+    w = Window.partitionBy("term").orderBy("doc_id", "pos")
+    return (
+        occ.join(F.broadcast(top), "term")
+        .select(
+            "term",
+            "doc_id",
+            "pos",
+            left.alias("left_ctx"),
+            right.alias("right_ctx"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= per_term)
+        .drop("rn")
+        .orderBy("term", "doc_id", "pos")
+    )
+
+
+def inverted_index_postings(docs: DataFrame, top_n: int = 20) -> DataFrame:
+    """PL-19: inverted-index construction — per token its document
+    frequency, total term frequency, and the first 10 doc ids of the
+    sorted posting list, for the ``top_n`` highest-df tokens (the
+    retrieval-side index a RAG/search pipeline builds over the
+    corpus; df/tf are also the raw inputs every BM25 variant needs).
+
+    Scale shape: one explode -> per-(token, doc) tf (combinable),
+    then one token-keyed aggregation; posting lists are capped at
+    build time (sorted set, first 10) so no unbounded array rides
+    the shuffle; top-k is TakeOrderedAndProject."""
+    tf = (
+        with_tokens(docs)
+        .select("doc_id", F.explode("tokens").alias("token"))
+        .groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    posting = F.array_join(
+        F.transform(
+            F.slice(F.sort_array(F.collect_set("doc_id")), 1, 10),
+            lambda v: v.cast("string"),
+        ),
+        ",",
+    )
+    return (
+        tf.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("total_tf"),
+            posting.alias("postings_head"),
+        )
+        .orderBy(F.desc("df"), "token")
+        .limit(top_n)
+    )

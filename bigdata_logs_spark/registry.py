@@ -7499,6 +7499,186 @@ def q_multiset_intersect_all(spark, sf_dir):
     )
 
 
+_BENFORD_P = "(ln((digit + 1) / digit) / ln(10.0::DOUBLE))"
+
+
+@register(
+    "benford_first_digit",
+    f"""
+    WITH cents AS (
+      SELECT (o_totalprice::DECIMAL(18,2) * 100)::BIGINT AS cents
+      FROM orders
+    ), obs AS (
+      SELECT substr(cents::VARCHAR, 1, 1)::INT AS digit,
+             COUNT(*)::BIGINT AS n_obs
+      FROM cents WHERE cents > 0 GROUP BY 1
+    ), tot AS (SELECT SUM(n_obs)::BIGINT AS n_total FROM obs)
+    SELECT digit, n_obs,
+           ROUND(n_obs / n_total, 6) AS obs_p,
+           ROUND({_BENFORD_P}, 6) AS benford_p,
+           ROUND((n_obs - n_total * {_BENFORD_P})
+                 * (n_obs - n_total * {_BENFORD_P})
+                 / (n_total * {_BENFORD_P}), 4) AS chi2_term
+    FROM obs CROSS JOIN tot ORDER BY digit
+    """,
+    tags=("AD-10",),
+)
+def q_benford_first_digit(spark, sf_dir):
+    """AD-10 Benford conformance: leading-digit distribution of order
+    totals vs log10(1+1/d) with per-digit chi-square terms — lead
+    digits come from exact DECIMAL-cent strings (never float log10),
+    expected probs are bit-identical ln-ratio chains."""
+    from bigdata_logs_spark.operators import anomaly as AD
+
+    return AD.benford_first_digit(load_table(spark, sf_dir, "orders"))
+
+
+def _kcore_oracle(k: int = 3, rounds: int = 4) -> str:
+    base = (
+        TOKS_CTE
+        + """
+    , pairs AS (
+      SELECT unnest(tokens[:len(tokens)-1]) AS a, unnest(tokens[2:]) AS b
+      FROM toks WHERE len(tokens) >= 2
+    ), dir AS (
+      SELECT a AS src, b AS dst FROM pairs
+      UNION ALL SELECT b AS src, a AS dst FROM pairs
+    ), e0 AS (SELECT src, dst FROM dir GROUP BY 1, 2)
+    """
+    )
+    for r in range(1, rounds + 1):
+        base += f"""
+    , a{r} AS (SELECT src FROM e{r-1} GROUP BY src HAVING COUNT(*) >= {k})
+    , e{r} AS (
+      SELECT e.src, e.dst FROM e{r-1} e
+      JOIN a{r} x ON e.src = x.src JOIN a{r} y ON e.dst = y.src)
+    """
+    legs = [
+        f"""SELECT {r} AS round,
+            (SELECT COUNT(DISTINCT src)::BIGINT FROM e{r}) AS n_nodes,
+            (SELECT (COUNT(*) // 2)::BIGINT FROM e{r}) AS n_edges"""
+        for r in range(rounds + 1)
+    ]
+    return base + "\n    UNION ALL ".join(legs) + "\n    ORDER BY round"
+
+
+@register(
+    "token_graph_kcore",
+    _kcore_oracle(),
+    tags=("G-5",),
+)
+def q_token_graph_kcore(spark, sf_dir):
+    """G-5 k-core peel profile: four fixed rounds of drop-degree-<3
+    on the token graph, node/edge survivors per round — each round is
+    a degree agg + two semi-joins on the cached vocabulary-sized edge
+    list; the fixed round count keeps the output deterministic and
+    the oracle an identical unrolled replay."""
+    return G.token_graph_kcore(_docs(spark, sf_dir))
+
+
+@register(
+    "confusable_usernames",
+    SSH_PARSE_CTE
+    + """
+    , users AS (
+      SELECT user AS name, COUNT(*)::BIGINT AS n_attempts
+      FROM parsed WHERE user IS NOT NULL GROUP BY 1
+    ), keyed AS (
+      SELECT DISTINCT name, n_attempts, unnest(list_distinct(list_append(
+        list_transform(range(1, length(name) + 1),
+          i -> substr(name, 1, i - 1) || substr(name, i + 1)), name)))
+        AS k
+      FROM users
+    ), cand AS (
+      SELECT DISTINCT a.name, a.n_attempts, b.name AS neighbor
+      FROM keyed a JOIN keyed b ON a.k = b.k AND a.name != b.name
+    )
+    SELECT name, n_attempts, COUNT(*)::BIGINT AS n_confusables,
+           MIN(neighbor) AS first_neighbor
+    FROM cand WHERE levenshtein(name, neighbor) = 1
+    GROUP BY 1, 2 ORDER BY name
+    """,
+    tags=("T-24",),
+)
+def q_confusable_usernames(spark, sf_dir):
+    """T-24 one-keystroke confusable usernames: FastSS deletion-
+    neighbourhood blocking (exact recall for edit distance 1, no
+    all-pairs) + built-in levenshtein verify over the attempted-user
+    table — the typo-squat / credential-stuffing campaign signal."""
+    return TX.confusable_usernames(
+        parse_ssh_lines(_ssh_lines(spark, sf_dir))
+    )
+
+
+@register(
+    "kwic_concordance",
+    TOKS_CTE
+    + """
+    , nonempty AS (SELECT * FROM toks WHERE len(tokens) > 0
+    ), counts AS (
+      SELECT unnest(tokens) AS term FROM nonempty
+    ), top AS (
+      SELECT term, COUNT(*) AS n FROM counts
+      GROUP BY 1 ORDER BY n DESC, term LIMIT 3
+    ), occ AS (
+      SELECT doc_id, tokens,
+             unnest(range(1, len(tokens) + 1)) AS pos
+      FROM nonempty
+    ), hit AS (
+      SELECT t.term, o.doc_id, o.pos::INT AS pos,
+             COALESCE(array_to_string(list_slice(
+               o.tokens, greatest(o.pos - 2, 1), o.pos - 1), ' '), '')
+               AS left_ctx,
+             COALESCE(array_to_string(list_slice(
+               o.tokens, o.pos + 1, least(len(o.tokens), o.pos + 2)), ' '),
+               '') AS right_ctx
+      FROM occ o JOIN top t ON o.tokens[o.pos] = t.term
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY term ORDER BY doc_id, pos) AS rn
+      FROM hit
+    )
+    SELECT term, doc_id, pos, left_ctx, right_ctx
+    FROM ranked WHERE rn <= 50
+    ORDER BY term, doc_id, pos
+    """,
+    tags=("T-25",),
+)
+def q_kwic_concordance(spark, sf_dir):
+    """T-25 keyword-in-context concordance: every occurrence of the
+    top-3 corpus tokens with +/-2 tokens of context (capped at 50
+    deterministic rows per term) — broadcast term list, one narrow
+    posexplode pass, per-row context slices."""
+    return TX.kwic_concordance(_docs(spark, sf_dir))
+
+
+@register(
+    "inverted_index_postings",
+    TOKS_CTE
+    + """
+    , tfs AS (
+      SELECT doc_id, unnest(tokens) AS token FROM toks
+    ), per AS (
+      SELECT token, doc_id, COUNT(*)::BIGINT AS tf FROM tfs GROUP BY 1, 2
+    ), agg AS (
+      SELECT token, COUNT(*)::BIGINT AS df, SUM(tf)::BIGINT AS total_tf,
+             array_to_string(
+               list_slice(list_sort(list(doc_id)), 1, 10), ',')
+               AS postings_head
+      FROM per GROUP BY 1
+    )
+    SELECT * FROM agg ORDER BY df DESC, token LIMIT 20
+    """,
+    tags=("PL-19",),
+)
+def q_inverted_index_postings(spark, sf_dir):
+    """PL-19 inverted index: per-token df, total tf, and the first 10
+    sorted posting doc ids for the top-20 df tokens — the BM25-ready
+    retrieval index; posting lists are capped at build time so no
+    unbounded array rides the shuffle."""
+    return TX.inverted_index_postings(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Driver-certification order
 # ---------------------------------------------------------------------------

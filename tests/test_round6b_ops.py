@@ -139,3 +139,101 @@ class TestWeightedMedian:
         )
         r = AN.weighted_median_price(li).collect()[0]
         assert r.weighted_median_price == 10.0  # 2*cum == total qualifies
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [
+            Row(doc_id=i, lang="en", source="t", n_chars=len(t), text=t)
+            for i, t in enumerate(rows)
+        ]
+    )
+
+
+class TestBenford:
+    def test_hand_digits(self, spark):
+        from bigdata_logs_spark.operators import anomaly as AD
+
+        orders = spark.createDataFrame(
+            [
+                Row(o_orderkey=i, o_totalprice=v)
+                for i, v in enumerate([1.00, 19.99, 150.00, 90.50, 0.95])
+            ]
+        )
+        out = {r.digit: r for r in AD.benford_first_digit(orders).collect()}
+        # 1.00->100 cents->'1'; 19.99->1999->'1'; 150.00->15000->'1';
+        # 90.50->9050->'9'; 0.95->95->'9'
+        assert out[1].n_obs == 3 and out[9].n_obs == 2
+        assert set(out) == {1, 9}
+        assert abs(out[1].benford_p - 0.30103) < 1e-4
+        assert all(r.chi2_term >= 0 for r in out.values())
+
+
+class TestKCore:
+    def test_path_graph_peels_to_empty(self, spark):
+        from bigdata_logs_spark.operators import graph as G
+
+        out = {
+            r.round: r
+            for r in G.token_graph_kcore(_docs(spark, ["a b c d e"])).collect()
+        }
+        assert out[0].n_nodes == 5 and out[0].n_edges == 4
+        # every degree <= 2 < k=3: one peel empties the graph, and the
+        # remaining fixed rounds are visible no-ops
+        for rnd in (1, 2, 3, 4):
+            assert out[rnd].n_nodes == 0 and out[rnd].n_edges == 0
+
+    def test_survivors_monotone_on_testdata(self, spark, sf_dir):
+        from bigdata_logs_spark.operators import graph as G
+        from bigdata_logs_spark.sources import load_table
+
+        out = sorted(
+            G.token_graph_kcore(load_table(spark, sf_dir, "documents")).collect(),
+            key=lambda r: r.round,
+        )
+        nodes = [r.n_nodes for r in out]
+        assert nodes == sorted(nodes, reverse=True)
+
+
+class TestConfusableUsernames:
+    def test_hand_neighborhood(self, spark):
+        from bigdata_logs_spark.operators import textops as TX
+
+        parsed = spark.createDataFrame(
+            [Row(user=u) for u in ["admin", "admln", "admin2", "bob", "admin"]]
+        )
+        out = {r.name: r for r in TX.confusable_usernames(parsed).collect()}
+        assert out["admin"].n_confusables == 2  # admln (sub), admin2 (ins)
+        assert out["admin"].n_attempts == 2
+        assert out["admin"].first_neighbor == "admin2"
+        assert out["admln"].n_confusables == 1
+        assert "bob" not in out  # no neighbor within one keystroke
+
+
+class TestKwic:
+    def test_context_windows(self, spark):
+        from bigdata_logs_spark.operators import textops as TX
+
+        out = TX.kwic_concordance(
+            _docs(spark, ["a b c d e a"]), top_terms=1
+        ).collect()
+        # 'a' wins the tie (2 occurrences); contexts clip at the edges
+        assert [(r.pos, r.left_ctx, r.right_ctx) for r in out] == [
+            (1, "", "b c"),
+            (6, "d e", ""),
+        ]
+
+
+class TestInvertedIndex:
+    def test_df_tf_and_postings(self, spark):
+        from bigdata_logs_spark.operators import textops as TX
+
+        out = {
+            r.token: r
+            for r in TX.inverted_index_postings(
+                _docs(spark, ["x x y", "x z", "z q"])
+            ).collect()
+        }
+        assert out["x"].df == 2 and out["x"].total_tf == 3
+        assert out["x"].postings_head == "0,1"
+        assert out["z"].postings_head == "1,2"
