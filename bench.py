@@ -323,6 +323,11 @@ def main() -> None:
         "confusable_usernames",
         "kwic_concordance",
         "inverted_index_postings",
+        "normalization_dedup",
+        "bfs_reachability",
+        "knn_diversity",
+        "modal_activity_profile",
+        "holt_linear_trend",
     ]
     extended: dict[str, float] = {}
     for name in EXTENDED:

@@ -571,3 +571,95 @@ def weighted_median_price(lineitem: DataFrame) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+def modal_activity_profile(events: DataFrame) -> DataFrame:
+    """AGG-12: statistical mode per group — each event type's modal
+    hour-of-day and modal day-of-week with their counts (the "when
+    does this signal fire" profile; AVG on a circular quantity like
+    hour is meaningless, the mode is the honest central tendency).
+
+    Determinism: ties break by the smaller hour/dow; day-of-week is
+    the arithmetic (days-since-epoch + 3) % 7 (Monday=0), never an
+    engine dow function (Spark and DuckDB disagree on week start).
+
+    Scale shape: two combinable (type, unit) counts, each followed by
+    a window over the tiny aggregate; output is one row per type."""
+    days = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+    dow = ((days + 3) % 7).cast("int")
+
+    def modal(unit_col, unit_name):
+        counts = events.groupBy(
+            "event_type", unit_col.alias(unit_name)
+        ).agg(F.count(F.lit(1)).alias("n"))
+        w = Window.partitionBy("event_type").orderBy(
+            F.desc("n"), F.asc(unit_name)
+        )
+        return (
+            counts.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(
+                "event_type",
+                F.col(unit_name).alias(f"modal_{unit_name}"),
+                F.col("n").alias(f"n_at_modal_{unit_name}"),
+            )
+        )
+    return (
+        modal(F.hour("ts").cast("int"), "hour")
+        .join(modal(dow, "dow"), "event_type")
+        .orderBy("event_type")
+    )
+
+
+def holt_linear_trend(events: DataFrame) -> DataFrame:
+    """W-12: Holt's linear-trend double exponential smoothing (Holt
+    1957) over each type's daily-count series, alpha = beta = 0.5 —
+    the level+trend forecast one step ahead, where W-7's single EWMA
+    tracks level only and lags every ramp.
+
+    Exactness: alpha = 0.5 makes every smoothing multiply an exact
+    halving; the recursion is a LEFT FOLD over the date-sorted count
+    array with the identical operand order in the DuckDB oracle's
+    recursive CTE, so each (level, trend) state is bit-identical
+    IEEE cross-engine. Init per the standard convention: l_2 = y_2,
+    b_2 = y_2 - y_1; types with < 2 days report NULLs.
+
+    Scale shape: the corpus collapses to (type, day) counts first;
+    the inherently sequential fold runs per type over a bounded
+    array (days-per-type), the same declared trade as W-10's
+    interpolation — at 100 TB the series tables are still tiny."""
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("date")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    arr = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("date", "y"))).alias("vals")
+    )
+    fold = F.expr(
+        """
+        aggregate(
+          slice(vals, 3, greatest(size(vals) - 2, 0)),
+          struct(element_at(vals, 2).y AS l,
+                 element_at(vals, 2).y - element_at(vals, 1).y AS b),
+          (acc, x) -> struct(
+            CAST(0.5 AS DOUBLE) * x.y
+              + CAST(0.5 AS DOUBLE) * (acc.l + acc.b) AS l,
+            CAST(0.5 AS DOUBLE) * ((CAST(0.5 AS DOUBLE) * x.y
+              + CAST(0.5 AS DOUBLE) * (acc.l + acc.b)) - acc.l)
+              + CAST(0.5 AS DOUBLE) * acc.b AS b))
+        """
+    )
+    return (
+        arr.select(
+            "event_type",
+            F.size("vals").alias("n_days"),
+            F.when(F.size("vals") >= 2, fold).alias("st"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            F.round(F.col("st.l"), 4).alias("level"),
+            F.round(F.col("st.b"), 4).alias("trend"),
+            F.round(F.col("st.l") + F.col("st.b"), 4).alias("forecast_next"),
+        )
+        .orderBy("event_type")
+    )

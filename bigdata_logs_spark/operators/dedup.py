@@ -924,3 +924,43 @@ def winnowing_overlap(
         .filter(F.col("n_shared") >= min_shared)
         .orderBy("doc_a", "doc_b")
     )
+
+
+def normalization_dedup(docs: DataFrame) -> DataFrame:
+    """DD-16: normalization-aware exact dedup audit — per source, how
+    many additional duplicate groups appear once text is canonicalized
+    (casefold, strip non-alphanumerics, collapse whitespace) before
+    hashing; the cheap tier between byte-exact DD-1 and shingled DD-2
+    that catches trivial reformattings ("Hello, World!" vs
+    "hello world") a byte hash misses.
+
+    Scale shape: the normalization is a narrow per-row expression
+    chain; only 128-bit digests enter the two countDistinct shuffles
+    (text never leaves the scan); output is one row per source.
+    """
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.lower(F.trim(F.col("text"))), "[^a-z0-9 ]", ""
+            ),
+            " +",
+            " ",
+        )
+    )
+    hashed = docs.select(
+        "source",
+        F.md5(F.col("text")).alias("raw_h"),
+        F.md5(norm).alias("norm_h"),
+    )
+    return (
+        hashed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("raw_h").alias("n_raw_distinct"),
+            F.countDistinct("norm_h").alias("n_norm_distinct"),
+            (F.countDistinct("raw_h") - F.countDistinct("norm_h")).alias(
+                "n_groups_merged_by_norm"
+            ),
+        )
+        .orderBy("source")
+    )

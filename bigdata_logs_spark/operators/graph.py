@@ -316,3 +316,50 @@ def token_graph_kcore(docs: DataFrame, k: int = 3, rounds: int = 4) -> DataFrame
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("round")
+
+
+def bfs_reachability(docs: DataFrame, hops: int = 4) -> DataFrame:
+    """G-6: BFS reachability profile — breadth-first expansion from
+    the top-degree token for a FIXED number of hops, reporting newly
+    reached vocabulary per hop (the how-connected-is-the-core probe;
+    a small-world token graph reaches most of the vocabulary in 2-3
+    hops, a fragmented one doesn't).
+
+    Scale shape: frontier expansion is one equi-join of the (cached,
+    vocabulary-sized) edge list against the previous frontier plus an
+    anti-join against the visited set per hop; the hop count is fixed
+    so lineage is bounded and the oracle replays identical unrolled
+    rounds. The seed pick (max degree, token tiebreak) is ONE
+    aggregation, deterministic cross-engine.
+    """
+    edges = tracked_cache(token_adjacency_edges(docs).select("src", "dst"))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    seed = deg.orderBy(F.desc("deg"), "src").limit(1).select("src")
+    visited = tracked_cache(seed)
+    frontier = visited
+    rows = [
+        frontier.agg(
+            F.lit(0).alias("hop"), F.count(F.lit(1)).alias("n_new_nodes")
+        )
+    ]
+    for hop in range(1, hops + 1):
+        nxt = tracked_cache(
+            edges.join(
+                frontier.withColumnRenamed("src", "f"),
+                F.col("src") == F.col("f"),
+            )
+            .select(F.col("dst").alias("src"))
+            .distinct()
+            .join(visited, "src", "left_anti")
+        )
+        rows.append(
+            nxt.agg(
+                F.lit(hop).alias("hop"), F.count(F.lit(1)).alias("n_new_nodes")
+            )
+        )
+        visited = tracked_cache(visited.unionByName(nxt).distinct())
+        frontier = nxt
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("hop")

@@ -1382,3 +1382,64 @@ def binary_knn(
         .select("query_id", "rank", "neighbor_id", "hamming", "cosine")
         .orderBy("query_id", "rank")
     )
+
+
+def knn_diversity(emb: DataFrame, n_queries: int = 5, k: int = 5) -> DataFrame:
+    """E-20: intra-list diversity of the top-k results — for each
+    query, the mean and minimum pairwise cosine among its k
+    neighbours (the redundancy metric behind result diversification:
+    a list of five near-duplicates scores ~1.0 mean, a diverse list
+    much lower; MMR-style re-rankers optimize exactly this trade).
+
+    Exactness: each pairwise cosine is the E-2 ROUND(...,6) value,
+    then quantized to micro-units (BIGINT) before the mean so the
+    k*(k-1)/2-term sum is an exact integer reduction in any order.
+
+    Scale shape: the neighbour lists are (queries x k) rows; the
+    pair join is rank_a < rank_b INSIDE a query (bounded fan-out
+    k^2/2), and the two embedding fetches are equi-joins on vec_id —
+    semi-join-shaped lookups, never a corpus scan."""
+    nbrs = knn_brute_force(emb, n_queries=n_queries, k=k).select(
+        "query_id", "rank", "neighbor_id"
+    )
+    a, b = nbrs.alias("a"), nbrs.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.query_id") == F.col("b.query_id"))
+        & (F.col("a.rank") < F.col("b.rank")),
+    ).select(
+        F.col("a.query_id").alias("query_id"),
+        F.col("a.neighbor_id").alias("na"),
+        F.col("b.neighbor_id").alias("nb"),
+    )
+    ea = emb.select(F.col("vec_id").alias("na"), F.col("embedding").alias("va"))
+    eb = emb.select(F.col("vec_id").alias("nb"), F.col("embedding").alias("vb"))
+    cos = F.round(
+        _dot("va", "vb")
+        / (F.sqrt(_dot("va", "va")) * F.sqrt(_dot("vb", "vb"))),
+        6,
+    )
+    scored = (
+        pairs.join(ea, "na")
+        .join(eb, "nb")
+        .select(
+            "query_id",
+            # round to the integer before the BIGINT cast: the *1e6
+            # scaling of a 6dp-rounded cosine is within 1e-9 of an
+            # integer but not exactly one, and Spark casts truncate
+            # while DuckDB casts round
+            F.round(cos * 1000000.0, 0).cast("bigint").alias("cos_q"),
+            cos.alias("cosine"),
+        )
+    )
+    return (
+        scored.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.sum("cos_q") / F.count(F.lit(1)) / 1000000.0, 6).alias(
+                "mean_pairwise_cosine"
+            ),
+            F.min("cosine").alias("min_pairwise_cosine"),
+        )
+        .orderBy("query_id")
+    )

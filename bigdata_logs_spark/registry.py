@@ -7679,6 +7679,212 @@ def q_inverted_index_postings(spark, sf_dir):
     return TX.inverted_index_postings(_docs(spark, sf_dir))
 
 
+_NORM_H = (
+    "md5(trim(regexp_replace(regexp_replace(lower(trim(text)), "
+    "'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))"
+)
+
+
+@register(
+    "normalization_dedup",
+    f"""
+    SELECT source, COUNT(*)::BIGINT AS n_docs,
+           COUNT(DISTINCT md5(text))::BIGINT AS n_raw_distinct,
+           COUNT(DISTINCT {_NORM_H})::BIGINT AS n_norm_distinct,
+           (COUNT(DISTINCT md5(text)) - COUNT(DISTINCT {_NORM_H}))::BIGINT
+             AS n_groups_merged_by_norm
+    FROM documents GROUP BY 1 ORDER BY 1
+    """,
+    tags=("DD-16",),
+)
+def q_normalization_dedup(spark, sf_dir):
+    """DD-16 normalization-aware exact dedup: per source, duplicate
+    groups surfaced by casefold + punctuation-strip + whitespace
+    collapse before hashing — the cheap tier between byte-exact DD-1
+    and shingled DD-2; only digests shuffle."""
+    return DD.normalization_dedup(_docs(spark, sf_dir))
+
+
+def _bfs_oracle(hops: int = 4) -> str:
+    base = (
+        TOKS_CTE
+        + """
+    , pairs AS (
+      SELECT unnest(tokens[:len(tokens)-1]) AS a, unnest(tokens[2:]) AS b
+      FROM toks WHERE len(tokens) >= 2
+    ), dir AS (
+      SELECT a AS src, b AS dst FROM pairs
+      UNION ALL SELECT b AS src, a AS dst FROM pairs
+    ), e0 AS (SELECT src, dst FROM dir GROUP BY 1, 2
+    ), deg AS (SELECT src, COUNT(*)::BIGINT AS deg FROM e0 GROUP BY 1
+    ), f0 AS (SELECT src FROM deg ORDER BY deg DESC, src LIMIT 1
+    ), v0 AS (SELECT src FROM f0)
+    """
+    )
+    for h in range(1, hops + 1):
+        base += f"""
+    , f{h} AS (
+      SELECT DISTINCT e.dst AS src FROM e0 e
+      JOIN f{h-1} f ON e.src = f.src
+      EXCEPT SELECT src FROM v{h-1})
+    , v{h} AS (SELECT src FROM v{h-1} UNION SELECT src FROM f{h})
+    """
+    legs = [
+        f"SELECT {h} AS hop, "
+        f"(SELECT COUNT(*)::BIGINT FROM f{h}) AS n_new_nodes"
+        for h in range(hops + 1)
+    ]
+    return base + "\n    UNION ALL ".join(legs) + "\n    ORDER BY hop"
+
+
+@register(
+    "bfs_reachability",
+    _bfs_oracle(),
+    tags=("G-6",),
+)
+def q_bfs_reachability(spark, sf_dir):
+    """G-6 BFS reachability profile: fixed-hop frontier expansion
+    from the top-degree token on the cached edge list — newly
+    reached vocabulary per hop, the small-world connectivity probe
+    next to G-3's degree histogram."""
+    return G.bfs_reachability(_docs(spark, sf_dir))
+
+
+@register(
+    "knn_diversity",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS q_emb
+      FROM embeddings WHERE vec_id < 5
+    ), scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             ROUND({DOT_SQL.format(a='q.q_emb', b='c.embedding')}
+                   / (SQRT({DOT_SQL.format(a='q.q_emb', b='q.q_emb')})
+                      * SQRT({DOT_SQL.format(a='c.embedding', b='c.embedding')})), 6)
+               AS cosine
+      FROM q CROSS JOIN embeddings c
+      WHERE q.query_id != c.vec_id
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ), nbr AS (
+      SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 5
+    ), pr AS (
+      SELECT a.query_id, a.neighbor_id AS na, b.neighbor_id AS nb
+      FROM nbr a JOIN nbr b
+        ON a.query_id = b.query_id AND a.rank < b.rank
+    ), sc AS (
+      SELECT pr.query_id,
+             ROUND({DOT_SQL.format(a='ea.embedding', b='eb.embedding')}
+                   / (SQRT({DOT_SQL.format(a='ea.embedding', b='ea.embedding')})
+                      * SQRT({DOT_SQL.format(a='eb.embedding', b='eb.embedding')})), 6)
+               AS cosine
+      FROM pr JOIN embeddings ea ON pr.na = ea.vec_id
+              JOIN embeddings eb ON pr.nb = eb.vec_id
+    )
+    SELECT query_id, COUNT(*)::BIGINT AS n_pairs,
+           ROUND(SUM(ROUND(cosine * 1000000.0, 0)::BIGINT)::BIGINT
+                 / COUNT(*) / 1000000.0, 6) AS mean_pairwise_cosine,
+           MIN(cosine) AS min_pairwise_cosine
+    FROM sc GROUP BY 1 ORDER BY 1
+    """,
+    tags=("E-20",),
+)
+def q_knn_diversity(spark, sf_dir):
+    """E-20 intra-list diversity: mean/min pairwise cosine among each
+    query's top-5 neighbours (the redundancy metric MMR re-rankers
+    optimize) — bounded k^2/2 pair fan-out inside a query, embedding
+    fetches as vec_id equi-joins, micro-unit-quantized exact mean."""
+    return SIM.knn_diversity(_emb(spark, sf_dir))
+
+
+@register(
+    "modal_activity_profile",
+    """
+    WITH hours AS (
+      SELECT event_type, hour(ts)::INT AS hour, COUNT(*)::BIGINT AS n
+      FROM events GROUP BY 1, 2
+    ), mh AS (
+      SELECT event_type, hour, n, ROW_NUMBER() OVER (
+        PARTITION BY event_type ORDER BY n DESC, hour) AS rn
+      FROM hours
+    ), dows AS (
+      SELECT event_type,
+             ((ts::DATE - DATE '1970-01-01' + 3) % 7)::INT AS dow,
+             COUNT(*)::BIGINT AS n
+      FROM events GROUP BY 1, 2
+    ), md AS (
+      SELECT event_type, dow, n, ROW_NUMBER() OVER (
+        PARTITION BY event_type ORDER BY n DESC, dow) AS rn
+      FROM dows
+    )
+    SELECT event_type, mh.hour AS modal_hour,
+           mh.n AS n_at_modal_hour, md.dow AS modal_dow,
+           md.n AS n_at_modal_dow
+    FROM mh JOIN md USING (event_type)
+    WHERE mh.rn = 1 AND md.rn = 1
+    ORDER BY event_type
+    """,
+    tags=("AGG-12",),
+)
+def q_modal_activity_profile(spark, sf_dir):
+    """AGG-12 statistical mode: each type's modal hour and day-of-week
+    (smaller-unit tiebreak; arithmetic epoch dow, Monday=0 — engine
+    dow functions disagree on week start) — two combinable counts +
+    windows over tiny aggregates."""
+    return AN.modal_activity_profile(_events(spark, sf_dir))
+
+
+@register(
+    "holt_linear_trend",
+    """
+    WITH RECURSIVE daily AS (
+      SELECT event_type, ts::DATE AS date, COUNT(*)::DOUBLE AS y
+      FROM events GROUP BY 1, 2
+    ), idx AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY date) AS t,
+             COUNT(*) OVER (PARTITION BY event_type)::BIGINT AS n_days
+      FROM daily
+    ), init AS (
+      SELECT a.event_type, b.y AS y2, a.y AS y1
+      FROM idx a JOIN idx b
+        ON a.event_type = b.event_type AND a.t = 1 AND b.t = 2
+    ), rec AS (
+      SELECT event_type, 2 AS t, y2 AS l, y2 - y1 AS b FROM init
+      UNION ALL
+      SELECT r.event_type, r.t + 1,
+             0.5::DOUBLE * d.y + 0.5::DOUBLE * (r.l + r.b),
+             0.5::DOUBLE * ((0.5::DOUBLE * d.y
+               + 0.5::DOUBLE * (r.l + r.b)) - r.l) + 0.5::DOUBLE * r.b
+      FROM rec r JOIN idx d
+        ON d.event_type = r.event_type AND d.t = r.t + 1
+    ), fin AS (
+      SELECT event_type, MAX(t) AS t_last FROM rec GROUP BY 1
+    ), last AS (
+      SELECT r.event_type, r.l, r.b
+      FROM rec r JOIN fin f
+        ON r.event_type = f.event_type AND r.t = f.t_last
+    )
+    SELECT i.event_type, i.n_days,
+           ROUND(last.l, 4) AS level, ROUND(last.b, 4) AS trend,
+           ROUND(last.l + last.b, 4) AS forecast_next
+    FROM (SELECT DISTINCT event_type, n_days FROM idx) i
+    LEFT JOIN last USING (event_type)
+    ORDER BY i.event_type
+    """,
+    tags=("W-12",),
+)
+def q_holt_linear_trend(spark, sf_dir):
+    """W-12 Holt double exponential smoothing (alpha=beta=0.5): per
+    type level+trend+one-step forecast over daily counts — exact-
+    halving smoothing makes the per-type fold bit-identical to the
+    oracle's recursive CTE replay; series tables stay tiny at any
+    corpus scale."""
+    return AN.holt_linear_trend(_events(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Driver-certification order
 # ---------------------------------------------------------------------------
@@ -7739,6 +7945,11 @@ _DRIVER_FIRST = [
     "confusable_usernames",
     "kwic_concordance",
     "inverted_index_postings",
+    "normalization_dedup",
+    "bfs_reachability",
+    "knn_diversity",
+    "modal_activity_profile",
+    "holt_linear_trend",
     # latest driver row is round 1 (stalest certified block)
     "events_of_type",
     "entity_hourly_activity",

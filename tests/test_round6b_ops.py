@@ -237,3 +237,112 @@ class TestInvertedIndex:
         assert out["x"].df == 2 and out["x"].total_tf == 3
         assert out["x"].postings_head == "0,1"
         assert out["z"].postings_head == "1,2"
+
+
+class TestNormalizationDedup:
+    def test_reformatted_docs_merge(self, spark):
+        from bigdata_logs_spark.operators import dedup as DD
+
+        docs = _docs(
+            spark,
+            ["Hello, World!", "hello world", "hello  world ", "unique"],
+        )
+        r = DD.normalization_dedup(docs).collect()[0]
+        assert r.n_docs == 4
+        assert r.n_raw_distinct == 4
+        assert r.n_norm_distinct == 2  # three hello-worlds collapse
+        assert r.n_groups_merged_by_norm == 2
+
+
+class TestBfsReachability:
+    def test_path_graph_hops(self, spark):
+        from bigdata_logs_spark.operators import graph as G
+
+        out = {
+            r.hop: r.n_new_nodes
+            for r in G.bfs_reachability(_docs(spark, ["a b c d e"])).collect()
+        }
+        # degree tie among b/c/d breaks to 'b'; expansion 2,1,1 then dry
+        assert out == {0: 1, 1: 2, 2: 1, 3: 1, 4: 0}
+
+
+class TestKnnDiversity:
+    def test_identical_neighbors_score_one(self, spark):
+        from bigdata_logs_spark.operators import similarity as SIM
+
+        rows = [Row(vec_id=0, embedding=[1.0, 0.0], label=0)]
+        rows += [
+            Row(vec_id=i, embedding=[0.0, float(i)], label=1)
+            for i in range(1, 6)
+        ]
+        out = SIM.knn_diversity(
+            spark.createDataFrame(rows), n_queries=1, k=5
+        ).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r.n_pairs == 10
+        assert r.mean_pairwise_cosine == 1.0
+        assert r.min_pairwise_cosine == 1.0
+
+
+class TestModalProfile:
+    def test_hand_mode_and_ties(self, spark):
+        import datetime
+
+        from bigdata_logs_spark.operators import analytics as AN
+
+        # 2024-01-01 is a Monday -> dow 0 under the epoch+3 convention
+        mk = lambda d, h: datetime.datetime(2024, 1, d, h, 0, 0)
+        ev = spark.createDataFrame(
+            [
+                Row(event_id=0, event_type="a", ts=mk(1, 5)),
+                Row(event_id=1, event_type="a", ts=mk(1, 5)),
+                Row(event_id=2, event_type="a", ts=mk(2, 9)),
+            ]
+        )
+        r = AN.modal_activity_profile(ev).collect()[0]
+        assert r.modal_hour == 5 and r.n_at_modal_hour == 2
+        assert r.modal_dow == 0 and r.n_at_modal_dow == 2
+
+
+class TestHoltLinearTrend:
+    def test_matches_python_recursion(self, spark):
+        import datetime
+
+        from bigdata_logs_spark.operators import analytics as AN
+
+        counts = [3, 1, 4, 1, 5, 9, 2, 6]
+        rows = []
+        eid = 0
+        for day, n in enumerate(counts):
+            for _ in range(n):
+                rows.append(
+                    Row(
+                        event_id=eid,
+                        event_type="a",
+                        ts=datetime.datetime(2024, 1, 1 + day, 12, 0, 0),
+                    )
+                )
+                eid += 1
+        r = AN.holt_linear_trend(spark.createDataFrame(rows)).collect()[0]
+        l, b = float(counts[1]), float(counts[1] - counts[0])
+        for y in counts[2:]:
+            l_new = 0.5 * y + 0.5 * (l + b)
+            b = 0.5 * (l_new - l) + 0.5 * b
+            l = l_new
+        assert r.level == round(l, 4)
+        assert r.trend == round(b, 4)
+        assert r.forecast_next == round(l + b, 4)
+
+    def test_single_day_series_reports_null(self, spark):
+        import datetime
+
+        from bigdata_logs_spark.operators import analytics as AN
+
+        ev = spark.createDataFrame(
+            [Row(event_id=0, event_type="a",
+                 ts=datetime.datetime(2024, 1, 1, 12, 0, 0))]
+        )
+        r = AN.holt_linear_trend(ev).collect()[0]
+        assert r.n_days == 1
+        assert r.level is None and r.trend is None and r.forecast_next is None
