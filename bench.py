@@ -171,6 +171,7 @@ UNBENCHED = [
     "quality_dedup_survivors",
     # streaming family: drain throughput is bench_streaming's metric
     "streaming_near_dup_pairs",
+    "streaming_cms_heavy_hitters",
 ]
 
 
@@ -328,6 +329,7 @@ def main() -> None:
         "knn_diversity",
         "modal_activity_profile",
         "holt_linear_trend",
+        "corpus_dedup_funnel",
     ]
     extended: dict[str, float] = {}
     for name in EXTENDED:

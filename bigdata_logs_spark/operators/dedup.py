@@ -926,6 +926,19 @@ def winnowing_overlap(
     )
 
 
+def norm_text_col(col: str = "text"):
+    """The DD-16 canonicalization chain: casefold, strip
+    non-alphanumerics, collapse whitespace, trim — shared by the
+    dedup audit and the PL-20 funnel so the two can't drift."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.trim(F.col(col))), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+
+
 def normalization_dedup(docs: DataFrame) -> DataFrame:
     """DD-16: normalization-aware exact dedup audit — per source, how
     many additional duplicate groups appear once text is canonicalized
@@ -938,15 +951,7 @@ def normalization_dedup(docs: DataFrame) -> DataFrame:
     chain; only 128-bit digests enter the two countDistinct shuffles
     (text never leaves the scan); output is one row per source.
     """
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(
-                F.lower(F.trim(F.col("text"))), "[^a-z0-9 ]", ""
-            ),
-            " +",
-            " ",
-        )
-    )
+    norm = norm_text_col()
     hashed = docs.select(
         "source",
         F.md5(F.col("text")).alias("raw_h"),

@@ -732,3 +732,68 @@ def token_budget_allocation(docs: DataFrame, budget: int = 100_000) -> DataFrame
         )
         .orderBy("source")
     )
+
+
+def corpus_dedup_funnel(docs: DataFrame) -> DataFrame:
+    """PL-20: the dedup funnel — documents and tokens surviving each
+    successive dedup tier (raw -> byte-exact -> normalized-exact ->
+    MinHash-LSH near-dup components), the one-table summary a
+    pretraining run reports as "how much did dedup actually remove".
+
+    Each tier keeps the minimum doc_id of its group among the PRIOR
+    tier's survivors, so the funnel composes the already-certified
+    DD-1/DD-16/DD-5 semantics rather than re-deriving them.
+
+    Scale shape: tiers 1-2 shuffle 128-bit digests only; tier 3 joins
+    the survivor id set against the component labels (both metadata-
+    sized); token counts ride as one integer per doc from a single
+    corpus scan. Four result rows.
+    """
+    from bigdata_logs_spark.operators import dedup as DD
+    from bigdata_logs_spark.operators.textops import with_tokens
+
+    toks = tracked_cache(
+        with_tokens(docs).select("doc_id", F.size("tokens").alias("n_tok"))
+    )
+    hashes = tracked_cache(
+        docs.select(
+            "doc_id",
+            F.md5(F.col("text")).alias("raw_h"),
+            F.md5(DD.norm_text_col()).alias("norm_h"),
+        )
+    )
+    s1 = hashes.groupBy("raw_h").agg(F.min("doc_id").alias("doc_id")).select(
+        "doc_id"
+    )
+    s2 = (
+        hashes.join(s1, "doc_id")
+        .groupBy("norm_h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    comp = DD.near_dup_components(docs, threshold=0.5).select(
+        "doc_id", "component"
+    )
+    s3 = (
+        s2.join(comp, "doc_id")
+        .groupBy("component")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+
+    def leg(stage: str, ids: DataFrame | None) -> DataFrame:
+        base = toks if ids is None else toks.join(ids, "doc_id")
+        return base.agg(
+            F.lit(stage).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+
+    out = leg("0_raw", None)
+    for stage, ids in (
+        ("1_exact", s1),
+        ("2_normalized", s2),
+        ("3_near_dup", s3),
+    ):
+        out = out.unionByName(leg(stage, ids))
+    return out.orderBy("stage")

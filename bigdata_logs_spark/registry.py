@@ -7885,6 +7885,160 @@ def q_holt_linear_trend(spark, sf_dir):
     return AN.holt_linear_trend(_events(spark, sf_dir))
 
 
+@register(
+    "streaming_cms_heavy_hitters",
+    SSH_PARSE_CTE
+    + """
+    , counts AS (
+      SELECT ip, COUNT(*)::BIGINT AS exact_count
+      FROM parsed WHERE ip IS NOT NULL GROUP BY 1
+    ), hashed AS (
+      SELECT ip, exact_count,
+             list_reduce(list_transform(range(1, length(ip) + 1),
+                         i -> ascii(substr(ip, i, 1))::BIGINT),
+                         (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+      FROM counts
+    ), cells AS (
+      SELECT ip, exact_count, j.x AS row,
+             ((h * CASE j.x WHEN 0 THEN 3 WHEN 1 THEN 5
+                            WHEN 2 THEN 7 ELSE 11 END
+               + CASE j.x WHEN 0 THEN 17 WHEN 1 THEN 29
+                          WHEN 2 THEN 41 ELSE 53 END)
+              % 1000000007) % 128 AS bucket
+      FROM hashed, (SELECT unnest(range(0, 4)) AS x) j
+    ), counters AS (
+      SELECT row, bucket, SUM(exact_count)::BIGINT AS counter
+      FROM cells GROUP BY 1, 2
+    ), estimates AS (
+      SELECT c.ip, c.exact_count, MIN(k.counter)::BIGINT AS cms_estimate
+      FROM cells c JOIN counters k ON k.row = c.row AND k.bucket = c.bucket
+      GROUP BY 1, 2
+    )
+    SELECT ip, exact_count, cms_estimate,
+           (cms_estimate - exact_count)::BIGINT AS overestimate
+    FROM estimates ORDER BY exact_count DESC, ip LIMIT 10
+    """,
+    tags=("ST-15",),
+)
+def q_streaming_cms_heavy_hitters(spark, sf_dir):
+    """ST-15 streaming CMS: the engine drains the SSH file stream in
+    multi-file micro-batches while foreachBatch sums each batch's
+    (row, bucket) increments into a 4x128-cell parquet counter state
+    (counter addition is associative+commutative, so the drained
+    table is bit-identical under ANY batch split — the third
+    streaming query to earn a full hash-match oracle, after ST-13's
+    min-k union and ST-14's append-only fingerprints). The report
+    reads the top-10 source IPs' estimates from the drained state
+    beside the exact batch counts."""
+    from pyspark.sql import functions as F
+
+    from bigdata_logs_spark.operators.sketches import (
+        CMS_A,
+        CMS_B,
+        CMS_P,
+        CMS_W,
+        _poly_hash_expr,
+    )
+    from bigdata_logs_spark.streaming.ingest import (
+        read_ssh_stream,
+        streaming_cms_state,
+    )
+
+    src = _stream_source_dir(spark, sf_dir)
+    stream = read_ssh_stream(spark, src, max_files_per_trigger=2)
+    state = _scratch_path("bls_cms_state", sf_dir)
+    streaming_cms_state(stream, state)
+    counters = spark.read.parquet(state)
+
+    exact = (
+        parse_ssh_lines(_ssh_lines(spark, sf_dir))
+        .where(F.col("ip").isNotNull())
+        .groupBy("ip")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    cells = exact.withColumn("h", F.expr(_poly_hash_expr("ip"))).select(
+        "ip",
+        "exact_count",
+        F.posexplode(
+            F.array(
+                *[
+                    ((F.col("h") * F.lit(a) + F.lit(b)) % CMS_P % CMS_W)
+                    for a, b in zip(CMS_A, CMS_B)
+                ]
+            )
+        ).alias("row", "bucket"),
+    )
+    return (
+        cells.join(F.broadcast(counters), ["row", "bucket"])
+        .groupBy("ip", "exact_count")
+        .agg(F.min("counter").alias("cms_estimate"))
+        .select(
+            "ip",
+            "exact_count",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_count")).alias(
+                "overestimate"
+            ),
+        )
+        .orderBy(F.desc("exact_count"), "ip")
+        .limit(10)
+    )
+
+
+@register(
+    "corpus_dedup_funnel",
+    ND_PAIRS_CTE.replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + f"""
+    , edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs WHERE jaccard >= 0.5
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs WHERE jaccard >= 0.5
+    )
+    , reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    )
+    , comp AS (
+      SELECT u AS doc_id, least(u, MIN(v)) AS component FROM reach GROUP BY u
+    )
+    , compfull AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    ), tok_counts AS (
+      SELECT doc_id, len(tokens)::BIGINT AS n_tok FROM toks
+    ), hashes AS (
+      SELECT doc_id, md5(text) AS raw_h, {_NORM_H} AS norm_h FROM documents
+    ), s1 AS (
+      SELECT MIN(doc_id) AS doc_id FROM hashes GROUP BY raw_h
+    ), s2 AS (
+      SELECT MIN(h.doc_id) AS doc_id FROM hashes h JOIN s1 USING (doc_id)
+      GROUP BY h.norm_h
+    ), s3 AS (
+      SELECT MIN(r.doc_id) AS doc_id FROM s2 r JOIN compfull c USING (doc_id)
+      GROUP BY c.component
+    )
+    SELECT '0_raw' AS stage, COUNT(*)::BIGINT AS n_docs,
+           SUM(n_tok)::BIGINT AS n_tokens FROM tok_counts
+    UNION ALL SELECT '1_exact', COUNT(*)::BIGINT, SUM(n_tok)::BIGINT
+      FROM s1 JOIN tok_counts USING (doc_id)
+    UNION ALL SELECT '2_normalized', COUNT(*)::BIGINT, SUM(n_tok)::BIGINT
+      FROM s2 JOIN tok_counts USING (doc_id)
+    UNION ALL SELECT '3_near_dup', COUNT(*)::BIGINT, SUM(n_tok)::BIGINT
+      FROM s3 JOIN tok_counts USING (doc_id)
+    ORDER BY stage
+    """,
+    tags=("PL-20",),
+)
+def q_corpus_dedup_funnel(spark, sf_dir):
+    """PL-20 dedup funnel: docs/tokens surviving raw -> byte-exact ->
+    normalized-exact -> LSH near-dup-component tiers, each keeping
+    min-doc_id among the prior tier's survivors — the composed
+    "what did dedup remove" report over the certified DD-1/DD-16/DD-5
+    semantics."""
+    return PL.corpus_dedup_funnel(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Driver-certification order
 # ---------------------------------------------------------------------------
@@ -7950,6 +8104,8 @@ _DRIVER_FIRST = [
     "knn_diversity",
     "modal_activity_profile",
     "holt_linear_trend",
+    "streaming_cms_heavy_hitters",
+    "corpus_dedup_funnel",
     # latest driver row is round 1 (stalest certified block)
     "events_of_type",
     "entity_hourly_activity",

@@ -730,3 +730,84 @@ def streaming_lsh_dedup_state(
     return spark.createDataFrame(
         [], "doc_a bigint, doc_b bigint, jaccard double"
     )
+
+
+def streaming_cms_state(
+    parsed: DataFrame, state_dir: str, timeout_sec: int = 120
+) -> None:
+    """ST-15: streaming Count-Min Sketch maintenance — keep the d x w
+    counter table of source-IP frequencies live by summing each
+    micro-batch's (row, bucket) increments into a parquet state table.
+
+    The streaming leg of SK-1 and the proof of the CMS mergeability
+    claim: counter addition is associative and commutative, so the
+    drained counter table — and every estimate read from it — is
+    bit-identical under ANY micro-batch split of the feed. Like ST-13
+    (min-k union) and ST-14 (append-only fingerprints), that
+    order-invariance is what earns a full hash-match oracle for a
+    streaming query.
+
+    State is <= d*w = 4*128 BIGINT cells REGARDLESS of key cardinality
+    or feed length — the bounded-memory heavy-hitter counter a
+    100 TB/day feed can keep per key family. Merge discipline is the
+    S-10 swap: write-tmp -> validate -> rename, so a reader never
+    sees a half-written counter table.
+    """
+    import os
+    import shutil
+
+    from bigdata_logs_spark.operators.sketches import (
+        CMS_A,
+        CMS_B,
+        CMS_P,
+        CMS_W,
+        _poly_hash_expr,
+    )
+
+    spark = parsed.sparkSession
+    hashed = parsed.where(F.col("ip").isNotNull()).withColumn(
+        "h", F.expr(_poly_hash_expr("ip"))
+    )
+    cells = hashed.select(
+        F.posexplode(
+            F.array(
+                *[
+                    ((F.col("h") * F.lit(a) + F.lit(b)) % CMS_P % CMS_W)
+                    for a, b in zip(CMS_A, CMS_B)
+                ]
+            )
+        ).alias("row", "bucket")
+    )
+    for d in (state_dir, state_dir + "__ckpt", state_dir + "__tmp"):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+
+    def merge(batch: DataFrame, _batch_id: int) -> None:
+        inc = batch.groupBy("row", "bucket").agg(
+            F.count(F.lit(1)).alias("counter")
+        )
+        if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
+            inc = spark.read.parquet(state_dir).unionByName(inc)
+        new_state = inc.groupBy("row", "bucket").agg(
+            F.sum("counter").alias("counter")
+        )
+        tmp = state_dir + "__tmp"
+        new_state.write.mode("overwrite").parquet(tmp)
+        if not os.path.exists(os.path.join(tmp, "_SUCCESS")):
+            raise RuntimeError("CMS state write did not complete")
+        if os.path.exists(state_dir):
+            shutil.rmtree(state_dir)
+        os.rename(tmp, state_dir)
+
+    q = (
+        cells.writeStream.foreachBatch(merge)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", state_dir + "__ckpt")
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:
+        q.stop()
+    for d in (state_dir + "__ckpt", state_dir + "__tmp"):
+        if os.path.exists(d):
+            shutil.rmtree(d, ignore_errors=True)

@@ -346,3 +346,62 @@ class TestHoltLinearTrend:
         r = AN.holt_linear_trend(ev).collect()[0]
         assert r.n_days == 1
         assert r.level is None and r.trend is None and r.forecast_next is None
+
+
+class TestStreamingCms:
+    def test_batch_split_invariant_and_bounded(self, spark, sf_dir, tmp_path):
+        """ST-15: the CMS counter state after a drain is bit-identical
+        whether the feed arrives as one micro-batch or one file per
+        micro-batch (counter addition is associative+commutative), and
+        the state never exceeds d*w cells."""
+        import os
+
+        from bigdata_logs_spark.operators.ssh_synth import synthesize_ssh_lines
+        from bigdata_logs_spark.sources import load_table
+        from bigdata_logs_spark.streaming.ingest import (
+            read_ssh_stream,
+            streaming_cms_state,
+        )
+
+        src = str(tmp_path / "src")
+        synthesize_ssh_lines(load_table(spark, sf_dir, "events")).coalesce(
+            4
+        ).write.mode("overwrite").text(src)
+
+        states = {}
+        for label, mfpt in (("one_batch", None), ("per_file", 1)):
+            state = str(tmp_path / f"state_{label}")
+            streaming_cms_state(
+                read_ssh_stream(spark, src, max_files_per_trigger=mfpt), state
+            )
+            df = spark.read.parquet(state)
+            assert df.count() <= 4 * 128
+            states[label] = sorted(map(str, df.collect()))
+            assert not os.path.exists(state + "__ckpt")
+        assert states["one_batch"] == states["per_file"]
+
+
+class TestCorpusDedupFunnel:
+    def test_hand_tiers_remove_expected_docs(self, spark):
+        from bigdata_logs_spark.operators import pipeline as PL
+
+        long = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        docs = _docs(
+            spark,
+            [
+                "same text here",        # 0: survivor
+                "same text here",        # 1: byte dup of 0
+                "Same,  text HERE!",     # 2: normalized dup of 0
+                long,                    # 3: survivor
+                long + " extra",         # 4: near-dup of 3 (high jaccard)
+                "completely different words",  # 5: survivor
+            ],
+        )
+        out = {r.stage: r for r in PL.corpus_dedup_funnel(docs).collect()}
+        assert out["0_raw"].n_docs == 6
+        assert out["1_exact"].n_docs == 5      # doc 1 drops
+        assert out["2_normalized"].n_docs == 4  # doc 2 drops
+        assert out["3_near_dup"].n_docs == 3    # doc 4 drops
+        # token totals shrink monotonically with the doc totals
+        toks = [out[s].n_tokens for s in sorted(out)]
+        assert toks == sorted(toks, reverse=True)
