@@ -330,6 +330,10 @@ def main() -> None:
         "modal_activity_profile",
         "holt_linear_trend",
         "corpus_dedup_funnel",
+        "ams_f2_skew",
+        "value_boxplot_stats",
+        "longest_event_streaks",
+        "mmr_rerank",
     ]
     extended: dict[str, float] = {}
     for name in EXTENDED:

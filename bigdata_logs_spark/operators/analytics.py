@@ -663,3 +663,105 @@ def holt_linear_trend(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def value_boxplot_stats(events: DataFrame) -> DataFrame:
+    """AGG-13: Tukey box-plot statistics — per event type the exact
+    q1/median/q3 of ``value`` (percentile_disc semantics: smallest
+    value at cumulative rank >= q, a deterministic ROW_NUMBER pick),
+    the IQR, and the 1.5-IQR outlier counts on each side; the
+    outlier-aware distribution summary AGG-2's plain percentiles
+    don't flag.
+
+    Scale shape: one ranked window per type feeding three positional
+    picks, then one aggregate for the whisker counts — quartile
+    positions are integer arithmetic (ceil via div), never float
+    multiplication of ranks."""
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wp = Window.partitionBy("event_type")
+    ranked = events.select("event_type", "value", "event_id").withColumn(
+        "rn", F.row_number().over(w)
+    ).withColumn("n", F.count(F.lit(1)).over(wp))
+    picks = (
+        ranked.where(
+            (F.col("rn") == F.expr("(n + 3) div 4"))
+            | (F.col("rn") == F.expr("(n + 1) div 2"))
+            | (F.col("rn") == F.expr("(3 * n + 3) div 4"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.min(
+                F.when(F.col("rn") == F.expr("(n + 3) div 4"), F.col("value"))
+            ).alias("q1"),
+            F.min(
+                F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("value"))
+            ).alias("median"),
+            F.min(
+                F.when(
+                    F.col("rn") == F.expr("(3 * n + 3) div 4"), F.col("value")
+                )
+            ).alias("q3"),
+        )
+    )
+    iqr = F.col("q3") - F.col("q1")
+    lo = F.col("q1") - F.lit(1.5) * iqr
+    hi = F.col("q3") + F.lit(1.5) * iqr
+    bounds = picks.select(
+        "event_type", "n", "q1", "median", "q3", lo.alias("lo"), hi.alias("hi")
+    )
+    joined = events.select("event_type", "value").join(bounds, "event_type")
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("q1").alias("q1"),
+            F.max("median").alias("median"),
+            F.max("q3").alias("q3"),
+            F.round(F.max("q3") - F.max("q1"), 4).alias("iqr"),
+            F.sum((F.col("value") < F.col("lo")).cast("bigint")).alias(
+                "n_low_outliers"
+            ),
+            F.sum((F.col("value") > F.col("hi")).cast("bigint")).alias(
+                "n_high_outliers"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+def longest_event_streaks(events: DataFrame) -> DataFrame:
+    """W-13: longest identical-event runs — per event type, the
+    longest unbroken streak of that type within one user's ordered
+    event sequence, and the (smallest) user who achieved it; the
+    gaps-and-islands run-length statistic behind "is this user
+    hammering one action".
+
+    Scale shape: two ROW_NUMBER passes sharing one user_id partition
+    shuffle (the rn-difference island trick), one (user, type, island)
+    count, one per-type argmax — no self-joins."""
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_typ = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    islands = events.select(
+        "user_id",
+        "event_type",
+        (F.row_number().over(w_all) - F.row_number().over(w_typ)).alias("grp"),
+    )
+    streaks = islands.groupBy("user_id", "event_type", "grp").agg(
+        F.count(F.lit(1)).alias("streak")
+    )
+    w_pick = Window.partitionBy("event_type").orderBy(
+        F.desc("streak"), "user_id", "grp"
+    )
+    return (
+        streaks.withColumn("rn", F.row_number().over(w_pick))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("streak").alias("max_streak"),
+            F.col("user_id").alias("user_id_at_max"),
+        )
+        .orderBy("event_type")
+    )

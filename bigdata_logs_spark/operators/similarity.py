@@ -1443,3 +1443,117 @@ def knn_diversity(emb: DataFrame, n_queries: int = 5, k: int = 5) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+def mmr_rerank(
+    emb: DataFrame, n_queries: int = 3, shortlist: int = 10, select: int = 3
+) -> DataFrame:
+    """E-21: Maximal Marginal Relevance re-ranking (Carbonell &
+    Goldstein, SIGIR 1998), lambda = 0.5 — greedily select ``select``
+    results from each query's top-``shortlist`` by
+    ``0.5*rel - 0.5*max_sim_to_already_selected``; the diversification
+    pass that fixes the redundancy E-20 measures (a list of五 near-
+    identical neighbours collapses to one + genuinely different
+    results).
+
+    The greedy loop is UNROLLED for a fixed ``select`` (the serving
+    shape: k is always small), so both engines replay identical
+    steps; every comparison runs on ROUND(...,6) cosines with
+    neighbor-id tiebreaks, keeping the argmax engine-independent.
+    lambda = 0.5 is an exact halving.
+
+    Scale shape: everything after the E-2 shortlist runs on
+    (queries x shortlist) rows; the pairwise-sim table is
+    shortlist^2-bounded per query and built by vec_id equi-joins —
+    never a corpus scan.
+    """
+    from bigdata_logs_spark.caching import tracked_cache
+
+    short = tracked_cache(
+        knn_brute_force(emb, n_queries=n_queries, k=shortlist).select(
+            "query_id",
+            F.col("neighbor_id").alias("nid"),
+            F.col("cosine").alias("qcos"),
+        )
+    )
+    ea = emb.select(F.col("vec_id").alias("na"), F.col("embedding").alias("va"))
+    eb = emb.select(F.col("vec_id").alias("nb"), F.col("embedding").alias("vb"))
+    a = short.select("query_id", F.col("nid").alias("na"))
+    b = short.select("query_id", F.col("nid").alias("nb"))
+    cos = F.round(
+        _dot("va", "vb")
+        / (F.sqrt(_dot("va", "va")) * F.sqrt(_dot("vb", "vb"))),
+        6,
+    )
+    sims = tracked_cache(
+        a.join(b, "query_id")
+        .where(F.col("na") != F.col("nb"))
+        .join(ea, "na")
+        .join(eb, "nb")
+        .select("query_id", "na", "nb", cos.alias("sim"))
+    )
+
+    half = F.lit(0.5)
+    picked = short.withColumn(
+        "rnk", F.row_number().over(
+            Window.partitionBy("query_id").orderBy(F.desc("qcos"), "nid")
+        )
+    ).where(F.col("rnk") == 1).select(
+        "query_id",
+        F.lit(1).alias("select_rank"),
+        "nid",
+        "qcos",
+        F.lit(0.0).alias("max_sim_selected"),
+        F.round(half * F.col("qcos"), 6).alias("mmr_score"),
+    )
+    out = picked
+    for step in range(2, select + 1):
+        sel = out.select("query_id", F.col("nid").alias("nb"))
+        cand = short.join(
+            out.select("query_id", "nid"), ["query_id", "nid"], "left_anti"
+        )
+        # rename the join keys: maxsim shares lineage with cand (both
+        # derive from `short`), and same-lineage equality predicates
+        # degenerate to trivially-true in Spark's attribute resolution
+        maxsim = (
+            sims.join(sel, ["query_id", "nb"])
+            .groupBy(
+                F.col("query_id").alias("mq"), F.col("na").alias("mn")
+            )
+            .agg(F.max("sim").alias("max_sim_selected"))
+        )
+        scored = cand.join(
+            maxsim,
+            (F.col("query_id") == F.col("mq")) & (F.col("nid") == F.col("mn")),
+        ).select(
+            "query_id",
+            "nid",
+            "qcos",
+            "max_sim_selected",
+            (half * F.col("qcos") - half * F.col("max_sim_selected")).alias(
+                "score"
+            ),
+        )
+        pick = (
+            scored.withColumn(
+                "rnk",
+                F.row_number().over(
+                    Window.partitionBy("query_id").orderBy(
+                        F.desc("score"), "nid"
+                    )
+                ),
+            )
+            .where(F.col("rnk") == 1)
+            .select(
+                "query_id",
+                F.lit(step).alias("select_rank"),
+                "nid",
+                "qcos",
+                "max_sim_selected",
+                F.round(F.col("score"), 6).alias("mmr_score"),
+            )
+        )
+        out = out.unionByName(pick)
+    return out.withColumnRenamed("nid", "neighbor_id").orderBy(
+        "query_id", "select_rank"
+    )

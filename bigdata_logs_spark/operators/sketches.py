@@ -472,3 +472,82 @@ def kmv_set_ops(
             ).alias("kmv_intersection"),
         )
     )
+
+
+# AMS F2 sketch: 8 independent ±1 estimators, signs drawn from bits
+# 0..7 of the shared 52-bit md5 hash.
+AMS_D = 8
+
+
+def ams_f2_skew(events: DataFrame) -> DataFrame:
+    """SK-6: AMS second-frequency-moment sketch (Alon, Matias &
+    Szegedy, STOC 1996) — per event type, the F2 = sum of squared
+    per-user counts (the collision/self-join size statistic that
+    quantifies key skew) estimated from 8 random-sign accumulators,
+    beside the exact value.
+
+    Every estimator is (sum over keys of sign(key) * count(key))^2
+    with sign = ±1 from one bit of the md5 hash — all exact BIGINT
+    arithmetic, so like SK-1/SK-2/SK-4 the approximation itself
+    hash-certifies cross-engine; the lower-median of the 8 estimators
+    is a deterministic ROW_NUMBER pick.
+
+    Scale shape: one combinable (type, user) count collapses the
+    corpus; the 8-fold explode runs on the distinct-key table; each
+    accumulator is a plain integer sum (mergeable across partitions
+    and streams — the sketch property AMS is famous for); output is
+    one row per type. F2's operational meaning: the exact size of a
+    self-join on the key, i.e. the shuffle a skewed join would pay.
+    """
+    counts = (
+        events.where(F.col("user_id").isNotNull())
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("h", F.expr(kmv_hash_expr("user_id")))
+    )
+    est = (
+        counts.select(
+            "event_type",
+            "c",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.when(
+                            F.expr(f"(h >> {j}) & 1") == 1, F.lit(1)
+                        ).otherwise(F.lit(-1))
+                        for j in range(AMS_D)
+                    ]
+                )
+            ).alias("j", "sign"),
+        )
+        .groupBy("event_type", "j")
+        .agg(F.sum(F.col("sign") * F.col("c")).alias("z"))
+        .withColumn("est", F.col("z") * F.col("z"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("est", "j")
+    med = (
+        est.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == (AMS_D + 1) // 2)
+        .select("event_type", F.col("est").alias("ams_estimate"))
+    )
+    exact = counts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(F.col("c") * F.col("c")).alias("f2_exact"),
+    )
+    return (
+        exact.join(med, "event_type")
+        .select(
+            "event_type",
+            "n_keys",
+            "f2_exact",
+            "ams_estimate",
+            F.round(
+                (F.col("ams_estimate") - F.col("f2_exact"))
+                / F.col("f2_exact"),
+                4,
+            ).alias("rel_error"),
+        )
+        .orderBy("event_type")
+    )

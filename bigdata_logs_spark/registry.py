@@ -8039,6 +8039,213 @@ def q_corpus_dedup_funnel(spark, sf_dir):
     return PL.corpus_dedup_funnel(_docs(spark, sf_dir))
 
 
+@register(
+    "ams_f2_skew",
+    f"""
+    WITH counts AS (
+      SELECT event_type, user_id, COUNT(*)::BIGINT AS c
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
+    ), hashed AS (
+      SELECT event_type, c,
+             ('0x' || substr(md5(user_id::VARCHAR), 1, 13))::BIGINT AS h
+      FROM counts
+    ), acc AS (
+      SELECT event_type, j.x AS j,
+             SUM(CASE WHEN (h >> j.x) & 1 = 1 THEN c ELSE -c END)::BIGINT
+               AS z
+      FROM hashed, (SELECT unnest(range(0, {SK.AMS_D})) AS x) j
+      GROUP BY 1, 2
+    ), sq AS (SELECT event_type, j, (z * z)::BIGINT AS est FROM acc
+    ), med AS (
+      SELECT event_type, est AS ams_estimate FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY event_type ORDER BY est, j) AS rn
+        FROM sq) WHERE rn = {(SK.AMS_D + 1) // 2}
+    ), ex AS (
+      SELECT event_type, COUNT(*)::BIGINT AS n_keys,
+             SUM(c * c)::BIGINT AS f2_exact
+      FROM counts GROUP BY 1
+    )
+    SELECT ex.event_type, ex.n_keys, ex.f2_exact, med.ams_estimate,
+           ROUND((med.ams_estimate - ex.f2_exact) / ex.f2_exact, 4)
+             AS rel_error
+    FROM ex JOIN med USING (event_type) ORDER BY event_type
+    """,
+    tags=("SK-6",),
+)
+def q_ams_f2_skew(spark, sf_dir):
+    """SK-6 AMS F2 sketch: per type, the sum-of-squared-key-counts
+    (the self-join / skewed-shuffle size statistic) estimated from 8
+    random-sign integer accumulators beside the exact value — all
+    exact BIGINT arithmetic, so the approximation itself
+    hash-certifies; accumulators merge by addition across partitions
+    and streams."""
+    return SK.ams_f2_skew(_events(spark, sf_dir))
+
+
+@register(
+    "value_boxplot_stats",
+    """
+    WITH ranked AS (
+      SELECT event_type, value, ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type)::BIGINT AS n
+      FROM events
+    ), picks AS (
+      SELECT event_type, MAX(n)::BIGINT AS n,
+             MIN(CASE WHEN rn = (n + 3) // 4 THEN value END) AS q1,
+             MIN(CASE WHEN rn = (n + 1) // 2 THEN value END) AS median,
+             MIN(CASE WHEN rn = (3 * n + 3) // 4 THEN value END) AS q3
+      FROM ranked
+      WHERE rn = (n + 3) // 4 OR rn = (n + 1) // 2
+         OR rn = (3 * n + 3) // 4
+      GROUP BY 1
+    ), bounds AS (
+      SELECT *, q1 - 1.5::DOUBLE * (q3 - q1) AS lo,
+             q3 + 1.5::DOUBLE * (q3 - q1) AS hi
+      FROM picks
+    )
+    SELECT e.event_type, MAX(b.n)::BIGINT AS n, MAX(b.q1) AS q1,
+           MAX(b.median) AS median, MAX(b.q3) AS q3,
+           ROUND(MAX(b.q3) - MAX(b.q1), 4) AS iqr,
+           SUM(CASE WHEN e.value < b.lo THEN 1 ELSE 0 END)::BIGINT
+             AS n_low_outliers,
+           SUM(CASE WHEN e.value > b.hi THEN 1 ELSE 0 END)::BIGINT
+             AS n_high_outliers
+    FROM events e JOIN bounds b USING (event_type)
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("AGG-13",),
+)
+def q_value_boxplot_stats(spark, sf_dir):
+    """AGG-13 Tukey box plot: exact q1/median/q3 (percentile_disc-
+    style deterministic positional picks, quartile positions in
+    integer arithmetic) + IQR + 1.5-IQR outlier counts per type."""
+    return AN.value_boxplot_stats(_events(spark, sf_dir))
+
+
+@register(
+    "longest_event_streaks",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id)
+             - ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id)
+               AS grp
+      FROM events
+    ), streaks AS (
+      SELECT user_id, event_type, grp, COUNT(*)::BIGINT AS streak
+      FROM seq GROUP BY 1, 2, 3
+    ), pick AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY event_type ORDER BY streak DESC, user_id, grp) AS rn
+      FROM streaks
+    )
+    SELECT event_type, streak AS max_streak, user_id AS user_id_at_max
+    FROM pick WHERE rn = 1 ORDER BY event_type
+    """,
+    tags=("W-13",),
+)
+def q_longest_event_streaks(spark, sf_dir):
+    """W-13 run-length islands: longest identical-event streak per
+    type across user sequences (rn-difference island trick — two
+    window passes sharing one user_id shuffle, no self-joins),
+    smallest-user tiebreak."""
+    return AN.longest_event_streaks(_events(spark, sf_dir))
+
+
+@register(
+    "mmr_rerank",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS q_emb
+      FROM embeddings WHERE vec_id < 3
+    ), qscored AS (
+      SELECT q.query_id, c.vec_id AS nid,
+             ROUND({DOT_SQL.format(a='q.q_emb', b='c.embedding')}
+                   / (SQRT({DOT_SQL.format(a='q.q_emb', b='q.q_emb')})
+                      * SQRT({DOT_SQL.format(a='c.embedding', b='c.embedding')})), 6)
+               AS qcos
+      FROM q CROSS JOIN embeddings c
+      WHERE q.query_id != c.vec_id
+    ), qranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY qcos DESC, nid) AS rank
+      FROM qscored
+    ), short AS (
+      SELECT query_id, nid, qcos FROM qranked WHERE rank <= 10
+    ), sims AS (
+      SELECT a.query_id, a.nid AS na, b.nid AS nb,
+             ROUND({DOT_SQL.format(a='ea.embedding', b='eb.embedding')}
+                   / (SQRT({DOT_SQL.format(a='ea.embedding', b='ea.embedding')})
+                      * SQRT({DOT_SQL.format(a='eb.embedding', b='eb.embedding')})), 6)
+               AS sim
+      FROM short a JOIN short b
+        ON a.query_id = b.query_id AND a.nid != b.nid
+      JOIN embeddings ea ON a.nid = ea.vec_id
+      JOIN embeddings eb ON b.nid = eb.vec_id
+    ), s1 AS (
+      SELECT query_id, nid, qcos FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY qcos DESC, nid) AS rnk
+        FROM short) WHERE rnk = 1
+    ), m2 AS (
+      SELECT s.query_id, s.nid, s.qcos, sims.sim AS max_sim_selected,
+             0.5::DOUBLE * s.qcos - 0.5::DOUBLE * sims.sim AS score
+      FROM short s
+      JOIN s1 ON s.query_id = s1.query_id AND s.nid != s1.nid
+      JOIN sims ON sims.query_id = s.query_id
+               AND sims.na = s.nid AND sims.nb = s1.nid
+    ), s2 AS (
+      SELECT query_id, nid, qcos, max_sim_selected, score FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY score DESC, nid) AS rnk
+        FROM m2) WHERE rnk = 1
+    ), sel12 AS (
+      SELECT query_id, nid FROM s1
+      UNION ALL SELECT query_id, nid FROM s2
+    ), m3 AS (
+      SELECT s.query_id, s.nid, s.qcos,
+             MAX(sims.sim) AS max_sim_selected
+      FROM short s
+      JOIN sims ON sims.query_id = s.query_id AND sims.na = s.nid
+      JOIN sel12 ON sel12.query_id = sims.query_id
+                AND sel12.nid = sims.nb
+      WHERE NOT EXISTS (SELECT 1 FROM sel12 x
+                        WHERE x.query_id = s.query_id AND x.nid = s.nid)
+      GROUP BY 1, 2, 3
+    ), sc3 AS (
+      SELECT *, 0.5::DOUBLE * qcos - 0.5::DOUBLE * max_sim_selected AS score
+      FROM m3
+    ), s3 AS (
+      SELECT query_id, nid, qcos, max_sim_selected, score FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY score DESC, nid) AS rnk
+        FROM sc3) WHERE rnk = 1
+    )
+    SELECT query_id, 1 AS select_rank, nid AS neighbor_id, qcos,
+           0.0::DOUBLE AS max_sim_selected,
+           ROUND(0.5::DOUBLE * qcos, 6) AS mmr_score
+    FROM s1
+    UNION ALL SELECT query_id, 2, nid, qcos, max_sim_selected,
+           ROUND(score, 6) FROM s2
+    UNION ALL SELECT query_id, 3, nid, qcos, max_sim_selected,
+           ROUND(score, 6) FROM s3
+    ORDER BY query_id, select_rank
+    """,
+    tags=("E-21",),
+)
+def q_mmr_rerank(spark, sf_dir):
+    """E-21 MMR diversified re-rank (lambda=0.5): greedy
+    relevance-minus-max-similarity selection of 3 results from each
+    query's top-10 shortlist — the diversification pass for the
+    redundancy E-20 measures; fixed-k unrolled greedy steps, all on
+    rounded cosines with id tiebreaks, shortlist^2-bounded work."""
+    return SIM.mmr_rerank(_emb(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Driver-certification order
 # ---------------------------------------------------------------------------
@@ -8106,6 +8313,10 @@ _DRIVER_FIRST = [
     "holt_linear_trend",
     "streaming_cms_heavy_hitters",
     "corpus_dedup_funnel",
+    "ams_f2_skew",
+    "value_boxplot_stats",
+    "longest_event_streaks",
+    "mmr_rerank",
     # latest driver row is round 1 (stalest certified block)
     "events_of_type",
     "entity_hourly_activity",

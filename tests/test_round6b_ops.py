@@ -405,3 +405,84 @@ class TestCorpusDedupFunnel:
         # token totals shrink monotonically with the doc totals
         toks = [out[s].n_tokens for s in sorted(out)]
         assert toks == sorted(toks, reverse=True)
+
+
+class TestAmsF2:
+    def test_single_key_estimator_is_exact(self, spark):
+        from bigdata_logs_spark.operators import sketches as SK2
+
+        ev = _ev(spark, [(7, "a", 1)] * 5)  # one key, count 5
+        r = SK2.ams_f2_skew(ev).collect()[0]
+        # every +/-1 estimator squares to exactly c^2 for one key
+        assert r.f2_exact == 25 and r.ams_estimate == 25
+        assert r.rel_error == 0.0
+
+    def test_estimate_unbiasedness_shape_on_testdata(self, spark, events):
+        from bigdata_logs_spark.operators import sketches as SK2
+
+        for r in SK2.ams_f2_skew(events).collect():
+            assert r.ams_estimate >= 0
+            # median-of-8 stays within a loose constant factor of F2
+            assert r.ams_estimate <= 10 * r.f2_exact
+
+
+class TestBoxplot:
+    def test_hand_quartiles_and_outlier(self, spark):
+        from bigdata_logs_spark.operators import analytics as AN
+
+        vals = [1, 2, 3, 4, 5, 6, 7, 8, 100]
+        ev = _ev(spark, [(1, "a", v) for v in vals])
+        r = AN.value_boxplot_stats(ev).collect()[0]
+        assert (r.q1, r.median, r.q3) == (3.0, 5.0, 7.0)
+        assert r.iqr == 4.0
+        assert r.n_low_outliers == 0 and r.n_high_outliers == 1
+
+
+class TestStreaks:
+    def test_hand_runs_and_user_tiebreak(self, spark):
+        import datetime
+
+        from bigdata_logs_spark.operators import analytics as AN
+
+        rows = []
+        for i, (u, t) in enumerate(
+            [(1, "a"), (1, "a"), (1, "a"), (1, "b"), (1, "a"),
+             (2, "a"), (2, "a"), (2, "a")]
+        ):
+            rows.append(
+                Row(
+                    event_id=i,
+                    user_id=u,
+                    event_type=t,
+                    ts=datetime.datetime(2024, 1, 1, 0, i, 0),
+                )
+            )
+        out = {r.event_type: r for r in
+               AN.longest_event_streaks(spark.createDataFrame(rows)).collect()}
+        assert out["a"].max_streak == 3
+        assert out["a"].user_id_at_max == 1  # tie with user 2 -> smaller id
+        assert out["b"].max_streak == 1
+
+
+class TestMmrRerank:
+    def test_diverse_candidate_beats_redundant_twin(self, spark):
+        from bigdata_logs_spark.operators import similarity as SIM
+
+        # query sits between two orthogonal directions: the twin of
+        # the first pick pays the full 1.0 similarity penalty, the
+        # equally-relevant orthogonal candidate pays none
+        emb = spark.createDataFrame(
+            [
+                Row(vec_id=0, embedding=[1.0, 1.0], label=0),
+                Row(vec_id=1, embedding=[1.0, 0.0], label=0),
+                Row(vec_id=2, embedding=[1.0, 0.0], label=0),
+                Row(vec_id=3, embedding=[0.0, 1.0], label=1),
+            ]
+        )
+        out = SIM.mmr_rerank(emb, n_queries=1, shortlist=3, select=2).collect()
+        picks = [(r.select_rank, r.neighbor_id) for r in out]
+        # rank 1: three-way cosine tie -> id tiebreak picks vec 1;
+        # rank 2: the orthogonal vec 3 beats the identical twin vec 2
+        assert picks == [(1, 1), (2, 3)]
+        assert out[1].max_sim_selected == 0.0
+        assert out[1].mmr_score > 0 > 0.5 * out[0].qcos - 0.5
