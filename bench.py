@@ -334,6 +334,9 @@ def main() -> None:
         "value_boxplot_stats",
         "longest_event_streaks",
         "mmr_rerank",
+        "nearest_event_join",
+        "weekly_pct_change",
+        "behavioral_entropy",
     ]
     extended: dict[str, float] = {}
     for name in EXTENDED:

@@ -765,3 +765,77 @@ def longest_event_streaks(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def weekly_pct_change(events: DataFrame) -> DataFrame:
+    """W-14: week-over-week percent change of per-type event volume —
+    the lag-window growth metric every ops review reads first.
+
+    Weeks are Monday-aligned integer indexes ((epoch-days + 3) div 7,
+    the AGG-12 dow convention) rather than an engine date_trunc, so
+    week boundaries cannot drift cross-engine; the change is one
+    BIGINT difference over one BIGINT, rounded.
+
+    Scale shape: one combinable (type, week) count, one lag window
+    over the tiny aggregate."""
+    days = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+    weekly = events.groupBy(
+        "event_type", ((days + 3).cast("bigint") / 7).cast("bigint").alias("week_idx")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("week_idx")
+    prev = F.lag("n").over(w)
+    return (
+        weekly.select(
+            "event_type",
+            "week_idx",
+            "n",
+            prev.alias("prev_n"),
+            F.round((F.col("n") - prev) / prev, 4).alias("wow_pct"),
+        )
+        .orderBy("event_type", "week_idx")
+    )
+
+
+def behavioral_entropy(events: DataFrame) -> DataFrame:
+    """AGG-14: behavioral diversity — Shannon entropy of each user's
+    event-type distribution, reported as a 0.1-nat-bucket histogram
+    (diversity_distribution counts distinct types; entropy also sees
+    HOW EVENLY a user spreads across them — the bot-vs-human shape).
+
+    Exactness: the T-17/T-21 discipline — each ln(N/n) term quantizes
+    to integer micro-nats BEFORE the weighted sum, the per-user
+    entropy is an integer division (micro-nats), and buckets are
+    integer division by 250000, so every bucket edge is exact.
+
+    Scale shape: one combinable (user, type) count, one per-user
+    aggregation, one histogram aggregation — nothing wider than the
+    user table after the first shuffle."""
+    per = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wp = Window.partitionBy("user_id")
+    qln = F.round(
+        F.log(F.col("total").cast("double") / F.col("n")) * 1000000.0, 0
+    ).cast("bigint")
+    per_user = (
+        per.withColumn("total", F.sum("n").over(wp))
+        .select("user_id", "total", (F.col("n") * qln).alias("term"))
+        .groupBy("user_id")
+        .agg(
+            F.expr("CAST(sum(term) div max(total) AS BIGINT)").alias(
+                "e_micro"
+            )
+        )
+    )
+    return (
+        per_user.groupBy(
+            F.expr("CAST(e_micro div 100000 AS INT)").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(
+                F.sum("e_micro") / F.count(F.lit(1)) / 1000000.0, 6
+            ).alias("avg_entropy_nats"),
+        )
+        .orderBy("bucket")
+    )

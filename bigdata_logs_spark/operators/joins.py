@@ -599,3 +599,61 @@ def funnel_coverage_audit(events: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("coverage")
     )
+
+
+def nearest_event_join(
+    events: DataFrame,
+    left_type: str = "error",
+    right_type: str = "purchase",
+    window_s: int = 3600,
+) -> DataFrame:
+    """J-17: nearest-in-time join — each ``left_type`` event matched
+    to the SAME user's temporally closest ``right_type`` event within
+    ±``window_s`` (J-8's as-of join looks strictly backward; incident
+    correlation wants the nearest context in either direction),
+    reported as a gap-bucket histogram plus the unmatched count.
+
+    Determinism: gaps are whole-second BIGINTs (the floor-epoch
+    convention), tie between equidistant candidates breaks to the
+    earlier timestamp then smaller id.
+
+    Scale shape: an equi-join on user_id with an in-partition
+    residual range predicate — co-partitioned sort-merge, fan-out
+    bounded by the per-user window occupancy; the bucket histogram
+    collapses the match table to ≤ 5 rows. At 100 TB add a coarse
+    time-bucket key beside user_id to prune the join further.
+    """
+    left = events.where(F.col("event_type") == left_type).select(
+        F.col("event_id").alias("eid"),
+        "user_id",
+        F.unix_timestamp("ts").alias("tl"),
+    )
+    right = events.where(F.col("event_type") == right_type).select(
+        F.col("user_id").alias("r_user"),
+        F.col("event_id").alias("pid"),
+        F.unix_timestamp("ts").alias("tr"),
+    )
+    g = F.abs(F.col("tr") - F.col("tl"))
+    j = left.join(
+        right,
+        (F.col("user_id") == F.col("r_user")) & (g <= window_s),
+        "left",
+    ).select("eid", "pid", g.alias("g"), "tr")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("eid").orderBy("g", "tr", "pid")
+    bucket = (
+        F.when(F.col("pid").isNull(), F.lit("unmatched"))
+        .when(F.col("g") <= 60, F.lit("0-60s"))
+        .when(F.col("g") <= 300, F.lit("60-300s"))
+        .when(F.col("g") <= 1800, F.lit("300-1800s"))
+        .otherwise(F.lit("1800-3600s"))
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(bucket.alias("gap_bucket"))
+        .groupBy("gap_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("gap_bucket")
+    )

@@ -8246,6 +8246,106 @@ def q_mmr_rerank(spark, sf_dir):
     return SIM.mmr_rerank(_emb(spark, sf_dir))
 
 
+@register(
+    "nearest_event_join",
+    """
+    WITH l AS (
+      SELECT event_id AS eid, user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS tl
+      FROM events WHERE event_type = 'error'
+    ), r AS (
+      SELECT user_id AS r_user, event_id AS pid,
+             CAST(floor(epoch(ts)) AS BIGINT) AS tr
+      FROM events WHERE event_type = 'purchase'
+    ), j AS (
+      SELECT l.eid, r.pid, ABS(r.tr - l.tl) AS g, r.tr
+      FROM l LEFT JOIN r
+        ON l.user_id = r.r_user AND ABS(r.tr - l.tl) <= 3600
+    ), pick AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY eid ORDER BY g, tr, pid) AS rn
+      FROM j
+    ), b AS (
+      SELECT CASE WHEN pid IS NULL THEN 'unmatched'
+                  WHEN g <= 60 THEN '0-60s'
+                  WHEN g <= 300 THEN '60-300s'
+                  WHEN g <= 1800 THEN '300-1800s'
+                  ELSE '1800-3600s' END AS gap_bucket
+      FROM pick WHERE rn = 1
+    )
+    SELECT gap_bucket, COUNT(*)::BIGINT AS n FROM b
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("J-17",),
+)
+def q_nearest_event_join(spark, sf_dir):
+    """J-17 nearest-in-time join: each error matched to the same
+    user's closest purchase within ±1h in EITHER direction (J-8 looks
+    strictly backward), whole-second gaps, earlier-then-smaller-id
+    tiebreak, bucket-histogram output — user_id equi-join with an
+    in-partition residual range predicate."""
+    return J.nearest_event_join(_events(spark, sf_dir))
+
+
+@register(
+    "weekly_pct_change",
+    """
+    WITH weekly AS (
+      SELECT event_type,
+             ((ts::DATE - DATE '1970-01-01' + 3) // 7)::BIGINT AS week_idx,
+             COUNT(*)::BIGINT AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, week_idx, n,
+           LAG(n) OVER w AS prev_n,
+           ROUND((n - LAG(n) OVER w) / LAG(n) OVER w, 4) AS wow_pct
+    FROM weekly
+    WINDOW w AS (PARTITION BY event_type ORDER BY week_idx)
+    ORDER BY event_type, week_idx
+    """,
+    tags=("W-14",),
+)
+def q_weekly_pct_change(spark, sf_dir):
+    """W-14 week-over-week growth: per-type weekly volumes with lag
+    percent change — Monday-aligned integer week indexes (the AGG-12
+    epoch arithmetic, never engine date_trunc) so boundaries can't
+    drift cross-engine."""
+    return AN.weekly_pct_change(_events(spark, sf_dir))
+
+
+@register(
+    "behavioral_entropy",
+    """
+    WITH per AS (
+      SELECT user_id, event_type, COUNT(*)::BIGINT AS n
+      FROM events GROUP BY 1, 2
+    ), tot AS (
+      SELECT *, SUM(n) OVER (PARTITION BY user_id)::BIGINT AS total
+      FROM per
+    ), terms AS (
+      SELECT user_id, total,
+             n * ROUND(ln(total::DOUBLE / n) * 1000000.0, 0)::BIGINT AS term
+      FROM tot
+    ), pu AS (
+      SELECT user_id, (SUM(term) // MAX(total))::BIGINT AS e_micro
+      FROM terms GROUP BY 1
+    )
+    SELECT (e_micro // 100000)::INT AS bucket,
+           COUNT(*)::BIGINT AS n_users,
+           ROUND(SUM(e_micro)::BIGINT / COUNT(*) / 1000000.0, 6)
+             AS avg_entropy_nats
+    FROM pu GROUP BY 1 ORDER BY 1
+    """,
+    tags=("AGG-14",),
+)
+def q_behavioral_entropy(spark, sf_dir):
+    """AGG-14 behavioral diversity: Shannon entropy of each user's
+    event-type mix in exact integer micro-nats (quantize-each-ln
+    discipline), bucketed by integer division — the evenness signal
+    diversity_distribution's distinct-count misses."""
+    return AN.behavioral_entropy(_events(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Driver-certification order
 # ---------------------------------------------------------------------------
@@ -8317,6 +8417,9 @@ _DRIVER_FIRST = [
     "value_boxplot_stats",
     "longest_event_streaks",
     "mmr_rerank",
+    "nearest_event_join",
+    "weekly_pct_change",
+    "behavioral_entropy",
     # latest driver row is round 1 (stalest certified block)
     "events_of_type",
     "entity_hourly_activity",

@@ -486,3 +486,68 @@ class TestMmrRerank:
         assert picks == [(1, 1), (2, 3)]
         assert out[1].max_sim_selected == 0.0
         assert out[1].mmr_score > 0 > 0.5 * out[0].qcos - 0.5
+
+
+class TestNearestEventJoin:
+    def test_nearest_in_either_direction_and_window(self, spark):
+        import datetime
+
+        from bigdata_logs_spark.operators import joins as J
+
+        mk = lambda m, s=0: datetime.datetime(2024, 1, 1, 12, m, s)
+        rows = [
+            # error at 12:10; purchases at 12:07 (180s back) and 12:12
+            # (120s forward): the FORWARD one is nearer
+            Row(event_id=0, user_id=1, event_type="error", ts=mk(10)),
+            Row(event_id=1, user_id=1, event_type="purchase", ts=mk(7)),
+            Row(event_id=2, user_id=1, event_type="purchase", ts=mk(12)),
+            # error with purchase beyond the 1h window: unmatched
+            Row(event_id=3, user_id=2, event_type="error", ts=mk(0)),
+            Row(event_id=4, user_id=2, event_type="purchase",
+                ts=datetime.datetime(2024, 1, 1, 14, 0, 0)),
+        ]
+        out = {r.gap_bucket: r.n for r in
+               J.nearest_event_join(spark.createDataFrame(rows)).collect()}
+        assert out == {"60-300s": 1, "unmatched": 1}
+
+
+class TestWeeklyPctChange:
+    def test_hand_growth(self, spark):
+        import datetime
+
+        from bigdata_logs_spark.operators import analytics as AN
+
+        rows = []
+        eid = 0
+        # week of Mon 2024-01-01: 4 events; next week: 6 events
+        for day, n in ((1, 4), (8, 6)):
+            for _ in range(n):
+                rows.append(
+                    Row(event_id=eid, event_type="a", user_id=1,
+                        ts=datetime.datetime(2024, 1, day, 10, 0, 0))
+                )
+                eid += 1
+        out = sorted(
+            AN.weekly_pct_change(spark.createDataFrame(rows)).collect(),
+            key=lambda r: r.week_idx,
+        )
+        assert out[0].prev_n is None and out[0].wow_pct is None
+        assert out[1].prev_n == 4 and out[1].wow_pct == 0.5
+        assert out[1].week_idx == out[0].week_idx + 1
+
+
+class TestBehavioralEntropy:
+    def test_uniform_vs_single_type_users(self, spark):
+        from bigdata_logs_spark.operators import analytics as AN
+
+        rows = [(1, t, 1) for t in ("a", "b", "c", "d")]  # uniform: ln 4
+        rows += [(2, "a", 1)] * 4                          # single type: 0
+        out = AN.behavioral_entropy(_ev(spark, rows)).collect()
+        by_bucket = {r.bucket: r for r in out}
+        import math
+
+        hi = int(round(math.log(4) * 1e6)) // 100000  # 1.386 nats -> 13
+        assert by_bucket[0].n_users == 1
+        assert by_bucket[0].avg_entropy_nats == 0.0
+        assert by_bucket[hi].n_users == 1
+        assert abs(by_bucket[hi].avg_entropy_nats - math.log(4)) < 1e-5
