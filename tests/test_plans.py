@@ -445,6 +445,18 @@ def test_truncation_fidelity_narrow_three_group_shuffle(spark, sf_dir):
         "semantic_dedup",
         "token_budget_allocation",
         "scd2_asof_enrichment",
+        # late round-6 additions (the MMR/kNN shortlist ops use the
+        # documented broadcast-query crossJoin, exercised separately)
+        "confusable_usernames",
+        "robust_daily_trend",
+        "weighted_median_price",
+        "nearest_event_join",
+        "corpus_dedup_funnel",
+        "token_graph_kcore",
+        "bfs_reachability",
+        "inverted_index_postings",
+        "ams_f2_skew",
+        "longest_event_streaks",
     ],
 )
 def test_round6_queries_have_no_cartesian(spark, sf_dir, name):
@@ -467,3 +479,31 @@ def test_ivfpq_scan_reads_codes_not_floats(spark, sf_dir):
     plan = _plan(spark, "ivfpq_adc_topk", sf_dir)
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan
+
+
+def test_bloom_probe_join_is_broadcast(spark, sf_dir):
+    """SK-5's probe leg must join the <=1024-row bit set as a
+    broadcast build side — the exact shape a bloom-pruned shuffle
+    join relies on."""
+    plan = _plan(spark, "bloom_membership", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kwic_term_list_is_broadcast(spark, sf_dir):
+    """T-25 joins the top-k term list into the posexplode stream as a
+    broadcast — the corpus-side occurrences must never shuffle to
+    meet a 3-row relation."""
+    plan = _plan(spark, "kwic_concordance", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_nearest_event_join_is_user_keyed(spark, sf_dir):
+    """J-17's range predicate must ride a user_id equi-join (hash or
+    sort-merge), never degrade to a nested-loop over the event
+    table."""
+    plan = _plan(spark, "nearest_event_join", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
