@@ -337,6 +337,10 @@ def main() -> None:
         "nearest_event_join",
         "weekly_pct_change",
         "behavioral_entropy",
+        "top_value_days_with_ties",
+        "cumulative_unique_users",
+        "trimmed_mean_value",
+        "epoch_shuffle_shards",
     ]
     extended: dict[str, float] = {}
     for name in EXTENDED:

@@ -839,3 +839,102 @@ def behavioral_entropy(events: DataFrame) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+def top_value_days_with_ties(events: DataFrame, k: int = 3) -> DataFrame:
+    """D-54: top-k by daily total value per type WITH ties — RANK()
+    semantics (every day tied at a kept rank is kept), where D-28's
+    row_number picks arbitrary winners among ties; the honest
+    leaderboard when totals can tie.
+
+    DECIMAL-exact daily sums keep tie detection itself exact — two
+    days tie on the money total, never on a float artifact.
+
+    Scale shape: one combinable (type, day) aggregation, one rank
+    window over the tiny aggregate."""
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("date")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("total_d")
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("total_d"))
+    return (
+        daily.withColumn("rnk", F.rank().over(w))
+        .where(F.col("rnk") <= k)
+        .select(
+            "event_type",
+            F.col("rnk").cast("int").alias("rnk"),
+            F.date_format("date", "yyyy-MM-dd").alias("date"),
+            F.col("total_d").cast("double").alias("total_value"),
+        )
+        .orderBy("event_type", "rnk", "date")
+    )
+
+
+def cumulative_unique_users(events: DataFrame) -> DataFrame:
+    """W-15: cumulative distinct users by day — the user-growth curve.
+    COUNT(DISTINCT) OVER a running window is quadratic; the standard
+    linear rewrite counts each user once on their FIRST day and takes
+    a running sum of the first-seen counts.
+
+    Scale shape: one (user -> min day) aggregation (combinable), one
+    day-level count, one ordered window over the ~days-sized table."""
+    first_seen = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_date")
+    )
+    per_day = first_seen.groupBy("first_date").agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    # left-join onto the full day spine so days with no new users
+    # still appear with their running total
+    days = events.select(F.to_date("ts").alias("first_date")).distinct()
+    w = Window.orderBy("first_date").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        days.join(per_day, "first_date", "left")
+        .withColumn("n_new", F.coalesce(F.col("n_new"), F.lit(0)))
+        .withColumn("cum_users", F.sum("n_new").over(w))
+        .select(
+            F.date_format("first_date", "yyyy-MM-dd").alias("date"),
+            "n_new",
+            "cum_users",
+        )
+        .orderBy("date")
+    )
+
+
+def trimmed_mean_value(events: DataFrame, trim_pct: int = 5) -> DataFrame:
+    """AGG-15: trimmed mean — per type, the mean of ``value`` with the
+    top and bottom ``trim_pct`` percent of ranked rows discarded; the
+    robust center AGG-13's median summarizes more coarsely (the
+    trimmed mean keeps 90% of the data's information, the median one
+    row's).
+
+    Exactness: trim boundaries are integer rank positions (n*pct
+    div 100), the surviving values sum in DECIMAL (order-free), and
+    the mean is one division rounded at 4.
+
+    Scale shape: one ranked window per type, one aggregate — same
+    two-pass shape as AGG-13."""
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wp = Window.partitionBy("event_type")
+    ranked = events.select("event_type", "value", "event_id").withColumn(
+        "rn", F.row_number().over(w)
+    ).withColumn("n", F.count(F.lit(1)).over(wp))
+    lo = F.expr(f"n * {trim_pct} div 100")
+    hi = F.expr(f"n - n * {trim_pct} div 100")
+    kept = ranked.where((F.col("rn") > lo) & (F.col("rn") <= hi))
+    return (
+        kept.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n_total"),
+            F.count(F.lit(1)).alias("n_kept"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("trimmed_mean"),
+        )
+        .orderBy("event_type")
+    )

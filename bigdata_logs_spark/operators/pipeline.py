@@ -797,3 +797,46 @@ def corpus_dedup_funnel(docs: DataFrame) -> DataFrame:
     ):
         out = out.unionByName(leg(stage, ids))
     return out.orderBy("stage")
+
+
+def epoch_shuffle_shards(
+    docs: DataFrame, seed: str = "epoch1", n_shards: int = 8
+) -> DataFrame:
+    """PL-21: deterministic epoch shuffle + sharding — every document
+    assigned a pseudo-random but SEEDED position (md5 of seed||id),
+    split into ``n_shards`` shards; per shard the doc/token mass and
+    the hash-order boundary docs. Changing the seed string reshuffles
+    every epoch reproducibly — the property that makes a training
+    run resumable and its data order auditable.
+
+    Scale shape: the shuffle key is a narrow per-row expression; the
+    shard summary is one combinable aggregation; boundary docs come
+    from min/max structs, not a sort. A writer would
+    repartitionByRange on the same key — same expression, no extra
+    pass."""
+    from bigdata_logs_spark.operators.textops import with_tokens
+
+    h = F.expr(
+        f"CAST(conv(substring(md5(concat('{seed}', ':', "
+        f"CAST(doc_id AS STRING))), 1, 13), 16, 10) AS BIGINT)"
+    )
+    toks = with_tokens(docs).select(
+        "doc_id", F.size("tokens").alias("n_tok")
+    )
+    keyed = toks.withColumn("h", h).withColumn(
+        "shard", (F.col("h") % n_shards).cast("int")
+    )
+    return (
+        keyed.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.min(F.struct("h", "doc_id")).getField("doc_id").alias(
+                "first_doc_id"
+            ),
+            F.max(F.struct("h", "doc_id")).getField("doc_id").alias(
+                "last_doc_id"
+            ),
+        )
+        .orderBy("shard")
+    )

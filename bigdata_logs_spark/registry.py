@@ -8346,6 +8346,108 @@ def q_behavioral_entropy(spark, sf_dir):
     return AN.behavioral_entropy(_events(spark, sf_dir))
 
 
+@register(
+    "top_value_days_with_ties",
+    """
+    WITH daily AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS date,
+             SUM(value::DECIMAL(18,2)) AS total_d
+      FROM events GROUP BY 1, 2
+    ), r AS (
+      SELECT *, RANK() OVER (
+        PARTITION BY event_type ORDER BY total_d DESC) AS rnk
+      FROM daily
+    )
+    SELECT event_type, rnk::INT AS rnk, date,
+           total_d::DOUBLE AS total_value
+    FROM r WHERE rnk <= 3 ORDER BY event_type, rnk, date
+    """,
+    tags=("D-54",),
+)
+def q_top_value_days_with_ties(spark, sf_dir):
+    """D-54 ties-aware top-k: RANK() keeps every day tied at a kept
+    rank (row_number would pick arbitrary winners); DECIMAL-exact
+    daily sums make tie detection itself exact."""
+    return AN.top_value_days_with_ties(_events(spark, sf_dir))
+
+
+@register(
+    "cumulative_unique_users",
+    """
+    WITH fs AS (
+      SELECT user_id, MIN(ts::DATE) AS first_date FROM events GROUP BY 1
+    ), pd AS (
+      SELECT first_date, COUNT(*)::BIGINT AS n_new FROM fs GROUP BY 1
+    ), days AS (SELECT DISTINCT ts::DATE AS first_date FROM events)
+    SELECT strftime(d.first_date, '%Y-%m-%d') AS date,
+           COALESCE(pd.n_new, 0)::BIGINT AS n_new,
+           SUM(COALESCE(pd.n_new, 0)) OVER (
+             ORDER BY d.first_date ROWS UNBOUNDED PRECEDING)::BIGINT
+             AS cum_users
+    FROM days d LEFT JOIN pd USING (first_date) ORDER BY date
+    """,
+    tags=("W-15",),
+)
+def q_cumulative_unique_users(spark, sf_dir):
+    """W-15 user-growth curve: cumulative distinct users by day via
+    the linear first-seen rewrite (count each user once on their min
+    day + running sum) — COUNT(DISTINCT) OVER would be quadratic."""
+    return AN.cumulative_unique_users(_events(spark, sf_dir))
+
+
+@register(
+    "trimmed_mean_value",
+    """
+    WITH ranked AS (
+      SELECT event_type, value, ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type)::BIGINT AS n
+      FROM events
+    ), kept AS (
+      SELECT * FROM ranked
+      WHERE rn > n * 5 // 100 AND rn <= n - n * 5 // 100
+    )
+    SELECT event_type, MAX(n)::BIGINT AS n_total,
+           COUNT(*)::BIGINT AS n_kept,
+           ROUND(SUM(value::DECIMAL(18,2))::DOUBLE / COUNT(*), 4)
+             AS trimmed_mean
+    FROM kept GROUP BY 1 ORDER BY 1
+    """,
+    tags=("AGG-15",),
+)
+def q_trimmed_mean_value(spark, sf_dir):
+    """AGG-15 trimmed mean: per-type mean with the top/bottom 5% of
+    ranked rows discarded — integer-rank trim boundaries,
+    DECIMAL-exact surviving sum, one division at the end."""
+    return AN.trimmed_mean_value(_events(spark, sf_dir))
+
+
+@register(
+    "epoch_shuffle_shards",
+    TOKS_CTE
+    + """
+    , keyed AS (
+      SELECT doc_id, len(tokens)::BIGINT AS n_tok,
+             ('0x' || substr(md5('epoch1' || ':' || doc_id::VARCHAR),
+                             1, 13))::BIGINT AS h
+      FROM toks
+    )
+    SELECT (h % 8)::INT AS shard, COUNT(*)::BIGINT AS n_docs,
+           SUM(n_tok)::BIGINT AS n_tokens,
+           arg_min(doc_id, h) AS first_doc_id,
+           arg_max(doc_id, h) AS last_doc_id
+    FROM keyed GROUP BY 1 ORDER BY 1
+    """,
+    tags=("PL-21",),
+)
+def q_epoch_shuffle_shards(spark, sf_dir):
+    """PL-21 deterministic epoch shuffle: seeded md5 positions split
+    the corpus into shards with per-shard doc/token mass and
+    hash-order boundary docs — reseeding reshuffles reproducibly,
+    the auditability property a resumable training run needs."""
+    return PL.epoch_shuffle_shards(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Driver-certification order
 # ---------------------------------------------------------------------------
@@ -8420,6 +8522,10 @@ _DRIVER_FIRST = [
     "nearest_event_join",
     "weekly_pct_change",
     "behavioral_entropy",
+    "top_value_days_with_ties",
+    "cumulative_unique_users",
+    "trimmed_mean_value",
+    "epoch_shuffle_shards",
     # latest driver row is round 1 (stalest certified block)
     "events_of_type",
     "entity_hourly_activity",

@@ -551,3 +551,109 @@ class TestBehavioralEntropy:
         assert by_bucket[0].avg_entropy_nats == 0.0
         assert by_bucket[hi].n_users == 1
         assert abs(by_bucket[hi].avg_entropy_nats - math.log(4)) < 1e-5
+
+
+class TestTopValueDaysWithTies:
+    def test_rank_keeps_tied_days(self, spark):
+        import datetime
+
+        from bigdata_logs_spark.operators import analytics as AN
+
+        def ev(eid, day, v):
+            return Row(event_id=eid, user_id=1, event_type="a",
+                       ts=datetime.datetime(2024, 1, day, 10, 0, 0),
+                       value=float(v))
+
+        rows = [
+            ev(0, 1, 5), ev(1, 1, 5),   # day 1 total 10
+            ev(2, 2, 10),               # day 2 total 10 (tie at rank 1)
+            ev(3, 3, 7),                # day 3 total 7 -> rank 3
+            ev(4, 4, 1),                # day 4 total 1 -> rank 4, cut
+        ]
+        out = AN.top_value_days_with_ties(
+            spark.createDataFrame(rows)
+        ).collect()
+        got = [(r.rnk, r.date, r.total_value) for r in out]
+        # RANK() semantics: BOTH tied days kept at rank 1, next rank 3.
+        assert got == [
+            (1, "2024-01-01", 10.0),
+            (1, "2024-01-02", 10.0),
+            (3, "2024-01-03", 7.0),
+        ]
+
+
+class TestCumulativeUniqueUsers:
+    def test_first_seen_rewrite(self, spark):
+        import datetime
+
+        from bigdata_logs_spark.operators import analytics as AN
+
+        def ev(eid, day, u):
+            return Row(event_id=eid, user_id=u, event_type="a",
+                       ts=datetime.datetime(2024, 1, day, 10, 0, 0),
+                       value=1.0)
+
+        # day1: users 1,2 (new: 2); day2: user 1 again (new: 0);
+        # day3: users 2,3 (new: 1)
+        rows = [ev(0, 1, 1), ev(1, 1, 2), ev(2, 2, 1),
+                ev(3, 3, 2), ev(4, 3, 3)]
+        out = AN.cumulative_unique_users(
+            spark.createDataFrame(rows)
+        ).collect()
+        got = [(r.date, r.n_new, r.cum_users) for r in out]
+        assert got == [
+            ("2024-01-01", 2, 2),
+            ("2024-01-02", 0, 2),  # zero-new day still on the spine
+            ("2024-01-03", 1, 3),
+        ]
+        # terminal cum == total distinct users
+        assert got[-1][2] == 3
+
+
+class TestTrimmedMeanValue:
+    def test_five_pct_trim_boundaries(self, spark):
+        from bigdata_logs_spark.operators import analytics as AN
+
+        # 20 rows, values 1..20: lo = 20*5 div 100 = 1 row trimmed
+        # from each end -> keep ranks 2..19 i.e. values 2..19.
+        rows = [(1, "a", v) for v in range(1, 21)]
+        r = AN.trimmed_mean_value(_ev(spark, rows)).collect()[0]
+        assert r.n_total == 20
+        assert r.n_kept == 18
+        assert r.trimmed_mean == sum(range(2, 20)) / 18  # 10.5
+
+    def test_outlier_resistance(self, spark):
+        from bigdata_logs_spark.operators import analytics as AN
+
+        clean = [(1, "a", v) for v in range(1, 21)]
+        spiked = clean[:-1] + [(1, "a", 1_000_000.0)]
+        m_clean = AN.trimmed_mean_value(_ev(spark, clean)).collect()[0]
+        m_spiked = AN.trimmed_mean_value(_ev(spark, spiked)).collect()[0]
+        # the spike lands in the trimmed top tail; the mean barely moves
+        assert abs(m_spiked.trimmed_mean - m_clean.trimmed_mean) < 1.0
+
+
+class TestEpochShuffleShards:
+    def test_conservation_and_determinism(self, spark):
+        from bigdata_logs_spark.operators import pipeline as PL
+        from bigdata_logs_spark.sources import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        n_docs = docs.count()
+        a = PL.epoch_shuffle_shards(docs).collect()
+        b = PL.epoch_shuffle_shards(docs).collect()
+        assert a == b, "same seed must give the identical shuffle"
+        assert sum(r.n_docs for r in a) == n_docs
+        assert {r.shard for r in a} <= set(range(8))
+
+    def test_reseeding_reshuffles(self, spark):
+        from bigdata_logs_spark.operators import pipeline as PL
+        from bigdata_logs_spark.sources import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        e1 = PL.epoch_shuffle_shards(docs, seed="epoch1").collect()
+        e2 = PL.epoch_shuffle_shards(docs, seed="epoch2").collect()
+        # different epoch seed -> different boundary docs somewhere
+        assert [(r.first_doc_id, r.last_doc_id) for r in e1] != [
+            (r.first_doc_id, r.last_doc_id) for r in e2
+        ]
