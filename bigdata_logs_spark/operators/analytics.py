@@ -938,3 +938,153 @@ def trimmed_mean_value(events: DataFrame, trim_pct: int = 5) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def value_gini(events: DataFrame) -> DataFrame:
+    """AGG-16: Gini coefficient of ``value`` per event type — the
+    0-to-1 concentration index (0 = every event carries equal value,
+    1 = one event carries everything); the inequality summary the
+    reference's plain sum/avg tiles can't express. Computed with the
+    ranked formula G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x))
+    over values sorted ascending (Sen 1973's rank form).
+
+    Exactness: values become integer cents (DECIMAL(18,2) * 100), the
+    rank-weighted and plain sums accumulate as DECIMAL(38,0) (exact in
+    any order), and the final Gini is one DOUBLE division of two
+    integer-valued operands.
+
+    Scale shape: one ranked window per type (same shuffle AGG-13/15
+    use) + one combinable aggregate; nothing wider than (type, value,
+    id) ever shuffles."""
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = (
+        events.select("event_type", "value", "event_id")
+        .withColumn("cents", cents)
+        .withColumn("rn", F.row_number().over(w))
+    )
+    agg = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).alias("s"),
+        F.sum((F.col("rn") * F.col("cents")).cast("decimal(38,0)")).alias(
+            "rs"
+        ),
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        F.round(
+            (2 * F.col("rs") - (F.col("n") + 1) * F.col("s")).cast("double")
+            / (F.col("n") * F.col("s")).cast("double"),
+            6,
+        ).alias("gini"),
+    ).orderBy("event_type")
+
+
+def rolling_active_users(events: DataFrame, window_days: int = 7) -> DataFrame:
+    """W-16: rolling engagement — per day, DAU (distinct users that
+    day), trailing-``window_days`` WAU (distinct users active in the
+    last 7 days incl. today), and stickiness = DAU/WAU, the
+    product-health ratio. COUNT(DISTINCT) over a moving range frame
+    is quadratic; the linear rewrite emits, per (user, presence-day),
+    the interval of window-end days this presence NEWLY covers
+    ([day, min(day+6, next_presence-1)]) — the union of per-presence
+    intervals counts each user exactly once per covered day.
+
+    All calendar math runs on integer epoch days (engine date-function
+    conventions differ; integer arithmetic doesn't).
+
+    Scale shape: the corpus collapses to distinct (user, day) first;
+    the lead window and the <=7x interval explode run on that presence
+    table; two combinable day-level counts finish the job."""
+    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+    pres = events.select("user_id", day.alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    span = F.least(
+        F.col("d") + (window_days - 1),
+        F.coalesce(F.lead("d").over(w) - 1, F.col("d") + (window_days - 1)),
+    )
+    covered = pres.withColumn("hi", span).select(
+        "user_id", F.explode(F.sequence(F.col("d"), F.col("hi"))).alias("d")
+    )
+    wau = covered.groupBy("d").agg(F.count(F.lit(1)).alias("wau"))
+    dau = pres.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    return (
+        dau.join(wau, "d")
+        .select(
+            F.date_format(
+                F.date_add(F.lit("1970-01-01").cast("date"), F.col("d").cast("int")),
+                "yyyy-MM-dd",
+            ).alias("date"),
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("date")
+    )
+
+
+def association_rules(events: DataFrame, min_pair_users: int = 2) -> DataFrame:
+    """AGG-17: one-level association rules over user event-type
+    baskets (Agrawal et al., SIGMOD 1993) — for each ordered pair of
+    DISTINCT types (a -> b): support (share of all users doing both),
+    confidence (share of a-users also doing b), and lift
+    (confidence / b's base rate; >1 = positive association). The
+    which-behaviors-travel-together view behind any recommender or
+    funnel hypothesis.
+
+    Exactness: every statistic is a ratio of exact BIGINT counts —
+    single IEEE divisions after integer products, ROUND(6).
+
+    Scale shape: the corpus collapses to distinct (user, type)
+    baskets first; the pair fan-out is a self-equi-join on user_id
+    (co-partitioned, bounded by types-per-user, never all-pairs of
+    rows); type totals and the single-row user total broadcast."""
+    baskets = events.select("user_id", "event_type").distinct()
+    type_users = baskets.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_t")
+    )
+    total = baskets.select(
+        F.countDistinct("user_id").alias("n_users")
+    )
+    pairs = (
+        baskets.alias("a")
+        .join(baskets.alias("b"), "user_id")
+        .where(F.col("a.event_type") != F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("antecedent"),
+            F.col("b.event_type").alias("consequent"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= min_pair_users)
+    )
+    na = type_users.select(
+        F.col("event_type").alias("antecedent"), F.col("n_t").alias("n_a")
+    )
+    nb = type_users.select(
+        F.col("event_type").alias("consequent"), F.col("n_t").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(na), "antecedent")
+        .join(F.broadcast(nb), "consequent")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_ab",
+            F.round(F.col("n_ab").cast("double") / F.col("n_users"), 6).alias(
+                "support"
+            ),
+            F.round(F.col("n_ab").cast("double") / F.col("n_a"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                (F.col("n_ab") * F.col("n_users")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("antecedent", "consequent")
+    )

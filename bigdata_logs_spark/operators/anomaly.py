@@ -577,3 +577,72 @@ def benford_first_digit(orders: DataFrame) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+def two_proportion_drift(events: DataFrame) -> DataFrame:
+    """AD-11: two-proportion z-test of traffic-mix drift — the period
+    splits at its midpoint day and, per event type, the share of all
+    traffic that type carries in each half is compared with the
+    pooled two-proportion z statistic
+
+        z = (p1 - p2) / sqrt(p*(1-p)*(1/N1 + 1/N2)),  p = pooled.
+
+    AD-4's chi-square says THAT the mix moved; the per-type z says
+    WHICH types moved, in which direction, and whether the move
+    clears a significance bar (|z| > 1.96 at alpha = 0.05).
+
+    Exactness: all inputs are exact BIGINT counts; every float step
+    (four divisions, one sqrt, products) is a single IEEE operation
+    on deterministic operands, so both engines produce bit-identical
+    doubles (sqrt is correctly rounded per IEEE 754). The midpoint is
+    integer epoch-day arithmetic.
+
+    Scale shape: ONE combinable (type, half) count after a broadcast
+    single-row min/max join; everything downstream runs on 2k rows."""
+    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+    keyed = events.select("event_type", day.alias("d"))
+    # half 1 iff d <= floor((min+max)/2), written 2d <= min+max so the
+    # comparison stays in integers with no division at all.
+    bounds = keyed.agg((F.min("d") + F.max("d")).alias("mid2"))
+    halved = keyed.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.when(F.col("d") * 2 <= F.col("mid2"), F.lit(1))
+        .otherwise(F.lit(2))
+        .alias("half"),
+    )
+    counts = halved.groupBy("event_type", "half").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.groupBy("half").agg(F.sum("n").alias("tot"))
+    n1 = F.coalesce(F.max(F.when(F.col("half") == 1, F.col("n"))), F.lit(0))
+    n2 = F.coalesce(F.max(F.when(F.col("half") == 2, F.col("n"))), F.lit(0))
+    t1 = F.max(F.when(F.col("half") == 1, F.col("tot")))
+    t2 = F.max(F.when(F.col("half") == 2, F.col("tot")))
+    wide = (
+        counts.join(F.broadcast(totals), "half")
+        .groupBy("event_type")
+        .agg(n1.alias("n1"), n2.alias("n2"), t1.alias("t1"), t2.alias("t2"))
+    )
+    p1 = F.col("n1").cast("double") / F.col("t1")
+    p2 = F.col("n2").cast("double") / F.col("t2")
+    pp = (F.col("n1") + F.col("n2")).cast("double") / (
+        F.col("t1") + F.col("t2")
+    )
+    se = F.sqrt(
+        pp
+        * (F.lit(1.0) - pp)
+        * (
+            F.lit(1.0) / F.col("t1").cast("double")
+            + F.lit(1.0) / F.col("t2").cast("double")
+        )
+    )
+    z = (p1 - p2) / se
+    return wide.select(
+        "event_type",
+        "n1",
+        "n2",
+        F.round(p1, 6).alias("p1"),
+        F.round(p2, 6).alias("p2"),
+        F.round(z, 4).alias("z"),
+        (F.abs(z) > 1.96).alias("significant"),
+    ).orderBy("event_type")

@@ -29,7 +29,7 @@ is one shuffle-join on ``src`` plus one integer groupBy on ``dst``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from bigdata_logs_spark.caching import tracked_cache
@@ -363,3 +363,70 @@ def bfs_reachability(docs: DataFrame, hops: int = 4) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("hop")
+
+
+def markov_stationary(events: DataFrame, iterations: int = 5) -> DataFrame:
+    """G-7: quasi-stationary distribution of the event-type Markov
+    chain — ``iterations`` fixed power-iteration steps of the
+    transition matrix AD-6 (`rare_transitions`) calibrates, starting
+    from the uniform mass vector; where the per-edge probabilities say
+    what follows WHAT, the stationary mass says where user attention
+    CONCENTRATES in the long run (the steady-state the chain drifts
+    toward).
+
+    Fixed-point exactness (the G-1 discipline): masses are BIGINT at
+    SCALE; every per-edge flow floors floor(m * n / out_total) to an
+    integer BEFORE the incoming sum, so both engines reduce exact
+    integers; the final share is one double division. Fixed iteration
+    count keeps the oracle an identical unrolled replay.
+
+    Scale shape: the corpus collapses to the k x k transition-count
+    table in ONE (user_id)-partitioned window pass (k = event-type
+    cardinality, tiny); all iterations run on broadcast-sized tables.
+    Cites /root/reference/src/stats_dashboard.py:79-101 (the per-type
+    volume bars this upgrades with sequence structure)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        events.withColumn("nxt", F.lead("event_type").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("src"), F.col("nxt").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out_w = edges.groupBy("src").agg(F.sum("n").alias("ow"))
+    graph = tracked_cache(edges.join(out_w, "src"))
+    nodes = events.select(F.col("event_type").alias("t")).distinct()
+
+    mass = nodes.withColumn("m", F.lit(SCALE).cast("long"))
+    for _ in range(iterations):
+        contrib = (
+            graph.join(
+                F.broadcast(mass.select(F.col("t").alias("src"), "m")),
+                "src",
+            )
+            .select(
+                F.col("dst").alias("t"),
+                F.floor(F.col("m") * F.col("n") / F.col("ow"))
+                .cast("long")
+                .alias("c"),
+            )
+            .groupBy("t")
+            .agg(F.sum("c").alias("c"))
+        )
+        mass = nodes.join(F.broadcast(contrib), "t", "left").select(
+            "t", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("m")
+        )
+
+    total = mass.agg(F.sum("m").alias("tot"))
+    return (
+        mass.crossJoin(F.broadcast(total))
+        .select(
+            F.col("t").alias("event_type"),
+            F.col("m").alias("mass_scaled"),
+            F.round(F.col("m").cast("double") / F.col("tot"), 6).alias(
+                "share"
+            ),
+        )
+        .orderBy(F.desc("mass_scaled"), "event_type")
+    )

@@ -1557,3 +1557,54 @@ def mmr_rerank(
     return out.withColumnRenamed("nid", "neighbor_id").orderBy(
         "query_id", "select_rank"
     )
+
+
+def embedding_drift(embeddings: DataFrame, top_k: int = 10) -> DataFrame:
+    """E-22: per-dimension embedding drift — the corpus splits into
+    two cohorts by vec_id parity (the deterministic stand-in for
+    before/after an encoder change) and each dimension's mean is
+    compared across cohorts; the ``top_k`` most-shifted dimensions
+    are the drift report. A retrained or fine-tuned encoder shifts
+    dimension means long before nearest-neighbour quality visibly
+    degrades — this is the cheap monitor in front of E-7's recall
+    check.
+
+    Exactness: components quantize to micro-unit BIGINTs at the scan
+    (the E-10/E-20 discipline), cohort sums are exact integer
+    reductions, and each mean is ONE double division of exact-integer
+    operands (denominator n*1e6 stays well under 2^53); the shift is
+    one subtraction. Ordering ties break by dimension.
+
+    Scale shape: one narrow posexplode pass + one combinable
+    (cohort, dim) aggregation; the pivot join runs on 2*dims rows.
+    Nothing corpus-sized survives the first aggregation."""
+    q = F.expr(
+        "transform(embedding, x -> "
+        "CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
+    )
+    comps = embeddings.select(
+        (F.col("vec_id") % 2).alias("cohort"),
+        F.posexplode(q).alias("dim", "qv"),
+    )
+    agg = comps.groupBy("cohort", "dim").agg(
+        F.sum("qv").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    even = agg.where(F.col("cohort") == 0).select(
+        "dim", F.col("s").alias("s0"), F.col("n").alias("n0")
+    )
+    odd = agg.where(F.col("cohort") == 1).select(
+        "dim", F.col("s").alias("s1"), F.col("n").alias("n1")
+    )
+    mean0 = F.col("s0").cast("double") / (F.col("n0") * F.lit(1000000))
+    mean1 = F.col("s1").cast("double") / (F.col("n1") * F.lit(1000000))
+    return (
+        even.join(odd, "dim")
+        .select(
+            "dim",
+            F.round(mean0, 8).alias("mean_even"),
+            F.round(mean1, 8).alias("mean_odd"),
+            F.round(mean1 - mean0, 8).alias("shift"),
+        )
+        .orderBy(F.abs(F.round(mean1 - mean0, 8)).desc(), "dim")
+        .limit(top_k)
+    )

@@ -551,3 +551,33 @@ def ams_f2_skew(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def hll_estimate_from_registers(regs: DataFrame) -> DataFrame:
+    """One-row HLL estimate from a drained global (idx, r) register
+    table (the ST-16 streaming state) — the same fixed-point harmonic
+    sum + linear-counting correction as `hll_distinct`, factored out
+    so the batch build and the streaming drain certify against one
+    arithmetic definition."""
+    z = regs.agg(
+        F.sum(
+            F.expr(f"shiftleft(1L, cast({HLL_RHO_MAX} - r as int))")
+        ).alias("z_present"),
+        F.count(F.lit(1)).alias("m_present"),
+    )
+    v = F.lit(HLL_M) - F.col("m_present")
+    z_int = F.col("z_present") + v * F.lit(HLL_ZSCALE)
+    raw = (
+        F.lit(HLL_ALPHA)
+        * F.lit(float(HLL_M * HLL_M))
+        * F.lit(float(HLL_ZSCALE))
+        / z_int
+    )
+    corrected = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (v > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v),
+    ).otherwise(raw)
+    return z.select(
+        F.round(corrected, 4).alias("hll_estimate"),
+        v.cast("long").alias("n_zero_registers"),
+    )

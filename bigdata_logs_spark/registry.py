@@ -8448,6 +8448,270 @@ def q_epoch_shuffle_shards(spark, sf_dir):
     return PL.epoch_shuffle_shards(_docs(spark, sf_dir))
 
 
+@register(
+    "value_gini",
+    """
+    WITH ranked AS (
+      SELECT event_type,
+             (value::DECIMAL(18,2) * 100)::BIGINT AS cents,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY value, event_id) AS rn
+      FROM events
+    ), agg AS (
+      SELECT event_type, COUNT(*)::BIGINT AS n,
+             SUM(cents::HUGEINT) AS s,
+             SUM((rn * cents)::HUGEINT) AS rs
+      FROM ranked GROUP BY 1
+    )
+    SELECT event_type, n AS n_events,
+           ROUND((2*rs - (n+1)*s)::DOUBLE / (n*s)::DOUBLE, 6) AS gini
+    FROM agg ORDER BY event_type
+    """,
+    tags=("AGG-16",),
+)
+def q_value_gini(spark, sf_dir):
+    """AGG-16 Gini concentration of value per type (Sen 1973 rank
+    form): integer-cent rank-weighted sums in DECIMAL(38,0), one
+    DOUBLE division — the inequality index beside AGG-13's quartiles."""
+    return AN.value_gini(_events(spark, sf_dir))
+
+
+@register(
+    "rolling_active_users",
+    """
+    WITH pres AS (
+      SELECT DISTINCT user_id,
+             (ts::DATE - DATE '1970-01-01')::BIGINT AS d
+      FROM events
+    ), seg AS (
+      SELECT user_id, d,
+             LEAST(d + 6, COALESCE(LEAD(d) OVER (
+               PARTITION BY user_id ORDER BY d) - 1, d + 6)) AS hi
+      FROM pres
+    ), covered AS (
+      SELECT user_id, unnest(generate_series(d, hi)) AS cd FROM seg
+    ), wau AS (
+      SELECT cd AS d, COUNT(*)::BIGINT AS wau FROM covered GROUP BY 1
+    ), dau AS (
+      SELECT d, COUNT(*)::BIGINT AS dau FROM pres GROUP BY 1
+    )
+    SELECT strftime(DATE '1970-01-01' + dau.d::INT, '%Y-%m-%d') AS date,
+           dau.dau, wau.wau,
+           ROUND(dau.dau::DOUBLE / wau.wau, 6) AS stickiness
+    FROM dau JOIN wau ON dau.d = wau.d
+    ORDER BY date
+    """,
+    tags=("W-16",),
+)
+def q_rolling_active_users(spark, sf_dir):
+    """W-16 DAU / trailing-7-day WAU / stickiness: the linear
+    interval-union rewrite of a moving COUNT(DISTINCT) — per-presence
+    coverage intervals clipped at the next presence, exploded <=7x,
+    counted once per user per day; all calendar math on epoch-day
+    integers."""
+    return AN.rolling_active_users(_events(spark, sf_dir))
+
+
+@register(
+    "association_rules",
+    """
+    WITH baskets AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ), tu AS (
+      SELECT event_type, COUNT(*)::BIGINT AS n_t FROM baskets GROUP BY 1
+    ), tot AS (
+      SELECT COUNT(DISTINCT user_id)::BIGINT AS n_users FROM baskets
+    ), pairs AS (
+      SELECT a.event_type AS antecedent, b.event_type AS consequent,
+             COUNT(*)::BIGINT AS n_ab
+      FROM baskets a JOIN baskets b USING (user_id)
+      WHERE a.event_type <> b.event_type
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    )
+    SELECT antecedent, consequent, n_ab,
+           ROUND(n_ab::DOUBLE / n_users, 6) AS support,
+           ROUND(n_ab::DOUBLE / na.n_t, 6) AS confidence,
+           ROUND((n_ab * n_users)::DOUBLE / (na.n_t * nb.n_t)::DOUBLE, 6)
+             AS lift
+    FROM pairs
+    JOIN tu na ON na.event_type = pairs.antecedent
+    JOIN tu nb ON nb.event_type = pairs.consequent
+    CROSS JOIN tot
+    ORDER BY antecedent, consequent
+    """,
+    tags=("AGG-17",),
+)
+def q_association_rules(spark, sf_dir):
+    """AGG-17 one-level association rules (Agrawal 1993) over user
+    event-type baskets: support / confidence / lift as single IEEE
+    divisions of exact BIGINT counts; pair fan-out is a co-partitioned
+    self-join on user_id bounded by types-per-user."""
+    return AN.association_rules(_events(spark, sf_dir))
+
+
+@register(
+    "markov_stationary",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      FROM events
+    ), edges AS (
+      SELECT event_type AS src, nxt AS dst, COUNT(*)::BIGINT AS n
+      FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ), outw AS (
+      SELECT src, SUM(n)::BIGINT AS ow FROM edges GROUP BY 1
+    ), g AS (
+      SELECT e.src, e.dst, e.n, o.ow FROM edges e JOIN outw o USING (src)
+    ), nodes AS (
+      SELECT DISTINCT event_type AS t FROM events
+    ), m0 AS (
+      SELECT t, 1000000::BIGINT AS m FROM nodes
+    ), m1 AS (
+      SELECT n.t, COALESCE(s.c, 0)::BIGINT AS m
+      FROM nodes n LEFT JOIN (
+        SELECT g.dst AS t,
+               SUM((FLOOR(g.n * p.m / g.ow))::BIGINT)::BIGINT AS c
+        FROM g JOIN m0 p ON p.t = g.src GROUP BY 1
+      ) s ON s.t = n.t
+), m2 AS (
+      SELECT n.t, COALESCE(s.c, 0)::BIGINT AS m
+      FROM nodes n LEFT JOIN (
+        SELECT g.dst AS t,
+               SUM((FLOOR(g.n * p.m / g.ow))::BIGINT)::BIGINT AS c
+        FROM g JOIN m1 p ON p.t = g.src GROUP BY 1
+      ) s ON s.t = n.t
+), m3 AS (
+      SELECT n.t, COALESCE(s.c, 0)::BIGINT AS m
+      FROM nodes n LEFT JOIN (
+        SELECT g.dst AS t,
+               SUM((FLOOR(g.n * p.m / g.ow))::BIGINT)::BIGINT AS c
+        FROM g JOIN m2 p ON p.t = g.src GROUP BY 1
+      ) s ON s.t = n.t
+), m4 AS (
+      SELECT n.t, COALESCE(s.c, 0)::BIGINT AS m
+      FROM nodes n LEFT JOIN (
+        SELECT g.dst AS t,
+               SUM((FLOOR(g.n * p.m / g.ow))::BIGINT)::BIGINT AS c
+        FROM g JOIN m3 p ON p.t = g.src GROUP BY 1
+      ) s ON s.t = n.t
+), m5 AS (
+      SELECT n.t, COALESCE(s.c, 0)::BIGINT AS m
+      FROM nodes n LEFT JOIN (
+        SELECT g.dst AS t,
+               SUM((FLOOR(g.n * p.m / g.ow))::BIGINT)::BIGINT AS c
+        FROM g JOIN m4 p ON p.t = g.src GROUP BY 1
+      ) s ON s.t = n.t
+), tot AS (
+      SELECT SUM(m)::BIGINT AS tot FROM m5
+    )
+    SELECT t AS event_type, m AS mass_scaled,
+           ROUND(m::DOUBLE / tot, 6) AS share
+    FROM m5, tot ORDER BY mass_scaled DESC, event_type
+    """,
+    tags=("G-7",),
+)
+def q_markov_stationary(spark, sf_dir):
+    """G-7 quasi-stationary mass of the event-type Markov chain: 5
+    unrolled fixed-point power-iteration steps over the k x k
+    transition table (flows floored to BIGINT before every incoming
+    sum — the G-1 exactness discipline); the corpus collapses to the
+    transition counts in one user-partitioned window pass."""
+    return G.markov_stationary(_events(spark, sf_dir))
+
+
+@register(
+    "two_proportion_drift",
+    """
+    WITH keyed AS (
+      SELECT event_type, (ts::DATE - DATE '1970-01-01')::BIGINT AS d
+      FROM events
+    ), b AS (
+      SELECT MIN(d) + MAX(d) AS mid2 FROM keyed
+    ), halved AS (
+      SELECT event_type,
+             CASE WHEN d * 2 <= mid2 THEN 1 ELSE 2 END AS half
+      FROM keyed, b
+    ), counts AS (
+      SELECT event_type, half, COUNT(*)::BIGINT AS n
+      FROM halved GROUP BY 1, 2
+    ), totals AS (
+      SELECT half, SUM(n)::BIGINT AS tot FROM counts GROUP BY 1
+    ), wide AS (
+      SELECT event_type,
+             COALESCE(MAX(CASE WHEN half = 1 THEN n END), 0)::BIGINT AS n1,
+             COALESCE(MAX(CASE WHEN half = 2 THEN n END), 0)::BIGINT AS n2,
+             MAX(CASE WHEN half = 1 THEN tot END)::BIGINT AS t1,
+             MAX(CASE WHEN half = 2 THEN tot END)::BIGINT AS t2
+      FROM counts JOIN totals USING (half) GROUP BY 1
+    )
+    SELECT event_type, n1, n2,
+           ROUND(n1::DOUBLE / t1, 6) AS p1,
+           ROUND(n2::DOUBLE / t2, 6) AS p2,
+           ROUND((n1::DOUBLE / t1 - n2::DOUBLE / t2)
+                 / sqrt((((n1 + n2)::DOUBLE / (t1 + t2))
+                         * (CAST(1.0 AS DOUBLE)
+                            - (n1 + n2)::DOUBLE / (t1 + t2)))
+                        * (CAST(1.0 AS DOUBLE) / t1::DOUBLE
+                           + CAST(1.0 AS DOUBLE) / t2::DOUBLE)), 4) AS z,
+           abs((n1::DOUBLE / t1 - n2::DOUBLE / t2)
+               / sqrt((((n1 + n2)::DOUBLE / (t1 + t2))
+                       * (CAST(1.0 AS DOUBLE)
+                          - (n1 + n2)::DOUBLE / (t1 + t2)))
+                      * (CAST(1.0 AS DOUBLE) / t1::DOUBLE
+                         + CAST(1.0 AS DOUBLE) / t2::DOUBLE)))
+             > CAST(1.96 AS DOUBLE) AS significant
+    FROM wide ORDER BY event_type
+    """,
+    tags=("AD-11",),
+)
+def q_two_proportion_drift(spark, sf_dir):
+    """AD-11 two-proportion z-test of per-type traffic-share drift
+    between the period halves: exact integer counts, then the same
+    IEEE operation sequence on both engines (divisions, one sqrt) —
+    the per-type direction+significance companion to AD-4's global
+    chi-square."""
+    return AD.two_proportion_drift(_events(spark, sf_dir))
+
+
+@register(
+    "embedding_drift",
+    """
+    WITH comps AS (
+      SELECT vec_id % 2 AS cohort,
+             generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(round(unnest(embedding)::DOUBLE * 1000000.0) AS BIGINT)
+               AS qv
+      FROM embeddings
+    ), agg AS (
+      SELECT cohort, dim, SUM(qv)::BIGINT AS s, COUNT(*)::BIGINT AS n
+      FROM comps GROUP BY 1, 2
+    ), ev AS (
+      SELECT dim, s AS s0, n AS n0 FROM agg WHERE cohort = 0
+    ), od AS (
+      SELECT dim, s AS s1, n AS n1 FROM agg WHERE cohort = 1
+    )
+    SELECT dim,
+           ROUND(s0::DOUBLE / (n0 * 1000000), 8) AS mean_even,
+           ROUND(s1::DOUBLE / (n1 * 1000000), 8) AS mean_odd,
+           ROUND(s1::DOUBLE / (n1 * 1000000)
+                 - s0::DOUBLE / (n0 * 1000000), 8) AS shift
+    FROM ev JOIN od USING (dim)
+    ORDER BY abs(ROUND(s1::DOUBLE / (n1 * 1000000)
+                       - s0::DOUBLE / (n0 * 1000000), 8)) DESC, dim
+    LIMIT 10
+    """,
+    tags=("E-22",),
+)
+def q_embedding_drift(spark, sf_dir):
+    """E-22 per-dimension embedding drift between the vec_id-parity
+    cohorts: micro-unit integer quantization at the scan, exact
+    integer cohort sums, one double division per mean — the cheap
+    encoder-change monitor in front of E-7's recall check."""
+    return SIM.embedding_drift(load_table(spark, sf_dir, "embeddings"))
+
+
 # ---------------------------------------------------------------------------
 # Driver-certification order
 # ---------------------------------------------------------------------------

@@ -811,3 +811,76 @@ def streaming_cms_state(
     for d in (state_dir + "__ckpt", state_dir + "__tmp"):
         if os.path.exists(d):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def streaming_hll_state(
+    parsed: DataFrame, state_dir: str, timeout_sec: int = 120
+) -> None:
+    """ST-16: streaming HyperLogLog maintenance — keep SK-4's
+    64-register distinct-source-IP sketch live by MAX-merging each
+    micro-batch's (register, rho) observations into a parquet state
+    table.
+
+    The streaming leg of SK-4 and the proof of the HLL mergeability
+    claim: register update is MAX, which is associative, commutative,
+    AND idempotent — so the drained register table (and the estimate
+    read from it) is bit-identical under any micro-batch split AND
+    under replayed/duplicated input, the strongest of the streaming
+    invariances (ST-15's counters tolerate resplitting but not
+    replay). That idempotence is why production engines checkpoint
+    HLL registers, not raw keys.
+
+    State is <= m = 64 BIGINT rows regardless of key cardinality or
+    feed length. Merge discipline is the S-10 swap: write-tmp ->
+    validate -> rename."""
+    import os
+    import shutil
+
+    from bigdata_logs_spark.operators.sketches import (
+        HLL_FIELD,
+        HLL_FIELD_MASK,
+        HLL_RHO_MAX,
+        kmv_hash_expr,
+    )
+
+    spark = parsed.sparkSession
+    hashed = parsed.where(F.col("ip").isNotNull()).select(
+        F.expr(kmv_hash_expr("ip")).alias("h")
+    )
+    rho = F.when(F.col("w") == 0, F.lit(HLL_RHO_MAX)).otherwise(
+        F.lit(HLL_RHO_MAX) - F.length(F.expr("bin(w)"))
+    )
+    obs = hashed.select(
+        F.expr(f"shiftright(h, {HLL_FIELD})").alias("idx"),
+        F.expr(f"h & {HLL_FIELD_MASK}").alias("w"),
+    ).select("idx", rho.alias("rho"))
+
+    for d in (state_dir, state_dir + "__ckpt", state_dir + "__tmp"):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+
+    def merge(batch: DataFrame, _batch_id: int) -> None:
+        inc = batch.groupBy("idx").agg(F.max("rho").alias("r"))
+        if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
+            inc = spark.read.parquet(state_dir).unionByName(inc)
+        new_state = inc.groupBy("idx").agg(F.max("r").alias("r"))
+        tmp = state_dir + "__tmp"
+        new_state.write.mode("overwrite").parquet(tmp)
+        if not os.path.exists(os.path.join(tmp, "_SUCCESS")):
+            raise RuntimeError("HLL state write did not complete")
+        if os.path.exists(state_dir):
+            shutil.rmtree(state_dir)
+        os.rename(tmp, state_dir)
+
+    q = (
+        obs.writeStream.foreachBatch(merge)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", state_dir + "__ckpt")
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:
+        q.stop()
+    for d in (state_dir + "__ckpt", state_dir + "__tmp"):
+        if os.path.exists(d):
+            shutil.rmtree(d, ignore_errors=True)
