@@ -341,6 +341,13 @@ def main() -> None:
         "cumulative_unique_users",
         "trimmed_mean_value",
         "epoch_shuffle_shards",
+        # round-7 ledger completion (the six late-r6 adds):
+        "value_gini",
+        "rolling_active_users",
+        "association_rules",
+        "markov_stationary",
+        "two_proportion_drift",
+        "embedding_drift",
     ]
     extended: dict[str, float] = {}
     for name in EXTENDED:

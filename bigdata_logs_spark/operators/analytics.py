@@ -673,15 +673,18 @@ def value_boxplot_stats(events: DataFrame) -> DataFrame:
     outlier-aware distribution summary AGG-2's plain percentiles
     don't flag.
 
-    Scale shape: one ranked window per type feeding three positional
-    picks, then one aggregate for the whisker counts — quartile
-    positions are integer arithmetic (ceil via div), never float
-    multiplication of ranks."""
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    wp = Window.partitionBy("event_type")
-    ranked = events.select("event_type", "value", "event_id").withColumn(
-        "rn", F.row_number().over(w)
-    ).withColumn("n", F.count(F.lit(1)).over(wp))
+    Scale shape: ranks come from ``global_ranked`` (range-repartition
+    + per-slice offsets — no whole-type single-task sort) feeding
+    three positional picks, then one aggregate for the whisker counts
+    — quartile positions are integer arithmetic (ceil via div), never
+    float multiplication of ranks. (An `approx_percentile` swap with
+    the same call shape is the cheaper-still alternative when exact
+    quartiles aren't contractual.)"""
+    ranked = global_ranked(
+        events.select("event_type", "value", "event_id"),
+        "event_type",
+        ("value", "event_id"),
+    )
     picks = (
         ranked.where(
             (F.col("rn") == F.expr("(n + 3) div 4"))
@@ -904,6 +907,67 @@ def cumulative_unique_users(events: DataFrame) -> DataFrame:
     )
 
 
+def global_ranked(
+    df: DataFrame,
+    part_col: str,
+    order_cols: tuple[str, ...],
+) -> DataFrame:
+    """Scale-safe exact per-group ascending rank — the declared 100 TB
+    path for the ranked-statistics family (AGG-13 boxplot, AGG-15
+    trimmed mean, AGG-16 Gini). A plain ``row_number() OVER
+    (PARTITION BY part_col ORDER BY ...)`` sorts each group in ONE
+    task — with ~5 event types that is ~20% of the corpus per task at
+    scale. This is the classic two-pass rewrite:
+
+      1. ``repartitionByRange`` on (group, order keys) — every slice
+         holds a contiguous range of the global sort order, and a
+         group's slices are consecutive;
+      2. count rows per (slice, group) — a slices×groups-sized table —
+         and turn it into per-slice starting offsets with one window
+         over that TINY table;
+      3. rank = slice-local row_number + broadcast offset. Each task
+         sorts only its own slice (~1/shuffle-partitions of the data).
+
+    The sliced frame is cached so the sampled range boundaries are
+    computed once and both passes read the same physical partitions
+    (repartitionByRange samples its boundaries; two independent
+    evaluations could disagree). Output: input columns + ``rn``
+    (1-based rank within ``part_col``) + ``n`` (group size).
+
+    Rank VALUES are identical to the single-window form — order keys
+    must form a total order (pass a unique id last) — so swapping
+    this in changes no certified result, only the physical plan."""
+    from bigdata_logs_spark.caching import tracked_cache
+
+    sliced = tracked_cache(
+        df.repartitionByRange(part_col, *order_cols).withColumn(
+            "_slice", F.spark_partition_id()
+        )
+    )
+    counts = sliced.groupBy("_slice", part_col).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    w_off = (
+        Window.partitionBy(part_col)
+        .orderBy("_slice")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = counts.select(
+        "_slice",
+        part_col,
+        (F.sum("_c").over(w_off) - F.col("_c")).alias("_off"),
+        F.sum("_c").over(Window.partitionBy(part_col)).alias("n"),
+    )
+    w_local = Window.partitionBy("_slice", part_col).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    return (
+        sliced.join(F.broadcast(offsets), ["_slice", part_col])
+        .withColumn("rn", F.row_number().over(w_local) + F.col("_off"))
+        .drop("_slice", "_off")
+    )
+
+
 def trimmed_mean_value(events: DataFrame, trim_pct: int = 5) -> DataFrame:
     """AGG-15: trimmed mean — per type, the mean of ``value`` with the
     top and bottom ``trim_pct`` percent of ranked rows discarded; the
@@ -915,13 +979,14 @@ def trimmed_mean_value(events: DataFrame, trim_pct: int = 5) -> DataFrame:
     div 100), the surviving values sum in DECIMAL (order-free), and
     the mean is one division rounded at 4.
 
-    Scale shape: one ranked window per type, one aggregate — same
-    two-pass shape as AGG-13."""
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    wp = Window.partitionBy("event_type")
-    ranked = events.select("event_type", "value", "event_id").withColumn(
-        "rn", F.row_number().over(w)
-    ).withColumn("n", F.count(F.lit(1)).over(wp))
+    Scale shape: ranks come from ``global_ranked`` (range-repartition
+    + per-slice offsets), so no single task ever sorts a whole type's
+    rows; then one combinable aggregate."""
+    ranked = global_ranked(
+        events.select("event_type", "value", "event_id"),
+        "event_type",
+        ("value", "event_id"),
+    )
     lo = F.expr(f"n * {trim_pct} div 100")
     hi = F.expr(f"n - n * {trim_pct} div 100")
     kept = ranked.where((F.col("rn") > lo) & (F.col("rn") <= hi))
@@ -953,16 +1018,16 @@ def value_gini(events: DataFrame) -> DataFrame:
     any order), and the final Gini is one DOUBLE division of two
     integer-valued operands.
 
-    Scale shape: one ranked window per type (same shuffle AGG-13/15
-    use) + one combinable aggregate; nothing wider than (type, value,
-    id) ever shuffles."""
+    Scale shape: ranks come from ``global_ranked`` (range-repartition
+    + per-slice offsets — no whole-type single-task sort) + one
+    combinable aggregate; nothing wider than (type, value, id) ever
+    shuffles."""
     cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    ranked = (
-        events.select("event_type", "value", "event_id")
-        .withColumn("cents", cents)
-        .withColumn("rn", F.row_number().over(w))
-    )
+    ranked = global_ranked(
+        events.select("event_type", "value", "event_id"),
+        "event_type",
+        ("value", "event_id"),
+    ).withColumn("cents", cents)
     agg = ranked.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("cents").cast("decimal(38,0)")).alias("s"),

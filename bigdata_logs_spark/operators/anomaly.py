@@ -193,7 +193,15 @@ def chi2_drift_report(contingency: DataFrame, key_col: str) -> DataFrame:
     ta, tb = F.col("tot_a"), F.col("tot_b")
     e_a = (ta * (a + b)) / (ta + tb)
     e_b = (tb * (a + b)) / (ta + tb)
-    chi2 = (a - e_a) * (a - e_a) / e_a + (b - e_b) * (b - e_b) / e_b
+    # Per-cell zero-expected guard: a key with n_first = n_second = 0
+    # has expected count 0 on both sides, and a zero-expected cell
+    # contributes 0 to the statistic (the 0/0 limit), not NULL/NaN.
+    # Unreachable from the groupBy-fed monitors (a grouped key always
+    # has >=1 observation) but this helper is public API.
+    chi2 = (
+        F.when(e_a > 0, (a - e_a) * (a - e_a) / e_a).otherwise(F.lit(0.0))
+        + F.when(e_b > 0, (b - e_b) * (b - e_b) / e_b).otherwise(F.lit(0.0))
+    )
     # Degenerate-split guard: with an empty half there is no drift
     # question to ask — emit NULL rather than the engine-dependent
     # 0/0 artifact (Spark NaN vs DuckDB inf); mirrored in the oracle.

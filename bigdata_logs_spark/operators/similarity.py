@@ -1452,7 +1452,7 @@ def mmr_rerank(
     Goldstein, SIGIR 1998), lambda = 0.5 — greedily select ``select``
     results from each query's top-``shortlist`` by
     ``0.5*rel - 0.5*max_sim_to_already_selected``; the diversification
-    pass that fixes the redundancy E-20 measures (a list of五 near-
+    pass that fixes the redundancy E-20 measures (a list of five near-
     identical neighbours collapses to one + genuinely different
     results).
 

@@ -8722,74 +8722,29 @@ def q_embedding_drift(spark, sf_dir):
 # bench, and tests see a stable, readable ordering; the driver-facing
 # ``__spark_entry__.queries()`` re-keys by CERTIFICATION_ORDER.
 #
-# Round-6 rotation: the 11 round-5 queries that overflowed the
-# window lead (never driver-certified), then the 16 new round-6
-# queries, then the r1-stale block (latest driver row is round 1),
-# then the r3 block. Everything certified in rounds 4-5 falls to the
-# unlisted tail — never-certified beats stale-but-once-green, and
-# stalest-first thereafter. With a ~50-row window this certifies the
-# 27 never-certified + ~23 of the 35 r1 entries; the r1 remainder
-# and the r3 block lead round 7.
+# Round-7 rotation: the 12 never-driver-certified queries lead (the
+# six that sat at positions 50-55 of the round-6 window + the six
+# late-r6 adds the r6 verdict flagged), then any NEW round-7 queries
+# (inserted just below the never-certified block as they land:
+# never-certified beats stale-but-once-green), then the r1-stale
+# block (latest driver row is round 1), then the r3 block. With a
+# ~50-row window this re-certifies 12 never + all 35 r1 + the head
+# of r3; the r3 remainder leads round 8 (then max staleness is r4).
 _DRIVER_FIRST = [
-    # never driver-certified: the 11 that overflowed round 5's window
-    "rare_transitions",
-    "user_activity_deciles",
-    "ngram_novelty",
-    "pair_similarity_histogram",
-    "doc_ngrams_udtf",
-    "daily_value_rank",
-    "leakage_safe_split",
-    "source_vocab_overlap",
-    "centroid_confusion",
-    "funnel_coverage_audit",
-    "ewma_daily_counts",
-    # new in round 6 — never driver-certified
-    "kmv_set_ops",
-    "minhash_containment",
-    "token_graph_triangles",
-    "pmi_bigrams",
-    "lm_doc_scores",
-    "dashboard_render_all",
-    "ivfpq_adc_topk",
-    "winnowing_overlap",
-    "semantic_dedup",
-    "token_budget_allocation",
-    "scd2_asof_enrichment",
-    "streaming_near_dup_pairs",
-    "dq_expectations",
-    "cusum_changepoints",
-    "binary_knn",
-    "duplicate_ngram_fraction",
-    # late round-6 additions — never driver-certified
-    "hll_distinct",
-    "bloom_membership",
-    "robust_daily_trend",
-    "weighted_median_price",
-    "multiset_except_all",
-    "multiset_intersect_all",
-    "benford_first_digit",
-    "token_graph_kcore",
-    "confusable_usernames",
-    "kwic_concordance",
-    "inverted_index_postings",
-    "normalization_dedup",
-    "bfs_reachability",
-    "knn_diversity",
-    "modal_activity_profile",
-    "holt_linear_trend",
-    "streaming_cms_heavy_hitters",
-    "corpus_dedup_funnel",
-    "ams_f2_skew",
-    "value_boxplot_stats",
-    "longest_event_streaks",
-    "mmr_rerank",
-    "nearest_event_join",
+    # never driver-certified (positions 50-55 of r6 + late-r6 adds)
     "weekly_pct_change",
     "behavioral_entropy",
     "top_value_days_with_ties",
     "cumulative_unique_users",
     "trimmed_mean_value",
     "epoch_shuffle_shards",
+    "value_gini",
+    "rolling_active_users",
+    "association_rules",
+    "markov_stationary",
+    "two_proportion_drift",
+    "embedding_drift",
+    # new in round 7 — never driver-certified (inserted as they land)
     # latest driver row is round 1 (stalest certified block)
     "events_of_type",
     "entity_hourly_activity",
