@@ -348,6 +348,13 @@ def main() -> None:
         "markov_stationary",
         "two_proportion_drift",
         "embedding_drift",
+        # round-7 additions:
+        "streaming_hll_distinct",
+        "value_lorenz_deciles",
+        "bm25_topk",
+        "knn_label_accuracy",
+        "label_cluster_quality",
+        "pca_top_component",
     ]
     extended: dict[str, float] = {}
     for name in EXTENDED:

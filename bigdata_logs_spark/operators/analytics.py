@@ -1046,6 +1046,66 @@ def value_gini(events: DataFrame) -> DataFrame:
     ).orderBy("event_type")
 
 
+def value_lorenz_deciles(events: DataFrame) -> DataFrame:
+    """AGG-18: Lorenz curve of user value concentration — users
+    ranked by total value, bucketed into deciles, each reporting its
+    user count, value mass, value share, and the cumulative share
+    (the Lorenz curve points behind AGG-16's Gini scalar: "the top
+    10% of users carry X% of the value" is THIS table's last row).
+
+    Exactness: per-user totals are exact DECIMAL cents; the decile
+    boundary is integer arithmetic ((rn-1)*10 div n); shares are
+    single double divisions of exact integer operands, ROUND(6).
+
+    Scale shape: the corpus collapses to the per-user total first
+    (one combinable aggregation); user ranks come from the shared
+    scale-safe two-pass ``global_ranked`` (range-repartition +
+    per-slice offsets — no single-task sort of the user table);
+    everything after the decile aggregation runs on 10 rows."""
+    per_user = (
+        events.groupBy("user_id")
+        .agg(
+            F.sum((F.col("value").cast("decimal(18,2)") * 100))
+            .cast("decimal(38,0)")
+            .cast("long")
+            .alias("cents")
+        )
+        .withColumn("grp", F.lit("all"))
+    )
+    ranked = global_ranked(per_user, "grp", ("cents", "user_id"))
+    dec = (
+        ranked.withColumn("decile", F.expr("(rn - 1) * 10 div n"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("cents").alias("decile_cents"),
+        )
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    return (
+        dec.withColumn("cum_cents", F.sum("decile_cents").over(w_cum))
+        .withColumn("total_cents", F.sum("decile_cents").over(w_all))
+        .select(
+            "decile",
+            "n_users",
+            F.round(F.col("decile_cents").cast("double") / 100, 2).alias(
+                "decile_value"
+            ),
+            F.round(
+                F.col("decile_cents").cast("double") / F.col("total_cents"),
+                6,
+            ).alias("value_share"),
+            F.round(
+                F.col("cum_cents").cast("double") / F.col("total_cents"), 6
+            ).alias("cum_value_share"),
+        )
+        .orderBy("decile")
+    )
+
+
 def rolling_active_users(events: DataFrame, window_days: int = 7) -> DataFrame:
     """W-16: rolling engagement — per day, DAU (distinct users that
     day), trailing-``window_days`` WAU (distinct users active in the

@@ -1608,3 +1608,355 @@ def embedding_drift(embeddings: DataFrame, top_k: int = 10) -> DataFrame:
         .orderBy(F.abs(F.round(mean1 - mean0, 8)).desc(), "dim")
         .limit(top_k)
     )
+
+
+def knn_label_accuracy(
+    emb: DataFrame, sample_mod: int = 8, k: int = 5
+) -> DataFrame:
+    """E-23: leave-one-out kNN label accuracy — every sampled vector
+    (vec_id % ``sample_mod`` == 0, the deterministic eval split) is
+    classified by the majority label of its ``k`` exact-cosine
+    nearest neighbours (self excluded), and the per-label hit rate is
+    the report. The embedding-space sanity metric every encoder eval
+    publishes: if a label's own neighbourhood can't predict it, no
+    downstream ANN/cluster stage built on these vectors will.
+
+    Determinism: cosines ROUND(6) with neighbor-id tiebreaks (the
+    E-2 discipline); majority vote breaks ties by (count desc, label
+    asc); accuracy is one IEEE division of exact counts, ROUND(4).
+
+    Scale shape: the 1/``sample_mod`` query sample BROADCASTS against
+    the corpus scan exactly like E-2 (at 100 TB the shortlist comes
+    from E-6's IVF cells instead — same vote/report tail); the vote
+    and report are two combinable aggregations over query-bounded
+    rows (k votes per query, one row per label after)."""
+    q = emb.where(F.col("vec_id") % sample_mod == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("q_emb"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("n_label"),
+        F.col("embedding").alias("c_emb"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot("q_emb", "c_emb")
+                / (
+                    F.sqrt(_dot("q_emb", "q_emb"))
+                    * F.sqrt(_dot("c_emb", "c_emb"))
+                ),
+                6,
+            ),
+        )
+    )
+    w_knn = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    votes = (
+        scored.withColumn("rank", F.row_number().over(w_knn))
+        .filter(F.col("rank") <= k)
+        .groupBy("query_id", "true_label", "n_label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w_vote = Window.partitionBy("query_id").orderBy(
+        F.desc("votes"), F.asc("n_label")
+    )
+    predicted = (
+        votes.withColumn("vr", F.row_number().over(w_vote))
+        .filter(F.col("vr") == 1)
+        .select(
+            "query_id",
+            "true_label",
+            F.col("n_label").alias("predicted_label"),
+        )
+    )
+    return (
+        predicted.groupBy(F.col("true_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.sum(
+                (F.col("predicted_label") == F.col("true_label")).cast(
+                    "bigint"
+                )
+            ).alias("n_correct"),
+        )
+        .select(
+            "label",
+            "n_queries",
+            "n_correct",
+            F.round(
+                F.col("n_correct").cast("double") / F.col("n_queries"), 4
+            ).alias("accuracy"),
+        )
+        .orderBy("label")
+    )
+
+
+def label_cluster_quality(emb: DataFrame) -> DataFrame:
+    """E-24: Davies-Bouldin cluster-quality report (Davies & Bouldin,
+    IEEE TPAMI 1979) over the label partition — per label, the
+    within-cluster scatter (mean member-to-centroid distance), the
+    most-confusable other label, and the DB component
+    max_j (s_i + s_j) / d(c_i, c_j). The separation metric that says
+    whether the label structure E-3's centroids and E-23's accuracy
+    rely on actually exists in the geometry (DB < 1: compact and
+    separated; > 1: clusters overlap their nearest rival).
+
+    Exactness: components quantize to micro-unit BIGINTs at the scan
+    WITH a +1.0 offset so every value is positive — distances are
+    translation-invariant, and floor division on non-negative
+    integers is identical cross-engine (Spark ``div`` vs DuckDB
+    ``//`` disagree only on negatives). Centroids are integer floor
+    divisions; every squared distance is an exact BIGINT reduction
+    (order-free); each sqrt/division is a single mirrored IEEE op;
+    member distances re-quantize to BIGINT before the scatter sum.
+
+    Scale shape: one posexplode pass; centroids and scatters are
+    combinable aggregations; everything pairwise runs on k x k
+    label pairs (k = label cardinality, tiny) with centroid tables
+    broadcast-sized. Nothing corpus-sized survives the second
+    aggregation."""
+    q = F.expr(
+        "transform(embedding, x -> "
+        "CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) + 1000000)"
+    )
+    comps = emb.select(
+        "vec_id", "label", F.posexplode(q).alias("dim", "qv")
+    )
+    cent = (
+        comps.groupBy("label", "dim")
+        .agg(F.sum("qv").alias("sq"), F.count(F.lit(1)).alias("nv"))
+        .select("label", "dim", F.expr("sq div nv").alias("c"))
+    )
+    d2 = (
+        comps.join(F.broadcast(cent), ["label", "dim"])
+        .withColumn(
+            "t", (F.col("qv") - F.col("c")) * (F.col("qv") - F.col("c"))
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.sum("t").alias("d2"))
+    )
+    scat = (
+        d2.select(
+            "label",
+            F.round(F.sqrt(F.col("d2").cast("double")))
+            .cast("long")
+            .alias("smicro"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("smicro").alias("ssum"),
+        )
+    )
+    ci = cent.select(
+        F.col("label").alias("label_i"), "dim", F.col("c").alias("c_i")
+    )
+    cj = cent.select(
+        F.col("label").alias("label_j"), "dim", F.col("c").alias("c_j")
+    )
+    dd = (
+        ci.join(cj, "dim")
+        .where(F.col("label_i") != F.col("label_j"))
+        .withColumn(
+            "t", (F.col("c_i") - F.col("c_j")) * (F.col("c_i") - F.col("c_j"))
+        )
+        .groupBy("label_i", "label_j")
+        .agg(F.sum("t").alias("dd2"))
+    )
+    si = scat.select(
+        F.col("label").alias("label_i"),
+        F.col("n_vecs").alias("n_i"),
+        F.col("ssum").alias("ssum_i"),
+    )
+    sj = scat.select(
+        F.col("label").alias("label_j"),
+        F.col("n_vecs").alias("n_j"),
+        F.col("ssum").alias("ssum_j"),
+    )
+    ratio = F.round(
+        (
+            F.col("ssum_i").cast("double") / F.col("n_i")
+            + F.col("ssum_j").cast("double") / F.col("n_j")
+        )
+        / F.sqrt(F.col("dd2").cast("double")),
+        6,
+    )
+    rated = (
+        dd.join(F.broadcast(si), "label_i")
+        .join(F.broadcast(sj), "label_j")
+        .withColumn("ratio", ratio)
+    )
+    w = Window.partitionBy("label_i").orderBy(
+        F.desc("ratio"), F.asc("label_j")
+    )
+    return (
+        rated.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            F.col("label_i").alias("label"),
+            F.col("n_i").alias("n_vecs"),
+            F.round(
+                F.col("ssum_i").cast("double") / F.col("n_i") / F.lit(1000000.0),
+                6,
+            ).alias("scatter"),
+            F.col("label_j").alias("nearest_label"),
+            F.col("ratio").alias("db_component"),
+        )
+        .orderBy("label")
+    )
+
+
+PCA_SCALE = 1_000_000
+PCA_SHIFT = 30
+PCA_ITERS = 6
+
+
+def pca_top_component(emb: DataFrame) -> DataFrame:
+    """E-25: top principal component of the embedding cloud by
+    ``PCA_ITERS`` fixed power-iteration steps on the (shifted)
+    integer covariance matrix — the whitening/compression/drift axis
+    every embedding pipeline eventually needs (a dominant PC with a
+    large variance share usually means an uncentered or collapsed
+    encoder; it is also E-10's principled sibling: project onto the
+    TOP axis instead of a random one).
+
+    Fixed-point exactness (the G-1/G-7 discipline, extended to
+    covariance): components quantize to positive micro-unit BIGINTs
+    (+1.0 shift; the covariance of a translated cloud is unchanged),
+    the per-dim mean is a floor division of positive integers
+    (engine-identical), centered cross-products accumulate as exact
+    BIGINTs, and the matrix is rescaled by an arithmetic right-shift
+    (``>> 30`` floors identically on negatives in both engines —
+    verified). Each iteration is one integer matrix-vector product
+    followed by a max-norm renormalization whose floor division is
+    written as the (x - pmod)/D identity so both engines agree on
+    negatives. Fixed iteration count keeps the oracle an identical
+    unrolled replay. The variance share is a Rayleigh quotient over
+    the shifted trace — three mirrored IEEE ops at the end.
+
+    Scale shape: the corpus is touched exactly once — one posexplode
+    pass + one vec_id self-join (the distributed Gram-matrix outer
+    product, combinable per (d, e) cell). The 64 x 64 result then
+    collapses to ONE row of ordered arrays and every power iteration
+    is pure expression work (zip_with/aggregate) on that row: zero
+    shuffles, zero extra stages per round — a 64 x 64 matrix has no
+    business on the cluster. Per-iteration localCheckpoints keep the
+    plan leaf-rooted (integer results are identical either way)."""
+    q = F.expr(
+        "transform(embedding, x -> "
+        "CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) + 1000000)"
+    )
+    comps = emb.select("vec_id", F.posexplode(q).alias("dim", "qv"))
+    mean = (
+        comps.groupBy("dim")
+        .agg(F.sum("qv").alias("sq"), F.count(F.lit(1)).alias("nv"))
+        .select("dim", F.expr("sq div nv").alias("m"))
+    )
+    centered = comps.join(F.broadcast(mean), "dim").select(
+        "vec_id", "dim", (F.col("qv") - F.col("m")).alias("x")
+    )
+    a = centered.select("vec_id", F.col("dim").alias("d"), F.col("x").alias("xa"))
+    b = centered.select("vec_id", F.col("dim").alias("e"), F.col("x").alias("xb"))
+    cov = (
+        a.join(b, "vec_id")
+        .groupBy("d", "e")
+        .agg(F.sum(F.col("xa") * F.col("xb")).alias("craw"))
+        .select("d", "e", F.expr(f"shiftright(craw, {PCA_SHIFT})").alias("c"))
+    )
+    # Collapse the k x k matrix to one row of e-ordered rows, d-ordered
+    # — from here on, iteration work is expression-level.
+    rows = cov.groupBy("d").agg(
+        F.expr("transform(sort_array(collect_list(struct(e, c))), s -> s.c)")
+        .alias("row")
+    )
+    state = rows.agg(
+        F.expr("transform(sort_array(collect_list(struct(d, row))), s -> s.row)")
+        .alias("m")
+    ).select(
+        "m",
+        F.expr(f"transform(m[0], x -> CAST({PCA_SCALE} AS BIGINT))").alias("v"),
+    )
+
+    from bigdata_logs_spark.caching import track_checkpoint_rdd
+
+    matvec = (
+        "transform(m, row -> aggregate(zip_with(row, v, (a, b) -> a * b), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x))"
+    )
+    for _ in range(PCA_ITERS):
+        w = state.select("m", F.expr(matvec).alias("w"))
+        dv = w.select(
+            "m",
+            "w",
+            F.expr(
+                "greatest(aggregate(w, CAST(0 AS BIGINT), "
+                f"(acc, x) -> greatest(acc, abs(x))) div {PCA_SCALE}, "
+                "CAST(1 AS BIGINT))"
+            ).alias("dv"),
+        )
+        state = dv.select(
+            "m",
+            F.expr(
+                "transform(w, x -> (x - ((x % dv) + dv) % dv) div dv)"
+            ).alias("v"),
+        ).localCheckpoint(eager=True)
+        track_checkpoint_rdd(
+            state._jdf.queryExecution().analyzed().rdd()
+        )
+
+    # Rayleigh variance share over the shifted trace: lambda =
+    # (v . C_s v) * SCALE / (v . v), share = lambda / trace(C_s).
+    fin = state.select(
+        "m",
+        "v",
+        F.expr(matvec).alias("wf"),
+    ).select(
+        "m",
+        "v",
+        F.expr(
+            f"transform(wf, x -> (x - ((x % {PCA_SCALE}) + {PCA_SCALE}) "
+            f"% {PCA_SCALE}) div {PCA_SCALE})"
+        ).alias("ws"),
+    )
+    out = fin.select(
+        "v",
+        F.expr(
+            "aggregate(zip_with(v, ws, (a, b) -> a * b), CAST(0 AS BIGINT), "
+            "(acc, x) -> acc + x)"
+        ).alias("num"),
+        F.expr(
+            "aggregate(zip_with(v, v, (a, b) -> a * b), CAST(0 AS BIGINT), "
+            "(acc, x) -> acc + x)"
+        ).alias("den"),
+        F.expr(
+            "aggregate(sequence(0, size(m) - 1), CAST(0 AS BIGINT), "
+            "(acc, i) -> acc + m[i][i])"
+        ).alias("tr"),
+    ).select(
+        "v",
+        F.round(
+            (F.col("num").cast("double") * F.lit(1000000.0) / F.col("den"))
+            / F.col("tr"),
+            6,
+        ).alias("var_share"),
+    )
+    return (
+        out.select(F.posexplode("v").alias("dim", "loading_micro"), "var_share")
+        .select(
+            "dim",
+            "loading_micro",
+            F.round(
+                F.col("loading_micro").cast("double") / F.lit(1000000.0), 6
+            ).alias("loading"),
+            "var_share",
+        )
+        .orderBy("dim")
+    )

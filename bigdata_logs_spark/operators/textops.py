@@ -1136,3 +1136,104 @@ def inverted_index_postings(docs: DataFrame, top_n: int = 20) -> DataFrame:
         .orderBy(F.desc("df"), "token")
         .limit(top_n)
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    n_query_terms: int = 3,
+    skip_top: int = 9,
+    k: int = 10,
+) -> DataFrame:
+    """T-26: BM25 document ranking (Robertson & Spärck Jones; the
+    Okapi weighting behind Lucene/Elasticsearch and every BM25
+    retrieval baseline) for a deterministic query — the
+    ``n_query_terms`` vocabulary terms ranked ``skip_top+1..`` by
+    document frequency (the all-docs stopwords above them carry ~zero
+    idf, so the mid-frequency head is the honest self-contained
+    query). Extends T-7's tf-idf with the saturation (k1) and
+    length-normalization (b) terms that make BM25 the retrieval
+    default: a 50-occurrence term isn't 50x more relevant, and long
+    docs don't win by volume.
+
+    Exactness: idf is quantize-each-ln micro-nats (exact BIGINT);
+    k1 = 1.25 and b = 0.75 are exact binary fractions, so every float
+    step (one dl/avgdl ratio, two fused multiply-free products, one
+    division) is a single IEEE op on deterministic operands mirrored
+    by the oracle; per-term scores round to BIGINT micro-units so the
+    per-doc SUM is an exact integer reduction in any order.
+
+    Scale shape: tf/df/dl are combinable aggregations off ONE explode
+    pass; the query-term pick is a window over the vocabulary-sized
+    df table; scoring joins tf against the BROADCAST 3-term query and
+    the per-doc length — co-partitioned on doc_id; top-k is
+    TakeOrderedAndProject. At 100 TB the tf/df/dl model tables are
+    built once per corpus snapshot and reused across queries."""
+    from pyspark.sql import Window
+
+    toks = with_tokens(docs).select("doc_id", "tokens")
+    tf = (
+        toks.select("doc_id", F.explode("tokens").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = toks.select("doc_id", F.size("tokens").cast("long").alias("dl"))
+    dfq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    total = dl.agg(F.sum("dl").alias("total_dl"))
+    st = n_docs.crossJoin(total)
+    # Vocabulary-sized window (the T-25/PL-19 precedent): the df table
+    # is vocab-sized, never corpus-sized.
+    w = Window.orderBy(F.desc("df"), "token")
+    ln_micro = lambda c: F.round(  # noqa: E731
+        F.log(c.cast("double")) * F.lit(1000000.0)
+    ).cast("long")
+    qt = (
+        dfq.withColumn("r", F.row_number().over(w))
+        .where((F.col("r") > skip_top) & (F.col("r") <= skip_top + n_query_terms))
+        .crossJoin(F.broadcast(st))
+        .select(
+            "token",
+            "df",
+            (ln_micro(F.col("n_docs") + 1) - ln_micro(F.col("df") + 1)).alias(
+                "idf_micro"
+            ),
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(qt), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(st))
+        .select(
+            "doc_id",
+            F.round(
+                (F.col("idf_micro") * F.col("tf")).cast("double")
+                * F.lit(2.25)
+                / (
+                    F.col("tf").cast("double")
+                    + F.lit(1.25)
+                    * (
+                        F.lit(0.25)
+                        + F.lit(0.75)
+                        * (
+                            F.col("dl").cast("double")
+                            / (
+                                F.col("total_dl").cast("double")
+                                / F.col("n_docs")
+                            )
+                        )
+                    )
+                )
+            )
+            .cast("long")
+            .alias("s"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_matched"),
+            F.sum("s").alias("bm25_micro"),
+        )
+        .orderBy(F.desc("bm25_micro"), "doc_id")
+        .limit(k)
+    )

@@ -1701,6 +1701,196 @@ def q_knn_brute_force(spark, sf_dir):
 
 
 @register(
+    "knn_label_accuracy",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, label AS true_label, embedding AS q_emb
+      FROM embeddings WHERE vec_id % 8 = 0
+    ), scored AS (
+      SELECT q.query_id, q.true_label, c.vec_id AS neighbor_id,
+             c.label AS n_label,
+             ROUND({DOT_SQL.format(a='q.q_emb', b='c.embedding')}
+                   / (SQRT({DOT_SQL.format(a='q.q_emb', b='q.q_emb')})
+                      * SQRT({DOT_SQL.format(a='c.embedding', b='c.embedding')})), 6)
+               AS cosine
+      FROM q CROSS JOIN embeddings c
+      WHERE q.query_id != c.vec_id
+    ), knn AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored)
+      WHERE rank <= 5
+    ), votes AS (
+      SELECT query_id, true_label, n_label, COUNT(*)::BIGINT AS votes
+      FROM knn GROUP BY 1, 2, 3
+    ), pred AS (
+      SELECT query_id, true_label, n_label AS predicted_label FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY votes DESC, n_label) AS vr
+        FROM votes)
+      WHERE vr = 1
+    )
+    SELECT true_label AS label, COUNT(*)::BIGINT AS n_queries,
+           SUM(CASE WHEN predicted_label = true_label
+               THEN 1 ELSE 0 END)::BIGINT AS n_correct,
+           ROUND(SUM(CASE WHEN predicted_label = true_label
+                 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 4) AS accuracy
+    FROM pred GROUP BY 1 ORDER BY 1
+    """,
+    tags=("E-23",),
+)
+def q_knn_label_accuracy(spark, sf_dir):
+    """E-23 leave-one-out kNN label accuracy: the deterministic
+    vec_id%8 eval split classified by majority vote of 5 exact-cosine
+    neighbours; per-label hit rates — the embedding-space sanity
+    metric in front of every ANN/cluster stage."""
+    return SIM.knn_label_accuracy(_emb(spark, sf_dir))
+
+
+@register(
+    "label_cluster_quality",
+    """
+    WITH comps AS (
+      SELECT vec_id, label,
+             generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(round(unnest(embedding)::DOUBLE * 1000000.0) AS BIGINT)
+               + 1000000 AS qv
+      FROM embeddings
+    ), cent AS (
+      SELECT label, dim, SUM(qv)::BIGINT // COUNT(*)::BIGINT AS c
+      FROM comps GROUP BY 1, 2
+    ), d2 AS (
+      SELECT comps.vec_id, comps.label,
+             SUM((comps.qv - cent.c) * (comps.qv - cent.c))::BIGINT AS d2
+      FROM comps JOIN cent USING (label, dim)
+      GROUP BY 1, 2
+    ), scat AS (
+      SELECT label, COUNT(*)::BIGINT AS n_vecs,
+             SUM(ROUND(SQRT(d2::DOUBLE))::BIGINT)::BIGINT AS ssum
+      FROM d2 GROUP BY 1
+    ), dd AS (
+      SELECT i.label AS label_i, j.label AS label_j,
+             SUM((i.c - j.c) * (i.c - j.c))::BIGINT AS dd2
+      FROM cent i JOIN cent j USING (dim)
+      WHERE i.label != j.label
+      GROUP BY 1, 2
+    ), rated AS (
+      SELECT dd.label_i, dd.label_j, si.n_vecs AS n_i, si.ssum AS ssum_i,
+             ROUND((si.ssum::DOUBLE / si.n_vecs
+                    + sj.ssum::DOUBLE / sj.n_vecs)
+                   / SQRT(dd.dd2::DOUBLE), 6) AS ratio
+      FROM dd
+      JOIN scat si ON si.label = dd.label_i
+      JOIN scat sj ON sj.label = dd.label_j
+    )
+    SELECT label_i AS label, n_i AS n_vecs,
+           ROUND(ssum_i::DOUBLE / n_i / 1000000.0::DOUBLE, 6) AS scatter,
+           label_j AS nearest_label, ratio AS db_component
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY label_i ORDER BY ratio DESC, label_j) AS rk
+      FROM rated)
+    WHERE rk = 1 ORDER BY label
+    """,
+    tags=("E-24",),
+)
+def q_label_cluster_quality(spark, sf_dir):
+    """E-24 Davies-Bouldin report: per-label scatter, most-confusable
+    neighbour label, and the DB separation component — integer
+    micro-unit geometry (positive-shifted so floor division is
+    engine-identical), all pairwise work on k x k labels."""
+    return SIM.label_cluster_quality(_emb(spark, sf_dir))
+
+
+def _pca_oracle() -> str:
+    """Unrolled power-iteration replay of SIM.pca_top_component —
+    the oracle is generated by the same loop bound (PCA_ITERS) the
+    Spark op uses, so the two can never drift apart on round count.
+    Floor division on possibly-negative integers is written as the
+    (x - pmod) / D identity on BOTH sides; ``>>`` / ``shiftright``
+    floor identically on negatives (verified cross-engine)."""
+    from bigdata_logs_spark.operators.similarity import (
+        PCA_ITERS,
+        PCA_SCALE,
+        PCA_SHIFT,
+    )
+
+    sql = f"""
+    WITH comps AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(round(unnest(embedding)::DOUBLE * 1000000.0) AS BIGINT)
+               + 1000000 AS qv
+      FROM embeddings
+    ), mean AS (
+      SELECT dim, SUM(qv)::BIGINT // COUNT(*)::BIGINT AS m
+      FROM comps GROUP BY 1
+    ), centered AS (
+      SELECT vec_id, dim, qv - m AS x FROM comps JOIN mean USING (dim)
+    ), cov AS (
+      SELECT a.dim AS d, b.dim AS e,
+             (SUM(a.x * b.x)::BIGINT >> {PCA_SHIFT}) AS c
+      FROM centered a JOIN centered b USING (vec_id)
+      GROUP BY 1, 2
+    ), v0 AS (
+      SELECT DISTINCT d AS dim, {PCA_SCALE}::BIGINT AS v FROM cov
+    )"""
+    prev = "v0"
+    for i in range(1, PCA_ITERS + 1):
+        sql += f"""
+    , w{i} AS (
+      SELECT cov.d, SUM(cov.c * {prev}.v)::BIGINT AS w
+      FROM cov JOIN {prev} ON {prev}.dim = cov.e GROUP BY 1
+    ), m{i} AS (
+      SELECT GREATEST(MAX(abs(w)) // {PCA_SCALE}, 1::BIGINT) AS dv
+      FROM w{i}
+    ), v{i} AS (
+      SELECT w{i}.d AS dim, (w - ((w % dv) + dv) % dv) // dv AS v
+      FROM w{i}, m{i}
+    )"""
+        prev = f"v{i}"
+    sql += f"""
+    , wf AS (
+      SELECT cov.d, SUM(cov.c * {prev}.v)::BIGINT AS w
+      FROM cov JOIN {prev} ON {prev}.dim = cov.e GROUP BY 1
+    ), wsf AS (
+      SELECT d, (w - ((w % {PCA_SCALE}) + {PCA_SCALE}) % {PCA_SCALE})
+                // {PCA_SCALE} AS ws
+      FROM wf
+    ), nd AS (
+      SELECT SUM(vv.v * wsf.ws)::BIGINT AS num,
+             SUM(vv.v * vv.v)::BIGINT AS den
+      FROM wsf JOIN {prev} vv ON vv.dim = wsf.d
+    ), tr AS (
+      SELECT SUM(c)::BIGINT AS tr FROM cov WHERE d = e
+    ), sh AS (
+      SELECT ROUND((num::DOUBLE * 1000000.0::DOUBLE / den) / tr.tr, 6)
+               AS var_share
+      FROM nd, tr
+    )
+    SELECT vv.dim, vv.v AS loading_micro,
+           ROUND(vv.v::DOUBLE / 1000000.0::DOUBLE, 6) AS loading,
+           sh.var_share
+    FROM {prev} vv, sh ORDER BY vv.dim
+    """
+    return sql
+
+
+@register(
+    "pca_top_component",
+    _pca_oracle(),
+    tags=("E-25",),
+)
+def q_pca_top_component(spark, sf_dir):
+    """E-25 top principal component by fixed-point power iteration:
+    integer covariance via the distributed outer-product self-join,
+    shift-rescaled broadcast matrix, engine-identical floor-division
+    renormalization, Rayleigh variance share — the whitening /
+    collapse-detection axis of the embedding stack."""
+    return SIM.pca_top_component(_emb(spark, sf_dir))
+
+
+@register(
     "label_centroids",
     """
     WITH exploded AS (
@@ -7137,6 +7327,54 @@ def q_lm_doc_scores(spark, sf_dir):
 
 
 @register(
+    "bm25_topk",
+    TOKS_CTE
+    + """
+    , tf AS (
+      SELECT doc_id, w AS token, COUNT(*)::BIGINT AS tf
+      FROM (SELECT doc_id, unnest(tokens) AS w FROM toks) GROUP BY 1, 2
+    ), dl AS (
+      SELECT doc_id, len(tokens)::BIGINT AS dl FROM toks
+    ), dfq AS (
+      SELECT token, COUNT(*)::BIGINT AS df FROM tf GROUP BY 1
+    ), st AS (
+      SELECT (SELECT COUNT(*)::BIGINT FROM documents) AS n_docs,
+             (SELECT SUM(dl)::BIGINT FROM dl) AS total_dl
+    ), qt AS (
+      SELECT token,
+             ROUND(ln((st.n_docs + 1)::DOUBLE) * 1000000.0::DOUBLE)::BIGINT
+             - ROUND(ln((df + 1)::DOUBLE) * 1000000.0::DOUBLE)::BIGINT
+               AS idf_micro
+      FROM (
+        SELECT token, df, ROW_NUMBER() OVER (ORDER BY df DESC, token) AS r
+        FROM dfq
+      ) CROSS JOIN st
+      WHERE r > 9 AND r <= 12
+    ), scored AS (
+      SELECT tf.doc_id,
+             ROUND((qt.idf_micro * tf.tf)::DOUBLE * 2.25::DOUBLE
+                   / (tf.tf::DOUBLE + 1.25::DOUBLE * (0.25::DOUBLE
+                      + 0.75::DOUBLE * (dl.dl::DOUBLE
+                          / (st.total_dl::DOUBLE / st.n_docs)))))::BIGINT
+               AS s
+      FROM tf JOIN qt USING (token) JOIN dl USING (doc_id) CROSS JOIN st
+    )
+    SELECT doc_id, COUNT(*)::BIGINT AS n_terms_matched,
+           SUM(s)::BIGINT AS bm25_micro
+    FROM scored GROUP BY 1
+    ORDER BY bm25_micro DESC, doc_id LIMIT 10
+    """,
+    tags=("T-26",),
+)
+def q_bm25_topk(spark, sf_dir):
+    """T-26 BM25 top-10 (Robertson/Spärck Jones, k1=1.25 b=0.75):
+    saturation + length-normalized retrieval scoring of the
+    mid-frequency 3-term query; micro-nat idf, per-term BIGINT
+    micro-scores (order-free sums), broadcast query/model legs."""
+    return TX.bm25_topk(_docs(spark, sf_dir))
+
+
+@register(
     "dashboard_render_all",
     PROFILE_ORACLE_CTE
     + f"""
@@ -7986,6 +8224,119 @@ def q_streaming_cms_heavy_hitters(spark, sf_dir):
 
 
 @register(
+    "streaming_hll_distinct",
+    SSH_PARSE_CTE
+    + f"""
+    , hashed AS (
+      SELECT DISTINCT ('0x' || substr(md5(ip), 1, 13))::BIGINT AS h
+      FROM parsed WHERE ip IS NOT NULL
+    ), parts AS (
+      SELECT h >> {SK.HLL_FIELD} AS idx, h & {SK.HLL_FIELD_MASK} AS w
+      FROM hashed
+    ), regs AS (
+      SELECT idx,
+             MAX(CASE WHEN w = 0 THEN {SK.HLL_RHO_MAX}
+                 ELSE {SK.HLL_RHO_MAX} - length(bin(w)) END)::BIGINT AS r
+      FROM parts GROUP BY 1
+    ), z AS (
+      SELECT SUM(1::BIGINT << ({SK.HLL_RHO_MAX} - r)::INT)::BIGINT
+               AS z_present,
+             COUNT(*)::BIGINT AS m_present
+      FROM regs
+    ), est AS (
+      SELECT ({SK.HLL_M} - m_present)::BIGINT AS v,
+             {SK.HLL_ALPHA}::DOUBLE * {SK.HLL_M * SK.HLL_M}
+               * {SK.HLL_ZSCALE}
+               / (z_present + ({SK.HLL_M} - m_present) * {SK.HLL_ZSCALE})
+               AS raw
+      FROM z
+    ), corr AS (
+      SELECT v,
+             ROUND(CASE WHEN raw <= {2.5 * SK.HLL_M}::DOUBLE AND v > 0
+                   THEN {float(SK.HLL_M)}::DOUBLE
+                        * ln({float(SK.HLL_M)}::DOUBLE / v)
+                   ELSE raw END, 4) AS hll_estimate
+      FROM est
+    ), ex AS (
+      SELECT COUNT(DISTINCT ip)::BIGINT AS n_exact
+      FROM parsed WHERE ip IS NOT NULL
+    )
+    SELECT ex.n_exact, corr.hll_estimate, corr.v AS n_zero_registers,
+           ROUND((corr.hll_estimate - ex.n_exact) / ex.n_exact, 4)
+             AS rel_error
+    FROM corr, ex
+    """,
+    tags=("ST-16",),
+)
+def q_streaming_hll_distinct(spark, sf_dir):
+    """ST-16 streaming HLL: the engine drains the SSH file stream in
+    multi-file micro-batches while foreachBatch MAX-merges each
+    batch's (register, rho) observations into a <=64-row parquet
+    register state (``streaming_hll_state``). Register update is
+    associative, commutative AND idempotent, so the drained state —
+    and the estimate read from it — is bit-identical under any batch
+    split and under replayed input: the strongest of the streaming
+    invariances (ST-15's counters tolerate resplitting but not
+    replay), and the fourth streaming query with a full hash-match
+    oracle. The report reads SK-4's estimate arithmetic off the
+    drained registers beside the exact distinct-IP count."""
+    from pyspark.sql import functions as F
+
+    from bigdata_logs_spark.operators.sketches import (
+        HLL_ALPHA,
+        HLL_M,
+        HLL_RHO_MAX,
+        HLL_ZSCALE,
+    )
+    from bigdata_logs_spark.streaming.ingest import (
+        read_ssh_stream,
+        streaming_hll_state,
+    )
+
+    src = _stream_source_dir(spark, sf_dir)
+    stream = read_ssh_stream(spark, src, max_files_per_trigger=2)
+    state = _scratch_path("bls_hll_state", sf_dir)
+    streaming_hll_state(stream, state)
+    regs = spark.read.parquet(state)
+
+    z = regs.agg(
+        F.sum(
+            F.expr(f"shiftleft(1L, cast({HLL_RHO_MAX} - r as int))")
+        ).alias("z_present"),
+        F.count(F.lit(1)).alias("m_present"),
+    )
+    v = F.lit(HLL_M) - F.col("m_present")
+    z_int = F.col("z_present") + v * F.lit(HLL_ZSCALE)
+    raw = (
+        F.lit(HLL_ALPHA)
+        * F.lit(float(HLL_M * HLL_M))
+        * F.lit(float(HLL_ZSCALE))
+        / z_int
+    )
+    corrected = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (v > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v),
+    ).otherwise(raw)
+    est = z.select(
+        v.alias("n_zero_registers"),
+        F.round(corrected, 4).alias("hll_estimate"),
+    )
+    exact = (
+        parse_ssh_lines(_ssh_lines(spark, sf_dir))
+        .where(F.col("ip").isNotNull())
+        .agg(F.countDistinct("ip").alias("n_exact"))
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "n_exact",
+        "hll_estimate",
+        "n_zero_registers",
+        F.round(
+            (F.col("hll_estimate") - F.col("n_exact")) / F.col("n_exact"), 4
+        ).alias("rel_error"),
+    )
+
+
+@register(
     "corpus_dedup_funnel",
     ND_PAIRS_CTE.replace("WITH toks", "WITH RECURSIVE toks", 1)
     + f"""
@@ -8477,6 +8828,42 @@ def q_value_gini(spark, sf_dir):
 
 
 @register(
+    "value_lorenz_deciles",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             SUM((value::DECIMAL(18,2) * 100))::DECIMAL(38,0)::BIGINT
+               AS cents
+      FROM events GROUP BY 1
+    ), ranked AS (
+      SELECT cents,
+             ROW_NUMBER() OVER (ORDER BY cents, user_id) AS rn,
+             COUNT(*) OVER ()::BIGINT AS n
+      FROM per_user
+    ), dec AS (
+      SELECT (rn - 1) * 10 // n AS decile, COUNT(*)::BIGINT AS n_users,
+             SUM(cents)::BIGINT AS decile_cents
+      FROM ranked GROUP BY 1
+    )
+    SELECT decile::BIGINT AS decile, n_users,
+           ROUND(decile_cents::DOUBLE / 100, 2) AS decile_value,
+           ROUND(decile_cents::DOUBLE / (SUM(decile_cents) OVER ()), 6)
+             AS value_share,
+           ROUND((SUM(decile_cents) OVER (ORDER BY decile
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE
+                 / (SUM(decile_cents) OVER ()), 6) AS cum_value_share
+    FROM dec ORDER BY decile
+    """,
+    tags=("AGG-18",),
+)
+def q_value_lorenz_deciles(spark, sf_dir):
+    """AGG-18 Lorenz deciles: users ranked by exact-cent total value
+    (scale-safe two-pass rank), decile value masses and cumulative
+    shares — the curve behind AGG-16's Gini scalar."""
+    return AN.value_lorenz_deciles(_events(spark, sf_dir))
+
+
+@register(
     "rolling_active_users",
     """
     WITH pres AS (
@@ -8745,6 +9132,12 @@ _DRIVER_FIRST = [
     "two_proportion_drift",
     "embedding_drift",
     # new in round 7 — never driver-certified (inserted as they land)
+    "streaming_hll_distinct",
+    "value_lorenz_deciles",
+    "bm25_topk",
+    "knn_label_accuracy",
+    "label_cluster_quality",
+    "pca_top_component",
     # latest driver row is round 1 (stalest certified block)
     "events_of_type",
     "entity_hourly_activity",

@@ -178,3 +178,235 @@ class TestEmbeddingDrift:
         assert abs(out[0].mean_odd - 2.0) < 1e-9
         static = {r.dim: r.shift for r in out}
         assert static.get(0, 0.0) == 0.0
+
+
+class TestGlobalRanked:
+    def test_matches_single_window_rank(self, spark):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from bigdata_logs_spark.operators.analytics import global_ranked
+
+        rows = [(i, "abc"[i % 3], float((i * 37) % 11)) for i in range(300)]
+        df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+        got = {
+            (r.event_type, r.event_id): (r.rn, r.n)
+            for r in global_ranked(
+                df, "event_type", ("value", "event_id")
+            ).collect()
+        }
+        w = Window.partitionBy("event_type").orderBy("value", "event_id")
+        wp = Window.partitionBy("event_type")
+        want = {
+            (r.event_type, r.event_id): (r.rn, r.n)
+            for r in df.withColumn("rn", F.row_number().over(w))
+            .withColumn("n", F.count(F.lit(1)).over(wp))
+            .collect()
+        }
+        assert got == want
+
+
+class TestValueLorenzDeciles:
+    def test_matches_python_reference(self, spark):
+        rows = [(u, "a", float(u + 1), 0) for u in range(20)]
+        out = AN.value_lorenz_deciles(_ev(spark, rows)).collect()
+        assert [r.decile for r in out] == list(range(10))
+        cents = sorted(int(round((u + 1) * 100)) for u in range(20))
+        total = sum(cents)
+        # 20 users -> 2 per decile, ranked ascending
+        cum = 0.0
+        for r in out:
+            dc = sum(cents[r.decile * 2 : r.decile * 2 + 2])
+            assert r.n_users == 2
+            assert abs(r.decile_value - round(dc / 100, 2)) < 1e-9
+            assert abs(r.value_share - round(dc / total, 6)) < 1e-6
+            cum += dc
+            assert abs(r.cum_value_share - round(cum / total, 6)) < 1e-6
+        assert abs(out[-1].cum_value_share - 1.0) < 1e-9
+
+
+class TestBm25TopK:
+    def test_matches_python_reference(self, spark):
+        import math
+
+        from bigdata_logs_spark.operators.textops import bm25_topk
+
+        # 30 docs; token t{j} appears in docs with doc_id % (j+2) == 0,
+        # giving a strictly decreasing df ladder over j.
+        texts = []
+        for i in range(30):
+            toks = []
+            for j in range(16):
+                if i % (j + 2) == 0:
+                    toks += [f"t{j:02d}"] * (1 + (i + j) % 3)
+            texts.append(" ".join(toks) if toks else "filler")
+        docs = spark.createDataFrame(
+            [
+                (i, t, "en", f"src{i % 3}", len(t))
+                for i, t in enumerate(texts)
+            ],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        out = bm25_topk(docs).collect()
+
+        # pure-python replay
+        tok = [t.split() if t.strip() else [] for t in texts]
+        tf = [{} for _ in range(30)]
+        for i, ts in enumerate(tok):
+            for t in ts:
+                tf[i][t] = tf[i].get(t, 0) + 1
+        df_t = {}
+        for i in range(30):
+            for t in tf[i]:
+                df_t[t] = df_t.get(t, 0) + 1
+        n_docs, total_dl = 30, sum(len(ts) for ts in tok)
+        ranked = sorted(df_t.items(), key=lambda kv: (-kv[1], kv[0]))
+        qterms = {
+            t: round(math.log(n_docs + 1) * 1e6) - round(math.log(d + 1) * 1e6)
+            for t, d in ranked[9:12]
+        }
+        scores = {}
+        for i in range(30):
+            dl = len(tok[i])
+            for t, idf in qterms.items():
+                if t in tf[i]:
+                    s = (idf * tf[i][t]) * 2.25 / (
+                        tf[i][t]
+                        + 1.25 * (0.25 + 0.75 * (dl / (total_dl / n_docs)))
+                    )
+                    scores.setdefault(i, [0, 0])
+                    scores[i][0] += 1
+                    scores[i][1] += round(s)
+        want = sorted(
+            ((i, n, s) for i, (n, s) in scores.items()),
+            key=lambda x: (-x[2], x[0]),
+        )[:10]
+        got = [(r.doc_id, r.n_terms_matched, r.bm25_micro) for r in out]
+        assert got == [(i, n, s) for i, n, s in want]
+
+
+class TestKnnLabelAccuracy:
+    def test_perfect_clusters_score_one(self, spark):
+        from bigdata_logs_spark.operators.similarity import knn_label_accuracy
+
+        rows = []
+        for i in range(32):
+            label = i // 8
+            base = [0.02 * (i % 8)] * 4
+            base[label] = 1.0
+            rows.append((i, [float(x) for x in base], label))
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        out = knn_label_accuracy(emb).collect()
+        assert len(out) == 4
+        for r in out:
+            assert r.n_queries == 1  # vec_ids 0, 8, 16, 24
+            assert r.n_correct == 1 and r.accuracy == 1.0
+
+
+class TestLabelClusterQuality:
+    def _emb(self, spark, shift=0.0):
+        from pyspark.sql import Row
+
+        rows = []
+        for i in range(24):
+            label = i % 2
+            center = 0.4 if label else -0.4
+            jitter = 0.001 * (i // 2)
+            rows.append(
+                Row(
+                    vec_id=i,
+                    embedding=[center + jitter + shift, center - jitter + shift],
+                    label=label,
+                )
+            )
+        return spark.createDataFrame(rows)
+
+    def test_separated_clusters_and_translation_invariance(self, spark):
+        from bigdata_logs_spark.operators.similarity import (
+            label_cluster_quality,
+        )
+
+        out = label_cluster_quality(self._emb(spark)).collect()
+        assert {r.label for r in out} == {0, 1}
+        for r in out:
+            assert r.nearest_label == 1 - r.label
+            assert r.db_component < 0.2  # tight, far-apart clusters
+            assert r.scatter < 0.05
+        moved = label_cluster_quality(self._emb(spark, shift=0.25)).collect()
+        assert sorted(map(tuple, moved)) == sorted(map(tuple, out))
+
+
+class TestPcaTopComponent:
+    def test_dominant_axis_and_translation_invariance(self, spark):
+        from pyspark.sql import Row
+
+        from bigdata_logs_spark.operators.similarity import pca_top_component
+
+        def emb(shift=0.0):
+            rows = []
+            for i in range(40):
+                t = (i - 20) / 40.0
+                rows.append(
+                    Row(
+                        vec_id=i,
+                        embedding=[
+                            t + shift,
+                            0.01 * ((i * 7) % 5 - 2) + shift,
+                            0.01 * ((i * 3) % 5 - 2) + shift,
+                        ],
+                        label=0,
+                    )
+                )
+            return spark.createDataFrame(rows)
+
+        out = pca_top_component(emb()).collect()
+        assert [r.dim for r in out] == [0, 1, 2]
+        loads = {r.dim: abs(r.loading_micro) for r in out}
+        # the max-norm renormalization divides by floor(M / SCALE),
+        # so the dominant loading lands in [SCALE, SCALE * (1 + 1/M))
+        assert loads[0] == max(loads.values())
+        assert 1_000_000 <= loads[0] < 1_010_000
+        assert loads[1] < 100_000 and loads[2] < 100_000
+        assert out[0].var_share > 0.9
+        moved = pca_top_component(emb(shift=0.2)).collect()
+        assert sorted(map(tuple, moved)) == sorted(map(tuple, out))
+
+
+def test_streaming_hll_state_split_and_replay_invariant(spark, sf_dir, tmp_path):
+    """ST-16: the drained HLL register state is bit-identical whether
+    the feed arrives as one micro-batch, one file per micro-batch, or
+    with every line REPLAYED (MAX-merge is idempotent — the stronger
+    guarantee ST-15's counters don't have). Also pins bounded state
+    (<= 64 register rows)."""
+    import os
+
+    from bigdata_logs_spark.operators.ssh_synth import synthesize_ssh_lines
+    from bigdata_logs_spark.sources import load_table
+    from bigdata_logs_spark.streaming.ingest import (
+        read_ssh_stream,
+        streaming_hll_state,
+    )
+
+    lines = synthesize_ssh_lines(load_table(spark, sf_dir, "events"))
+    src = str(tmp_path / "src")
+    lines.coalesce(4).write.mode("overwrite").text(src)
+    src_replay = str(tmp_path / "src_replay")
+    lines.unionAll(lines).coalesce(3).write.mode("overwrite").text(src_replay)
+
+    states = {}
+    for label, source, mfpt in (
+        ("one_batch", src, None),
+        ("per_file", src, 1),
+        ("replayed", src_replay, 1),
+    ):
+        state = str(tmp_path / f"state_{label}")
+        streaming_hll_state(
+            read_ssh_stream(spark, source, max_files_per_trigger=mfpt), state
+        )
+        df = spark.read.parquet(state)
+        assert df.count() <= 64
+        states[label] = sorted(map(str, df.collect()))
+        assert not os.path.exists(state + "__ckpt")
+    assert states["one_batch"] == states["per_file"] == states["replayed"]
