@@ -355,6 +355,14 @@ def main() -> None:
         "knn_label_accuracy",
         "label_cluster_quality",
         "pca_top_component",
+        "ks_drift",
+        "structural_breaks",
+        "daily_acf",
+        "histogram_quantiles",
+        "centroid_silhouette",
+        "rake_keyphrases",
+        "readability_profile",
+        "weighted_sample",
     ]
     extended: dict[str, float] = {}
     for name in EXTENDED:

@@ -1213,3 +1213,61 @@ def association_rules(events: DataFrame, min_pair_users: int = 2) -> DataFrame:
         )
         .orderBy("antecedent", "consequent")
     )
+
+
+def daily_acf(events: DataFrame, max_lag: int = 7) -> DataFrame:
+    """W-17: autocorrelation of the zero-filled daily event-count
+    series at lags 1..7 — Pearson r over the (x_t, x_{t+k}) pairs (the
+    Box-Jenkins identification tool: a spike at lag 7 is weekly
+    seasonality confirming AD-8's dow profile; slow decay means the
+    W-11 burstiness has memory; everything near zero says Poisson).
+
+    Exactness: the series zero-fills through an explicit calendar
+    (missing days are zeros, not gaps — otherwise lags silently
+    misalign); the five sufficient statistics per lag (sum x, sum y,
+    sum x^2, sum y^2, sum xy) are exact BIGINT reductions and the
+    integer co-moment form n*Sxy - Sx*Sy (the AGG-7 OLS discipline)
+    keeps everything integer until one division over two sqrt's —
+    three mirrored IEEE ops. BIGINT co-moments hold to ~3e9 events
+    per day; past that the sums swap to DECIMAL(38,0) like AGG-16's.
+
+    Scale shape: one combinable per-day count collapses the corpus;
+    the lag fan-out (days x 7) and the per-lag aggregation run on
+    day-granular rows only."""
+    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+    base = events.select(day.alias("d")).groupBy("d").agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    rng = base.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    cal = rng.select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    series = cal.join(base, "d", "left").select(
+        "d", F.coalesce("x", F.lit(0)).alias("x")
+    )
+    lags = series.select(
+        F.explode(F.sequence(F.lit(1), F.lit(max_lag))).alias("lag")
+    ).distinct()
+    a = series.select(F.col("d").alias("da"), F.col("x").alias("xa"))
+    b = series.select(F.col("d").alias("db"), F.col("x").alias("xb"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("db") == F.col("da") + F.col("lag"))
+    )
+    agg = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("xa").alias("sx"),
+        F.sum("xb").alias("sy"),
+        F.sum(F.col("xa") * F.col("xa")).alias("sxx"),
+        F.sum(F.col("xb") * F.col("xb")).alias("syy"),
+        F.sum(F.col("xa") * F.col("xb")).alias("sxy"),
+    )
+    num = F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = F.col("n_pairs") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n_pairs") * F.col("syy") - F.col("sy") * F.col("sy")
+    r = num.cast("double") / (
+        F.sqrt(varx.cast("double")) * F.sqrt(vary.cast("double"))
+    )
+    return agg.select(
+        F.col("lag").cast("long").alias("lag"),
+        "n_pairs",
+        F.when((varx > 0) & (vary > 0), F.round(r, 6)).alias("acf"),
+    ).orderBy("lag")

@@ -654,3 +654,181 @@ def two_proportion_drift(events: DataFrame) -> DataFrame:
         F.round(z, 4).alias("z"),
         (F.abs(z) > 1.96).alias("significant"),
     ).orderBy("event_type")
+
+
+def ks_drift(events: DataFrame) -> DataFrame:
+    """AD-12: two-sample Kolmogorov-Smirnov drift test of the VALUE
+    distribution per event type between the first and second half of
+    the period — D = max_v |F1(v) - F2(v)| with the asymptotic
+    alpha = 0.05 significance bar D > 1.358 * sqrt((n1+n2)/(n1*n2))
+    (Smirnov 1948). AD-4's chi-square and AD-11's z test watch the
+    traffic MIX; the KS statistic watches the value DISTRIBUTION's
+    whole shape — a price migration that keeps per-type counts flat
+    is invisible to both and lights this up.
+
+    Exactness: the midpoint split is integer epoch-day arithmetic
+    (2d <= min+max, no division); values become integer cents; the
+    sup-distance numerator is computed CROSS-MULTIPLIED —
+    max |cum1*n2 - cum2*n1| in DECIMAL(38,0), exact in any order —
+    so the only float steps are the final division and the
+    critical-value sqrt/product, each a single mirrored IEEE op.
+
+    Scale shape: the corpus collapses to one combinable
+    (type, cents, half) count; the cumulative windows run over the
+    DISTINCT-cent table (bounded by price granularity, not event
+    cardinality — the same reason AGG-2's exact percentiles survive);
+    types that land entirely in one half report NULL statistics
+    instead of dividing by zero (the chi2_drift_report lesson)."""
+    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    keyed = events.select(
+        "event_type", day.alias("d"), cents.alias("cents")
+    )
+    bounds = keyed.agg((F.min("d") + F.max("d")).alias("mid2"))
+    halved = keyed.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        "cents",
+        F.when(F.col("d") * 2 <= F.col("mid2"), F.lit(1))
+        .otherwise(F.lit(2))
+        .alias("half"),
+    )
+    cellc = halved.groupBy("event_type", "cents").agg(
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("half") == 2, 1).otherwise(0)).alias("c2"),
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    cum = cellc.select(
+        "event_type",
+        F.sum("c1").over(w_cum).alias("cum1"),
+        F.sum("c2").over(w_cum).alias("cum2"),
+        F.sum("c1").over(w_all).alias("n1"),
+        F.sum("c2").over(w_all).alias("n2"),
+    )
+    diff = F.abs(
+        F.col("cum1").cast("decimal(38,0)") * F.col("n2")
+        - F.col("cum2").cast("decimal(38,0)") * F.col("n1")
+    )
+    agg = cum.groupBy("event_type").agg(
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        F.max(diff).alias("dnum"),
+    )
+    both = (F.col("n1") > 0) & (F.col("n2") > 0)
+    ks = F.col("dnum").cast("double") / (
+        F.col("n1").cast("double") * F.col("n2").cast("double")
+    )
+    crit = F.lit(1.358) * F.sqrt(
+        (F.col("n1") + F.col("n2")).cast("double")
+        / (F.col("n1").cast("double") * F.col("n2").cast("double"))
+    )
+    return agg.select(
+        "event_type",
+        "n1",
+        "n2",
+        F.when(both, F.round(ks, 6)).alias("ks_d"),
+        F.when(both, F.round(crit, 6)).alias("ks_crit"),
+        F.when(both, ks > crit).alias("significant"),
+    ).orderBy("event_type")
+
+
+def structural_breaks(events: DataFrame) -> DataFrame:
+    """AD-13: per-type structural break — the single split day of the
+    zero-filled daily count series that maximizes the between-segment
+    SSE reduction (binary segmentation depth 1; Scott & Knott 1974
+    lineage). AD-9's CUSUM flags WHEN cumulative deviation from the
+    global mean crosses a decision band; the binseg break is the
+    OPTIMAL single partition of the series with its variance-
+    explained gain — the "this type changed regime on day X, level
+    mu1 -> mu2" statement an incident writeup wants.
+
+    Exactness: the series is integer daily counts over the global
+    day range zero-filled through an explicit calendar (missing days
+    ARE data here); cumulative count/square sums are exact BIGINT
+    window reductions; each candidate's gain is
+    SSE_tot - SSE_left - SSE_right where every SSE spends exactly one
+    IEEE division (S^2/n) on exact integers — both engines evaluate
+    the identical expression tree, so the argmax row (tie-broken by
+    earliest day) and the rounded outputs agree bit-for-bit.
+
+    Scale shape: one combinable (type, day) count collapses the
+    corpus; everything after runs on types x days rows (a few
+    thousand at any horizon), so the per-type windows are tiny by
+    construction — day-granular series never inherit event
+    cardinality."""
+    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+    base = (
+        events.select("event_type", day.alias("d"))
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    rng = base.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    cal = (
+        base.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(rng))
+        .select(
+            "event_type", F.explode(F.sequence("lo", "hi")).alias("d")
+        )
+    )
+    series = cal.join(base, ["event_type", "d"], "left").select(
+        "event_type", "d", F.coalesce("x", F.lit(0)).alias("x")
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    cum = series.select(
+        "event_type",
+        "d",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("d"))
+        .alias("s"),
+        F.sum("x").over(w_cum).alias("cs"),
+        F.sum(F.col("x") * F.col("x")).over(w_cum).alias("css"),
+        F.sum("x").over(w_all).alias("st"),
+        F.sum(F.col("x") * F.col("x")).over(w_all).alias("qt"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    cand = cum.where(F.col("s") < F.col("n"))
+    sse_l = F.col("css").cast("double") - (
+        F.col("cs").cast("double") * F.col("cs").cast("double")
+    ) / F.col("s").cast("double")
+    rs = F.col("st") - F.col("cs")
+    rn_ = F.col("n") - F.col("s")
+    sse_r = (F.col("qt") - F.col("css")).cast("double") - (
+        rs.cast("double") * rs.cast("double")
+    ) / rn_.cast("double")
+    sse_t = F.col("qt").cast("double") - (
+        F.col("st").cast("double") * F.col("st").cast("double")
+    ) / F.col("n").cast("double")
+    gained = cand.withColumn("gain", sse_t - sse_l - sse_r)
+    w_best = Window.partitionBy("event_type").orderBy(
+        F.desc("gain"), F.asc("d")
+    )
+    return (
+        gained.withColumn("rk", F.row_number().over(w_best))
+        .where(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.date_format(
+                F.date_add(F.lit("1970-01-01").cast("date"), F.col("d")),
+                "yyyy-MM-dd",
+            ).alias("break_date"),
+            F.col("n").alias("n_days"),
+            F.round("gain", 4).alias("gain"),
+            F.round(
+                F.col("cs").cast("double") / F.col("s").cast("double"), 4
+            ).alias("mean_before"),
+            F.round(rs.cast("double") / rn_.cast("double"), 4).alias(
+                "mean_after"
+            ),
+        )
+        .orderBy("event_type")
+    )

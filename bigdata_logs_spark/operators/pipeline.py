@@ -840,3 +840,51 @@ def epoch_shuffle_shards(
         )
         .orderBy("shard")
     )
+
+
+WSAMP_K = 100
+WSAMP_SEED = "wsamp1"
+_WSAMP_DENOM = float(1 << 52)
+
+
+def weighted_sample(docs: DataFrame) -> DataFrame:
+    """PL-22: deterministic weighted sampling without replacement
+    (Efraimidis & Spirakis 2006, the A-ES one-pass scheme) — each
+    document draws a seeded hash-uniform u in (0, 1] and competes
+    with key ln(u)/w, w = n_chars; the top-k keys ARE an exact
+    w-weighted sample without replacement. The importance-sampling
+    primitive under every "oversample the long/high-quality docs"
+    curation step — and unlike rand()-based sampling it is
+    reproducible across runs, engines, and partitionings (PL-21's
+    seeded-shuffle property, extended to WEIGHTED draws).
+
+    Exactness: u = (h + 1) / 2^52 from the 52-bit md5 prefix (the
+    PL-21 seed||id hash; +1 keeps u strictly positive), so ln(u) and
+    the division by the integer weight are two mirrored IEEE ops on
+    identical operands (ln is bit-identical cross-engine on
+    identical doubles). Top-k is total-ordered (key desc, doc_id).
+
+    Scale shape: the key is one narrow per-row expression — no
+    shuffle until the top-k itself, which is TakeOrderedAndProject
+    (per-partition heads, never a global sort). Changing the seed
+    redraws the whole sample reproducibly."""
+    h = F.expr(
+        f"CAST(conv(substring(md5(concat('{WSAMP_SEED}', ':', "
+        f"CAST(doc_id AS STRING))), 1, 13), 16, 10) AS BIGINT)"
+    )
+    u = (h + F.lit(1)).cast("double") / F.lit(_WSAMP_DENOM)
+    key = F.log(u) / F.col("n_chars").cast("double")
+    keyed = docs.select(
+        "doc_id", "source", "n_chars", key.alias("es_key")
+    )
+    top = keyed.orderBy(F.desc("es_key"), F.asc("doc_id")).limit(WSAMP_K)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("es_key"), F.asc("doc_id"))
+    return top.select(
+        F.row_number().over(w).cast("long").alias("sample_rank"),
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round("es_key", 9).alias("es_key"),
+    )

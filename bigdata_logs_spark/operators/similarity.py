@@ -1960,3 +1960,99 @@ def pca_top_component(emb: DataFrame) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+def centroid_silhouette(emb: DataFrame) -> DataFrame:
+    """E-26: simplified silhouette over the label partition
+    (Rousseeuw 1987's index in the centroid approximation of
+    Vendramin et al. 2010) — per point, a = distance to the OWN
+    label centroid, b = distance to the NEAREST OTHER centroid,
+    s = (b - a) / max(a, b); reported per label as the mean
+    silhouette and the share of negative-s points (points that sit
+    closer to a rival centroid than their own). E-24's Davies-
+    Bouldin scores clusters pairwise at the CENTROID level; the
+    silhouette says how many individual MEMBERS are on the wrong
+    side — the per-point misassignment rate a relabeling pass would
+    act on.
+
+    Exactness: the E-24 discipline — micro-unit BIGINT components
+    with a +1.0 positivity shift, integer floor-division centroids,
+    exact BIGINT squared distances; b picks the minimum over OTHER
+    labels on the INTEGER d2 (sqrt is monotone, so min-then-sqrt ==
+    sqrt-then-min with one fewer float op); each point's s spends
+    three mirrored IEEE ops and re-quantizes to BIGINT micro-units
+    before the per-label sum, keeping the mean order-free.
+
+    Scale shape: one posexplode pass; the point-to-centroid distance
+    table is comps x k with the k x 64 centroid table BROADCAST and
+    the (vec_id, clabel) reduction combinable; everything after runs
+    on one row per point, then one row per label. At 100 TB this is
+    exactly k-means assignment cost — one scan, no pairwise
+    point-point work (the reason full silhouette is never run at
+    scale and this approximation is)."""
+    q = F.expr(
+        "transform(embedding, x -> "
+        "CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) + 1000000)"
+    )
+    comps = emb.select(
+        "vec_id", "label", F.posexplode(q).alias("dim", "qv")
+    )
+    cent = (
+        comps.groupBy("label", "dim")
+        .agg(F.sum("qv").alias("sq"), F.count(F.lit(1)).alias("nv"))
+        .select(
+            F.col("label").alias("clabel"),
+            "dim",
+            F.expr("sq div nv").alias("c"),
+        )
+    )
+    d2 = (
+        comps.join(F.broadcast(cent), "dim")
+        .withColumn(
+            "t", (F.col("qv") - F.col("c")) * (F.col("qv") - F.col("c"))
+        )
+        .groupBy("vec_id", "label", "clabel")
+        .agg(F.sum("t").alias("d2"))
+    )
+    per_point = d2.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("clabel") == F.col("label"), F.col("d2"))).alias(
+            "d2_own"
+        ),
+        F.min(F.when(F.col("clabel") != F.col("label"), F.col("d2"))).alias(
+            "d2_other"
+        ),
+    )
+    a = F.sqrt(F.col("d2_own").cast("double"))
+    b = F.sqrt(F.col("d2_other").cast("double"))
+    s = F.when(
+        F.greatest(F.col("d2_own"), F.col("d2_other")) == 0, F.lit(0.0)
+    ).otherwise((b - a) / F.greatest(a, b))
+    scored = per_point.select(
+        "label",
+        F.round(s * F.lit(1000000.0)).cast("long").alias("smicro"),
+    )
+    return (
+        scored.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("smicro").alias("ssum"),
+            F.sum(
+                F.when(F.col("smicro") < 0, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_negative"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            F.round(
+                F.col("ssum").cast("double")
+                / F.col("n_vecs")
+                / F.lit(1000000.0),
+                6,
+            ).alias("mean_silhouette"),
+            F.col("n_negative").cast("long").alias("n_negative"),
+            F.round(
+                F.col("n_negative").cast("double") / F.col("n_vecs"), 6
+            ).alias("neg_share"),
+        )
+        .orderBy("label")
+    )

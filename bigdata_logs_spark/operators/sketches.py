@@ -581,3 +581,99 @@ def hll_estimate_from_registers(regs: DataFrame) -> DataFrame:
         F.round(corrected, 4).alias("hll_estimate"),
         v.cast("long").alias("n_zero_registers"),
     )
+
+
+HISTQ_BINS = 256
+HISTQ_PCTS = (50, 90, 95, 99)
+
+
+def histogram_quantiles(events: DataFrame) -> DataFrame:
+    """SK-7: mergeable fixed-bin histogram quantiles over event value
+    — 256 equi-width bins between the exact min/max cents, integer
+    bin counts, and p50/90/95/99 read off the cumulative histogram
+    with within-bin linear interpolation. The certifiable counterpart
+    of AGG-2b's engine `approx_percentile`: like the other SK
+    sketches, the ESTIMATE ITSELF is deterministic integer + mirrored
+    IEEE arithmetic, so it hash-certifies cross-engine — and the bin
+    array is a commutative-monoid summary (per-partition histograms
+    SUM), which is what production quantile services actually merge;
+    error is bounded by one bin width (range/256) by construction.
+
+    Exactness: bin index is pure integer floor math
+    ((cents - lo) * 256 div (hi - lo + 1), all operands non-negative
+    after the min subtraction); the target rank is the integer
+    ceiling (n*p + 99) div 100; interpolation spends four mirrored
+    IEEE ops on exact integers.
+
+    Scale shape: one broadcast single-row min/max join, one
+    combinable (bin) count — the corpus is scanned twice and nothing
+    wider than a 256-row histogram survives; the percentile
+    extraction windows run on <= 256 rows."""
+    from pyspark.sql import Window
+
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    vals = events.select(cents.alias("c"))
+    rng = vals.agg(F.min("c").alias("lo"), F.max("c").alias("hi"))
+    binned = vals.crossJoin(F.broadcast(rng)).select(
+        "lo",
+        "hi",
+        F.expr(f"(c - lo) * {HISTQ_BINS} div (hi - lo + 1)").alias("bin"),
+    )
+    hist = binned.groupBy("lo", "hi", "bin").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_cum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "lo",
+        "hi",
+        "bin",
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    pcts = cum.sparkSession.range(1).select(
+        F.explode(
+            F.array(*[F.lit(p) for p in HISTQ_PCTS])
+        ).alias("p")
+    )
+    hit = (
+        cum.crossJoin(F.broadcast(pcts))
+        .withColumn("r", F.expr("(n * p + 99) div 100"))
+        .where(F.col("cum") >= F.col("r"))
+    )
+    w_first = Window.partitionBy("p").orderBy("bin")
+    est = (
+        hit.withColumn("rk", F.row_number().over(w_first))
+        .where(F.col("rk") == 1)
+        .select(
+            "p",
+            "n",
+            "bin",
+            F.col("cnt").alias("bin_n"),
+            (
+                F.col("lo").cast("double")
+                + (
+                    F.col("bin").cast("double")
+                    + (F.col("r") - (F.col("cum") - F.col("cnt"))).cast(
+                        "double"
+                    )
+                    / F.col("cnt").cast("double")
+                )
+                * (F.col("hi") - F.col("lo") + 1).cast("double")
+                / F.lit(float(HISTQ_BINS))
+            ).alias("est_cents"),
+        )
+    )
+    return est.select(
+        F.col("p").cast("long").alias("p"),
+        "n",
+        "bin",
+        "bin_n",
+        F.round(F.col("est_cents") / F.lit(100.0), 4).alias("est_value"),
+    ).orderBy("p")

@@ -1237,3 +1237,157 @@ def bm25_topk(
         .orderBy(F.desc("bm25_micro"), "doc_id")
         .limit(k)
     )
+
+
+RAKE_STOPWORDS = ("a", "the")
+RAKE_MAX_PHRASE = 4
+RAKE_TOP_K = 15
+
+
+def rake_keyphrases(docs: DataFrame) -> DataFrame:
+    """T-27: RAKE keyphrase extraction (Rose, Engel, Cramer & Cowley
+    2010) over the corpus — candidate phrases are the maximal runs of
+    content words between stopwords/punctuation; each word scores
+    degree/frequency (degree = summed length of every phrase it
+    appears in), and a phrase scores the SUM of its member word
+    scores. Where T-7's tf-idf ranks single TERMS per doc, RAKE
+    surfaces multi-word PHRASES corpus-wide — the keyword-list view
+    of what the corpus is about.
+
+    Exactness: tokenization is pure deterministic string work
+    (lowercase, punctuation -> delimiter, ``\\b(a|the)\\b`` ->
+    delimiter, whitespace collapse); word scores are integer micro
+    floor-divisions (degree*1e6 div freq) so per-phrase sums are
+    order-free BIGINT reductions; one double division at the end.
+    Top-k is total-ordered (score desc, phrase asc).
+
+    Scale shape: phrase instances explode from one scan bounded by
+    text length; word stats and phrase scores are combinable
+    aggregations over (word) and (phrase) — both vocabulary-sized,
+    orders of magnitude under corpus size; the word-score table
+    BROADCASTS into the scoring join; top-k is
+    TakeOrderedAndProject."""
+    stop_alt = "|".join(RAKE_STOPWORDS)
+    s = F.lower(F.trim(F.col("text")))
+    s = F.regexp_replace(s, r"[^a-z0-9\s]+", " | ")
+    s = F.regexp_replace(s, rf"\b({stop_alt})\b", "|")
+    phr = (
+        docs.select(F.explode(F.split(s, r"\|")).alias("rawp"))
+        .select(
+            F.regexp_replace(F.trim(F.col("rawp")), r"\s+", " ").alias(
+                "phrase"
+            )
+        )
+        .where(
+            (F.col("phrase") != "")
+            & (F.size(F.split(F.col("phrase"), " ")) <= RAKE_MAX_PHRASE)
+        )
+    )
+    inst = phr.select(
+        "phrase",
+        F.split(F.col("phrase"), " ").alias("ws"),
+    ).select("phrase", F.size("ws").alias("plen"), F.explode("ws").alias("w"))
+    wstats = inst.groupBy("w").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("plen").alias("degsum"),
+    )
+    wscore = wstats.select(
+        "w", F.expr("degsum * 1000000 div freq").alias("wscore_micro")
+    )
+    pfreq = phr.groupBy("phrase").agg(F.count(F.lit(1)).alias("freq"))
+    pwords = (
+        phr.select("phrase")
+        .distinct()
+        .select(
+            "phrase", F.explode(F.split(F.col("phrase"), " ")).alias("w")
+        )
+    )
+    pscore = (
+        pwords.join(F.broadcast(wscore), "w")
+        .groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("wscore_micro").alias("pscore_micro"),
+        )
+    )
+    return (
+        pscore.join(pfreq, "phrase")
+        .select(
+            "phrase",
+            "n_words",
+            "freq",
+            F.round(
+                F.col("pscore_micro").cast("double") / F.lit(1000000.0), 6
+            ).alias("rake_score"),
+        )
+        .orderBy(F.desc("rake_score"), F.asc("phrase"))
+        .limit(RAKE_TOP_K)
+    )
+
+
+def readability_profile(docs: DataFrame) -> DataFrame:
+    """T-28: per-source readability profile — Flesch reading ease and
+    Flesch-Kincaid grade from three corpus-exact counts (words,
+    sentences, syllable groups), the 1948/1975 formulas every
+    document-quality rubric still quotes. T-2's quality score gates
+    on surface ratios; the readability pair summarizes the same
+    surface at the register level ("is this source textbook prose or
+    telegraphese") and is the standard pre-filter knob for
+    training-mix curation.
+
+    The syllable count is the classic vowel-group heuristic: maximal
+    ``[aeiouy]+`` runs in the lowercased text (counted as a length
+    difference between two regex replacements — no per-word loop);
+    sentences are maximal ``[.!?]+`` runs floored at 1 per document.
+    Deterministic by construction — both engines run the identical
+    regex replacements (DuckDB needs the explicit 'g' flag).
+
+    Exactness: all three counts sum as exact BIGINTs per source; each
+    formula spends six mirrored IEEE ops on two shared divisions.
+
+    Scale shape: three narrow per-row expressions into one combinable
+    per-source aggregation — one scan, nothing wider than a counter
+    row shuffles."""
+    low = F.lower(F.col("text"))
+    vow_marked = F.length(F.regexp_replace(low, "[aeiouy]+", "#"))
+    vow_gone = F.length(F.regexp_replace(low, "[aeiouy]+", ""))
+    syl = vow_marked - vow_gone
+    sen_marked = F.length(F.regexp_replace(low, "[.!?]+", "#"))
+    sen_gone = F.length(F.regexp_replace(low, "[.!?]+", ""))
+    sen = F.greatest(sen_marked - sen_gone, F.lit(1))
+    nw = F.when(
+        F.trim(F.col("text")) == "", F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+    agg = (
+        docs.select(
+            "source",
+            nw.cast("long").alias("w"),
+            sen.cast("long").alias("s"),
+            syl.cast("long").alias("y"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("w").alias("n_words"),
+            F.sum("s").alias("n_sentences"),
+            F.sum("y").alias("n_syllable_groups"),
+        )
+    )
+    wps = F.col("n_words").cast("double") / F.col("n_sentences").cast(
+        "double"
+    )
+    ypw = F.col("n_syllable_groups").cast("double") / F.col(
+        "n_words"
+    ).cast("double")
+    flesch = F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * ypw
+    fk = F.lit(0.39) * wps + F.lit(11.8) * ypw - F.lit(15.59)
+    ok = F.col("n_words") > 0
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_words",
+        "n_sentences",
+        "n_syllable_groups",
+        F.when(ok, F.round(flesch, 4)).alias("flesch"),
+        F.when(ok, F.round(fk, 4)).alias("fk_grade"),
+    ).orderBy("source")

@@ -9099,6 +9099,389 @@ def q_embedding_drift(spark, sf_dir):
     return SIM.embedding_drift(load_table(spark, sf_dir, "embeddings"))
 
 
+@register(
+    "ks_drift",
+    """
+    WITH keyed AS (
+      SELECT event_type,
+             (ts::DATE - DATE '1970-01-01')::BIGINT AS d,
+             (value::DECIMAL(18,2) * 100)::DECIMAL(38,0)::BIGINT AS cents
+      FROM events
+    ), b AS (
+      SELECT MIN(d) + MAX(d) AS mid2 FROM keyed
+    ), halved AS (
+      SELECT event_type, cents,
+             CASE WHEN d * 2 <= b.mid2 THEN 1 ELSE 2 END AS half
+      FROM keyed CROSS JOIN b
+    ), cellc AS (
+      SELECT event_type, cents,
+             SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END)::BIGINT AS c1,
+             SUM(CASE WHEN half = 2 THEN 1 ELSE 0 END)::BIGINT AS c2
+      FROM halved GROUP BY 1, 2
+    ), cum AS (
+      SELECT event_type,
+             SUM(c1) OVER (PARTITION BY event_type ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+               AS cum1,
+             SUM(c2) OVER (PARTITION BY event_type ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+               AS cum2,
+             SUM(c1) OVER (PARTITION BY event_type)::BIGINT AS n1,
+             SUM(c2) OVER (PARTITION BY event_type)::BIGINT AS n2
+      FROM cellc
+    ), agg AS (
+      SELECT event_type, MAX(n1)::BIGINT AS n1, MAX(n2)::BIGINT AS n2,
+             MAX(abs(cum1::DECIMAL(38,0) * n2 - cum2::DECIMAL(38,0) * n1))
+               AS dnum
+      FROM cum GROUP BY 1
+    )
+    SELECT event_type, n1, n2,
+           CASE WHEN n1 > 0 AND n2 > 0 THEN
+             ROUND(dnum::DOUBLE / (n1::DOUBLE * n2::DOUBLE), 6) END AS ks_d,
+           CASE WHEN n1 > 0 AND n2 > 0 THEN
+             ROUND(CAST(1.358 AS DOUBLE)
+                   * sqrt((n1 + n2)::DOUBLE / (n1::DOUBLE * n2::DOUBLE)), 6)
+             END AS ks_crit,
+           CASE WHEN n1 > 0 AND n2 > 0 THEN
+             (dnum::DOUBLE / (n1::DOUBLE * n2::DOUBLE)) >
+             (CAST(1.358 AS DOUBLE)
+              * sqrt((n1 + n2)::DOUBLE / (n1::DOUBLE * n2::DOUBLE)))
+             END AS significant
+    FROM agg ORDER BY event_type
+    """,
+    tags=("AD-12",),
+)
+def q_ks_drift(spark, sf_dir):
+    """AD-12 two-sample KS drift of the value distribution per type:
+    cross-multiplied DECIMAL(38,0) sup-distance over the distinct-cent
+    cumulative table, one division + one sqrt at the end (Smirnov
+    1948 asymptotic bar at alpha = 0.05)."""
+    return AD.ks_drift(_events(spark, sf_dir))
+
+
+@register(
+    "structural_breaks",
+    """
+    WITH base AS (
+      SELECT event_type, (ts::DATE - DATE '1970-01-01')::BIGINT AS d,
+             COUNT(*)::BIGINT AS x
+      FROM events GROUP BY 1, 2
+    ), rng AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM base),
+    types AS (SELECT DISTINCT event_type FROM base),
+    cal AS (
+      SELECT t.event_type, unnest(generate_series(r.lo, r.hi)) AS d
+      FROM types t CROSS JOIN rng r
+    ), series AS (
+      SELECT cal.event_type, cal.d, COALESCE(b.x, 0)::BIGINT AS x
+      FROM cal LEFT JOIN base b
+        ON b.event_type = cal.event_type AND b.d = cal.d
+    ), cum AS (
+      SELECT event_type, d,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d)::BIGINT
+               AS s,
+             SUM(x) OVER (PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+               AS cs,
+             SUM(x * x) OVER (PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+               AS css,
+             SUM(x) OVER (PARTITION BY event_type)::BIGINT AS st,
+             SUM(x * x) OVER (PARTITION BY event_type)::BIGINT AS qt,
+             COUNT(*) OVER (PARTITION BY event_type)::BIGINT AS n
+      FROM series
+    ), gained AS (
+      SELECT *,
+        (qt::DOUBLE - st::DOUBLE * st::DOUBLE / n::DOUBLE)
+        - (css::DOUBLE - cs::DOUBLE * cs::DOUBLE / s::DOUBLE)
+        - ((qt - css)::DOUBLE
+           - (st - cs)::DOUBLE * (st - cs)::DOUBLE / (n - s)::DOUBLE)
+          AS gain
+      FROM cum WHERE s < n
+    ), best AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY event_type ORDER BY gain DESC, d) AS rk
+      FROM gained
+    )
+    SELECT event_type,
+           strftime(DATE '1970-01-01' + d::INT, '%Y-%m-%d') AS break_date,
+           n AS n_days, ROUND(gain, 4) AS gain,
+           ROUND(cs::DOUBLE / s::DOUBLE, 4) AS mean_before,
+           ROUND((st - cs)::DOUBLE / (n - s)::DOUBLE, 4) AS mean_after
+    FROM best WHERE rk = 1 ORDER BY event_type
+    """,
+    tags=("AD-13",),
+)
+def q_structural_breaks(spark, sf_dir):
+    """AD-13 per-type structural break: best SSE-gain split of the
+    zero-filled daily count series (binseg depth 1), exact BIGINT
+    cumulative sums, one IEEE division per SSE term."""
+    return AD.structural_breaks(_events(spark, sf_dir))
+
+
+@register(
+    "daily_acf",
+    """
+    WITH base AS (
+      SELECT (ts::DATE - DATE '1970-01-01')::BIGINT AS d,
+             COUNT(*)::BIGINT AS x
+      FROM events GROUP BY 1
+    ), rng AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM base),
+    cal AS (SELECT unnest(generate_series(lo, hi)) AS d FROM rng),
+    series AS (
+      SELECT cal.d, COALESCE(base.x, 0)::BIGINT AS x
+      FROM cal LEFT JOIN base USING (d)
+    ), lags AS (SELECT unnest(generate_series(1, 7)) AS lag),
+    pairs AS (
+      SELECT l.lag, a.x AS xa, b.x AS xb
+      FROM series a CROSS JOIN lags l
+      JOIN series b ON b.d = a.d + l.lag
+    ), agg AS (
+      SELECT lag, COUNT(*)::BIGINT AS n_pairs,
+             SUM(xa)::BIGINT AS sx, SUM(xb)::BIGINT AS sy,
+             SUM(xa * xa)::BIGINT AS sxx, SUM(xb * xb)::BIGINT AS syy,
+             SUM(xa * xb)::BIGINT AS sxy
+      FROM pairs GROUP BY 1
+    )
+    SELECT lag::BIGINT AS lag, n_pairs,
+           CASE WHEN (n_pairs * sxx - sx * sx) > 0
+                 AND (n_pairs * syy - sy * sy) > 0 THEN
+             ROUND((n_pairs * sxy - sx * sy)::DOUBLE /
+                   (sqrt((n_pairs * sxx - sx * sx)::DOUBLE)
+                    * sqrt((n_pairs * syy - sy * sy)::DOUBLE)), 6)
+           END AS acf
+    FROM agg ORDER BY lag
+    """,
+    tags=("W-17",),
+)
+def q_daily_acf(spark, sf_dir):
+    """W-17 lag-1..7 autocorrelation of the zero-filled daily count
+    series: integer co-moment Pearson (the AGG-7 discipline), three
+    mirrored IEEE ops per lag."""
+    return AN.daily_acf(_events(spark, sf_dir))
+
+
+@register(
+    "histogram_quantiles",
+    """
+    WITH vals AS (
+      SELECT (value::DECIMAL(18,2) * 100)::DECIMAL(38,0)::BIGINT AS c
+      FROM events
+    ), rng AS (SELECT MIN(c) AS lo, MAX(c) AS hi FROM vals),
+    binned AS (
+      SELECT lo, hi, (c - lo) * 256 // (hi - lo + 1) AS bin
+      FROM vals CROSS JOIN rng
+    ), hist AS (
+      SELECT lo, hi, bin, COUNT(*)::BIGINT AS cnt
+      FROM binned GROUP BY 1, 2, 3
+    ), cum AS (
+      SELECT lo, hi, bin, cnt,
+             SUM(cnt) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+               AS cum,
+             SUM(cnt) OVER ()::BIGINT AS n
+      FROM hist
+    ), pcts AS (SELECT unnest([50, 90, 95, 99]) AS p),
+    hit AS (
+      SELECT lo, hi, p, n, bin, cnt, cum, (n * p + 99) // 100 AS r
+      FROM cum CROSS JOIN pcts
+      WHERE cum >= (n * p + 99) // 100
+    ), fst AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY p ORDER BY bin) AS rk
+      FROM hit
+    )
+    SELECT p::BIGINT AS p, n, bin, cnt AS bin_n,
+           ROUND((lo::DOUBLE
+                  + (bin::DOUBLE + (r - (cum - cnt))::DOUBLE / cnt::DOUBLE)
+                    * (hi - lo + 1)::DOUBLE / CAST(256.0 AS DOUBLE))
+                 / CAST(100.0 AS DOUBLE), 4) AS est_value
+    FROM fst WHERE rk = 1 ORDER BY p
+    """,
+    tags=("SK-7",),
+)
+def q_histogram_quantiles(spark, sf_dir):
+    """SK-7 mergeable 256-bin histogram quantiles (p50/90/95/99) of
+    event value: integer bin math + within-bin interpolation; the
+    certifiable counterpart of AGG-2b's engine approx_percentile."""
+    return SK.histogram_quantiles(_events(spark, sf_dir))
+
+
+@register(
+    "centroid_silhouette",
+    """
+    WITH comps AS (
+      SELECT vec_id, label,
+             generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(round(unnest(embedding)::DOUBLE * 1000000.0) AS BIGINT)
+               + 1000000 AS qv
+      FROM embeddings
+    ), cent AS (
+      SELECT label AS clabel, dim,
+             SUM(qv)::BIGINT // COUNT(*)::BIGINT AS c
+      FROM comps GROUP BY 1, 2
+    ), d2 AS (
+      SELECT comps.vec_id, comps.label, cent.clabel,
+             SUM((comps.qv - cent.c) * (comps.qv - cent.c))::BIGINT AS d2
+      FROM comps JOIN cent USING (dim)
+      GROUP BY 1, 2, 3
+    ), pp AS (
+      SELECT vec_id, label,
+             MAX(CASE WHEN clabel = label THEN d2 END)::BIGINT AS d2_own,
+             MIN(CASE WHEN clabel != label THEN d2 END)::BIGINT AS d2_other
+      FROM d2 GROUP BY 1, 2
+    ), scored AS (
+      SELECT label,
+             CASE WHEN GREATEST(d2_own, d2_other) = 0 THEN 0::BIGINT
+                  ELSE CAST(round(
+                    (SQRT(d2_other::DOUBLE) - SQRT(d2_own::DOUBLE))
+                    / GREATEST(SQRT(d2_own::DOUBLE), SQRT(d2_other::DOUBLE))
+                    * 1000000.0) AS BIGINT) END AS smicro
+      FROM pp
+    )
+    SELECT label, COUNT(*)::BIGINT AS n_vecs,
+           ROUND(SUM(smicro)::DOUBLE / COUNT(*) / 1000000.0::DOUBLE, 6)
+             AS mean_silhouette,
+           SUM(CASE WHEN smicro < 0 THEN 1 ELSE 0 END)::BIGINT
+             AS n_negative,
+           ROUND(SUM(CASE WHEN smicro < 0 THEN 1 ELSE 0 END)::DOUBLE
+                 / COUNT(*), 6) AS neg_share
+    FROM scored GROUP BY 1 ORDER BY label
+    """,
+    tags=("E-26",),
+)
+def q_centroid_silhouette(spark, sf_dir):
+    """E-26 simplified (centroid) silhouette per label: integer
+    micro-unit geometry, min-on-integer-d2 nearest rival, per-point
+    score re-quantized before the order-free label mean."""
+    return SIM.centroid_silhouette(_emb(spark, sf_dir))
+
+
+@register(
+    "rake_keyphrases",
+    r"""
+    WITH cleaned AS (
+      SELECT regexp_replace(
+               regexp_replace(lower(trim(text)), '[^a-z0-9\s]+', ' | ',
+                              'g'),
+               '\b(a|the)\b', '|', 'g') AS s
+      FROM documents
+    ), phr0 AS (
+      SELECT unnest(string_split(s, '|')) AS rawp FROM cleaned
+    ), phrt AS (
+      SELECT regexp_replace(trim(rawp), '\s+', ' ', 'g') AS phrase
+      FROM phr0
+    ), phrf AS (
+      SELECT phrase FROM phrt
+      WHERE phrase != '' AND len(string_split(phrase, ' ')) <= 4
+    ), inst AS (
+      SELECT phrase, len(string_split(phrase, ' '))::BIGINT AS plen,
+             unnest(string_split(phrase, ' ')) AS w
+      FROM phrf
+    ), wscore AS (
+      SELECT w,
+             (SUM(plen)::BIGINT * 1000000) // COUNT(*)::BIGINT
+               AS wscore_micro
+      FROM inst GROUP BY 1
+    ), pfreq AS (
+      SELECT phrase, COUNT(*)::BIGINT AS freq FROM phrf GROUP BY 1
+    ), pwords AS (
+      SELECT phrase, unnest(string_split(phrase, ' ')) AS w
+      FROM (SELECT DISTINCT phrase FROM phrf)
+    ), pscore AS (
+      SELECT phrase, COUNT(*)::BIGINT AS n_words,
+             SUM(wscore_micro)::BIGINT AS pscore_micro
+      FROM pwords JOIN wscore USING (w) GROUP BY 1
+    )
+    SELECT phrase, n_words, freq,
+           ROUND(pscore_micro::DOUBLE / 1000000.0::DOUBLE, 6)
+             AS rake_score
+    FROM pscore JOIN pfreq USING (phrase)
+    ORDER BY rake_score DESC, phrase LIMIT 15
+    """,
+    tags=("T-27",),
+)
+def q_rake_keyphrases(spark, sf_dir):
+    """T-27 RAKE keyphrases: stopword/punctuation-delimited candidate
+    phrases, integer micro degree/freq word scores, order-free BIGINT
+    phrase sums, total-ordered top-15."""
+    return TX.rake_keyphrases(_docs(spark, sf_dir))
+
+
+@register(
+    "readability_profile",
+    r"""
+    WITH per AS (
+      SELECT source,
+             (CASE WHEN trim(text) = '' THEN 0
+                   ELSE len(string_split_regex(trim(text), '\s+'))
+              END)::BIGINT AS w,
+             GREATEST(
+               length(regexp_replace(lower(text), '[.!?]+', '#', 'g'))
+               - length(regexp_replace(lower(text), '[.!?]+', '', 'g')),
+               1)::BIGINT AS s,
+             (length(regexp_replace(lower(text), '[aeiouy]+', '#', 'g'))
+              - length(regexp_replace(lower(text), '[aeiouy]+', '', 'g'))
+             )::BIGINT AS y
+      FROM documents
+    ), agg AS (
+      SELECT source, COUNT(*)::BIGINT AS n_docs, SUM(w)::BIGINT AS n_words,
+             SUM(s)::BIGINT AS n_sentences,
+             SUM(y)::BIGINT AS n_syllable_groups
+      FROM per GROUP BY 1
+    )
+    SELECT source, n_docs, n_words, n_sentences, n_syllable_groups,
+           CASE WHEN n_words > 0 THEN
+             ROUND(CAST(206.835 AS DOUBLE)
+                   - CAST(1.015 AS DOUBLE)
+                     * (n_words::DOUBLE / n_sentences::DOUBLE)
+                   - CAST(84.6 AS DOUBLE)
+                     * (n_syllable_groups::DOUBLE / n_words::DOUBLE), 4)
+           END AS flesch,
+           CASE WHEN n_words > 0 THEN
+             ROUND(CAST(0.39 AS DOUBLE)
+                     * (n_words::DOUBLE / n_sentences::DOUBLE)
+                   + CAST(11.8 AS DOUBLE)
+                     * (n_syllable_groups::DOUBLE / n_words::DOUBLE)
+                   - CAST(15.59 AS DOUBLE), 4)
+           END AS fk_grade
+    FROM agg ORDER BY source
+    """,
+    tags=("T-28",),
+)
+def q_readability_profile(spark, sf_dir):
+    """T-28 Flesch / Flesch-Kincaid per source: vowel-group syllable
+    heuristic and sentence runs as regex length differences, exact
+    BIGINT count sums, six mirrored IEEE ops per formula."""
+    return TX.readability_profile(_docs(spark, sf_dir))
+
+
+@register(
+    "weighted_sample",
+    """
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             ln((('0x' || substr(md5('wsamp1' || ':' || doc_id::VARCHAR),
+                                 1, 13))::BIGINT + 1)::DOUBLE
+                / CAST(4503599627370496.0 AS DOUBLE))
+             / n_chars::DOUBLE AS es_key
+      FROM documents
+    ), top AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY es_key DESC, doc_id)
+               AS sample_rank
+      FROM keyed
+    )
+    SELECT sample_rank::BIGINT AS sample_rank, doc_id, source, n_chars,
+           ROUND(es_key, 9) AS es_key
+    FROM top WHERE sample_rank <= 100 ORDER BY sample_rank
+    """,
+    tags=("PL-22",),
+)
+def q_weighted_sample(spark, sf_dir):
+    """PL-22 Efraimidis-Spirakis weighted sample (k=100, w=n_chars):
+    seeded 52-bit hash uniforms, ln(u)/w keys (two mirrored IEEE
+    ops), TakeOrderedAndProject top-k."""
+    return PL.weighted_sample(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Driver-certification order
 # ---------------------------------------------------------------------------
@@ -9138,6 +9521,14 @@ _DRIVER_FIRST = [
     "knn_label_accuracy",
     "label_cluster_quality",
     "pca_top_component",
+    "ks_drift",
+    "structural_breaks",
+    "daily_acf",
+    "histogram_quantiles",
+    "centroid_silhouette",
+    "rake_keyphrases",
+    "readability_profile",
+    "weighted_sample",
     # latest driver row is round 1 (stalest certified block)
     "events_of_type",
     "entity_hourly_activity",
