@@ -363,6 +363,12 @@ def main() -> None:
         "rake_keyphrases",
         "readability_profile",
         "weighted_sample",
+        "seasonal_decomposition",
+        "spearman_value_time",
+        "session_concurrency",
+        "heaps_law",
+        "slo_burn_alerts",
+        "streaming_line_length_quantiles",
     ]
     extended: dict[str, float] = {}
     for name in EXTENDED:

@@ -1271,3 +1271,250 @@ def daily_acf(events: DataFrame, max_lag: int = 7) -> DataFrame:
         "n_pairs",
         F.when((varx > 0) & (vary > 0), F.round(r, 6)).alias("acf"),
     ).orderBy("lag")
+
+
+def seasonal_decomposition(events: DataFrame) -> DataFrame:
+    """W-18: classical additive seasonal decomposition of the global
+    zero-filled daily event-count series — trend = centered 7-day
+    moving average, seasonal = per-day-of-week mean of the detrended
+    series, residual = detrended minus seasonal (Kendall & Stuart's
+    moving-average decomposition; the deterministic core of STL
+    without loess). AD-8's dow-hour heatmap SHOWS the weekly pattern;
+    the decomposition QUANTIFIES it — the per-dow seasonal offsets in
+    events/day and how much wiggle is left once trend and season are
+    removed (the reference's daily chart, stats_dashboard.py:193-199,
+    eyeballs exactly this).
+
+    Cross-engine exactness: the detrended value is quantized in ONE
+    mirrored IEEE step — round((7x - S7) * 1e6 / 7.0), where
+    7x - S7 and the 1e6 scaling stay exact BIGINT — so per-dow sums
+    are order-free integer reductions; the seasonal mean and the mean
+    absolute residual each spend one division. Day-of-week is integer
+    arithmetic ((d + 4) % 7, 0 = Sunday; 1970-01-01 was a Thursday)
+    — immune to the Spark-1..7 / DuckDB-0..6 dayofweek mismatch.
+
+    Scale shape: one combinable per-day count collapses the corpus;
+    the moving-average window runs on the day-granular zero-filled
+    calendar (thousands of rows at any horizon — day series never
+    inherit event cardinality); the final report is 7 rows."""
+    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+    base = events.select(day.alias("d")).groupBy("d").agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    rng = base.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    cal = rng.select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    series = cal.join(base, ["d"], "left").select(
+        "d", F.coalesce("x", F.lit(0)).alias("x")
+    )
+    w7 = Window.orderBy("d").rowsBetween(-3, 3)
+    ma = series.select(
+        "d",
+        "x",
+        F.sum("x").over(w7).alias("s7"),
+        F.count(F.lit(1)).over(w7).alias("n7"),
+    ).where(F.col("n7") == 7)
+    dm = F.round(
+        ((F.col("x") * 7 - F.col("s7")) * F.lit(1000000)).cast("double")
+        / F.lit(7.0)
+    ).cast("long")
+    detr = ma.select("d", ((F.col("d") + 4) % 7).alias("dow"), dm.alias("dm"))
+    seas = detr.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(
+            F.sum("dm").cast("double") / F.count(F.lit(1))
+        ).cast("long").alias("s_micro"),
+    )
+    resid = detr.join(seas, ["dow"]).select(
+        "dow",
+        F.abs(F.col("dm") - F.col("s_micro")).alias("ar"),
+    )
+    mar = resid.groupBy("dow").agg(
+        F.round(
+            F.sum("ar").cast("double") / F.count(F.lit(1)) / F.lit(1e6), 4
+        ).alias("mean_abs_residual")
+    )
+    return (
+        seas.join(mar, ["dow"])
+        .select(
+            F.col("dow").cast("long").alias("dow"),
+            "n_days",
+            F.round(F.col("s_micro").cast("double") / F.lit(1e6), 4).alias(
+                "seasonal"
+            ),
+            "mean_abs_residual",
+        )
+        .orderBy("dow")
+    )
+
+
+def spearman_value_time(events: DataFrame) -> DataFrame:
+    """AGG-19: Spearman rank correlation between event time (epoch
+    day) and value per event type — the nonparametric monotone-trend
+    measure (Spearman 1904): is this type's value drifting up or down
+    over the period, robust to outliers and any monotone transform?
+    AGG-10's Theil-Sen/Mann-Kendall tests the DAILY AGGREGATE series;
+    Spearman here ranks the raw rows, so within-day dispersion counts
+    — and AD-12's KS answers "did the distribution change", this
+    answers "in which direction".
+
+    Cross-engine exactness: tied ranks are handled analytically on
+    the DISTINCT-value tables — the DOUBLED average rank of a tied
+    group is the integer 2*cum_before + cnt + 1, so every rank is a
+    BIGINT and the five co-moments are exact DECIMAL(38,0) reductions
+    (the AGG-7 discipline; doubling cancels in the correlation). The
+    closed form then spends its floats in mirrored operand order.
+
+    Scale shape: rank tables are windows over DISTINCT (type, day)
+    and (type, cents) — bounded by calendar x price granularity, not
+    event cardinality; the row-level joins are equi-joins on those
+    bounded keys; the co-moments collapse in one combinable pass."""
+    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    rows = events.select(
+        "event_type", day.alias("d"), cents.alias("c")
+    )
+
+    def _ranked(col: str, alias: str) -> DataFrame:
+        grp = rows.groupBy("event_type", col).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        w = (
+            Window.partitionBy("event_type")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return grp.select(
+            "event_type",
+            col,
+            (
+                (F.sum("cnt").over(w) - F.col("cnt")) * 2
+                + F.col("cnt")
+                + 1
+            ).alias(alias),
+        )
+
+    rx = _ranked("d", "r2x")
+    ry = _ranked("c", "r2y")
+    joined = rows.join(rx, ["event_type", "d"]).join(
+        ry, ["event_type", "c"]
+    )
+    dec = "decimal(38,0)"
+    m = joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("r2x").cast(dec)).alias("sx"),
+        F.sum(F.col("r2y").cast(dec)).alias("sy"),
+        F.sum(
+            F.col("r2x").cast("decimal(19,0)")
+            * F.col("r2y").cast("decimal(19,0)")
+        ).alias("sxy"),
+        F.sum(
+            F.col("r2x").cast("decimal(19,0)")
+            * F.col("r2x").cast("decimal(19,0)")
+        ).alias("sxx"),
+        F.sum(
+            F.col("r2y").cast("decimal(19,0)")
+            * F.col("r2y").cast("decimal(19,0)")
+        ).alias("syy"),
+    )
+    n = F.col("n_events").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    rho = (n * sxy - sx * sy) / (F.sqrt(varx) * F.sqrt(vary))
+    return m.select(
+        "event_type",
+        "n_events",
+        F.when((varx > 0) & (vary > 0), F.round(rho, 4)).alias(
+            "spearman_rho"
+        ),
+    ).orderBy("event_type")
+
+
+def session_concurrency(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """W-19: peak concurrent sessions per day by sweep-line — W-4's
+    gaps-and-islands sessions become half-open [start, end+1) second
+    intervals, each day's net +1/-1 boundary deltas accumulate in
+    second order, and the running sum's maximum is that day's peak
+    concurrency with its earliest time — the capacity-planning number
+    (how many simultaneous actives must the system hold?) that no
+    per-day count (D-4) or interval-union active total (W-16's
+    rolling actives) exposes.
+
+    Determinism: sessions spanning midnight are clipped to each
+    covered day (the carry-in is materialized, not implied); boundary
+    deltas at the same second SUM BEFORE the cumulative pass, so no
+    within-second ordering ambiguity exists; peak ties break to the
+    earliest second. Everything is integer arithmetic.
+
+    Scale shape: the corpus collapses to per-user sessions (one W-4
+    window pass); each session explodes into at most
+    days-it-touches rows; the sweep windows partition BY DAY over
+    per-(day, second) NET deltas — bounded by 86400 rows/day however
+    many sessions land on the day (refine the partition to (day,
+    hour) with per-hour carry-ins if a single day's distinct seconds
+    ever dominate)."""
+    secs = events.select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("s")
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    gap = F.col("s") - F.lag("s").over(w)
+    boundary = F.when(
+        gap.isNull() | (gap > gap_minutes * 60), F.lit(1)
+    ).otherwise(F.lit(0))
+    sessioned = secs.withColumn(
+        "session_no",
+        F.sum(boundary).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    sess = sessioned.groupBy("user_id", "session_no").agg(
+        F.min("s").alias("a"), (F.max("s") + 1).alias("b")
+    )
+    sday = sess.select(
+        "a",
+        "b",
+        F.explode(
+            F.sequence(F.expr("a div 86400"), F.expr("(b - 1) div 86400"))
+        ).alias("day"),
+    )
+    clipped = sday.select(
+        "day",
+        F.greatest(F.col("a"), F.col("day") * 86400).alias("ca"),
+        F.least(F.col("b"), (F.col("day") + 1) * 86400).alias("cb"),
+    )
+    deltas = (
+        clipped.select("day", F.col("ca").alias("sec"), F.lit(1).alias("z"))
+        .unionByName(
+            clipped.where(F.col("cb") < (F.col("day") + 1) * 86400).select(
+                "day", F.col("cb").alias("sec"), F.lit(-1).alias("z")
+            )
+        )
+        .groupBy("day", "sec")
+        .agg(F.sum("z").alias("dz"))
+    )
+    w_run = (
+        Window.partitionBy("day")
+        .orderBy("sec")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = deltas.select(
+        "day", "sec", F.sum("dz").over(w_run).alias("conc")
+    )
+    w_peak = Window.partitionBy("day").orderBy(F.desc("conc"), F.asc("sec"))
+    return (
+        run.withColumn("rk", F.row_number().over(w_peak))
+        .where(F.col("rk") == 1)
+        .select(
+            F.date_format(
+                F.date_add(
+                    F.lit("1970-01-01").cast("date"), F.col("day").cast("int")
+                ),
+                "yyyy-MM-dd",
+            ).alias("day"),
+            F.col("conc").cast("long").alias("peak_concurrency"),
+            (F.col("sec") - F.col("day") * 86400).alias("at_sec_of_day"),
+        )
+        .orderBy("day")
+    )

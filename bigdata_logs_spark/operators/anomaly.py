@@ -832,3 +832,77 @@ def structural_breaks(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def slo_burn_alerts(
+    events: DataFrame, slo: float = 0.75, fast_x: float = 2.0, slow_x: float = 1.0
+) -> DataFrame:
+    """OPS-3: multi-window error-budget burn-rate alerts (the SRE
+    Workbook ch.5 multiwindow policy, scaled to daily granularity) —
+    per day, the 'error' share of events against a ``slo`` success
+    target, expressed as burn = error_ratio / (1 - slo): burn 1.0
+    spends the budget exactly at period pace, burn 2.0 exhausts it in
+    half the period. The fast alert (1-day burn >= ``fast_x``) catches
+    cliffs; the slow alert (7-day rolling burn >= ``slow_x``) catches
+    slow leaks the daily number hides — the pairing exists because
+    either window alone over- or under-pages (production uses
+    99.9%/14.4x/6x at 5m-3d windows; the knobs here are parameters).
+    AD-1/AD-9 flag statistically unusual days; the burn rate flags
+    BUDGET-relevant days — a perfectly 'usual' 30% error plateau
+    never trips a z-score but eats the budget.
+
+    Exactness: daily and rolling numerators/denominators are exact
+    BIGINT sums over the zero-filled calendar (a silent day is budget
+    GOOD news, so missing days are data); each burn spends one
+    division and one multiply on mirrored operand order; empty
+    windows report NULL rather than dividing by zero.
+
+    Scale shape: one combinable per-day (total, error) count collapses
+    the corpus; rolling sums window the day-granular calendar."""
+    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+    base = events.select(
+        day.alias("d"),
+        F.when(F.col("event_type") == "error", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("e"),
+    ).groupBy("d").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("e").alias("ne")
+    )
+    rng = base.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    cal = rng.select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    series = cal.join(base, ["d"], "left").select(
+        "d",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.coalesce("ne", F.lit(0)).alias("ne"),
+    )
+    w7 = Window.orderBy("d").rowsBetween(-6, 0)
+    budget = 1.0 - slo
+    roll = series.select(
+        "d",
+        "n",
+        "ne",
+        F.sum("n").over(w7).alias("n7"),
+        F.sum("ne").over(w7).alias("ne7"),
+    )
+    burn1 = F.col("ne").cast("double") / F.col("n").cast("double") / F.lit(
+        budget
+    )
+    burn7 = F.col("ne7").cast("double") / F.col("n7").cast("double") / F.lit(
+        budget
+    )
+    return roll.select(
+        F.date_format(
+            F.date_add(F.lit("1970-01-01").cast("date"), F.col("d").cast("int")),
+            "yyyy-MM-dd",
+        ).alias("day"),
+        "n",
+        "ne",
+        F.when(F.col("n") > 0, F.round(burn1, 4)).alias("burn_1d"),
+        F.when(F.col("n7") > 0, F.round(burn7, 4)).alias("burn_7d"),
+        F.when(F.col("n") > 0, burn1 >= F.lit(fast_x))
+        .otherwise(F.lit(False))
+        .alias("page_fast"),
+        F.when(F.col("n7") > 0, burn7 >= F.lit(slow_x))
+        .otherwise(F.lit(False))
+        .alias("page_slow"),
+    ).orderBy("day")

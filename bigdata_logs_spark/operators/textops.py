@@ -1391,3 +1391,105 @@ def readability_profile(docs: DataFrame) -> DataFrame:
         F.when(ok, F.round(flesch, 4)).alias("flesch"),
         F.when(ok, F.round(fk, 4)).alias("fk_grade"),
     ).orderBy("source")
+
+
+def heaps_law(docs: DataFrame, checkpoints: int = 10) -> DataFrame:
+    """T-29: Heaps'-law vocabulary-growth fit — cumulative distinct
+    vocabulary V against cumulative token count N at ``checkpoints``
+    doc-id milestones, with the log-log OLS fit V = k * N^beta
+    (Heaps 1978; beta ~ 0.4-0.6 for natural corpora). T-17's Zipf
+    slope profiles the FREQUENCY distribution at one instant; Heaps'
+    beta profiles the GROWTH — a beta collapsing toward 0 while docs
+    keep arriving is the classic templated/duplicated-corpus smell,
+    and the k/beta pair predicts vocabulary (= embedding/hash table)
+    size at 100x the corpus before you pay for the scan.
+
+    Exactness and the scale trick: there is NO global running window
+    — each token contributes its n_tokens to its doc, each distinct
+    token contributes 1 to its FIRST doc (min doc_id), and both
+    doc-granular tables aggregate against ``checkpoints`` broadcast
+    doc-id thresholds cut by integer arithmetic over the doc-id
+    range (lo-1 + span*i div cp) — so V(ck) and N(ck) are exact
+    combinable BIGINT sums, one shuffle each, at any corpus size.
+    The fit is T-17's quantized-ln discipline: round(ln * 1e6) BIGINT
+    terms (ln is bit-identical cross-engine), exact integer
+    co-moments, mirrored closed-form floats. ln k is reported rather
+    than k = exp(...) because exp's cross-engine rounding is not
+    pinned like ln's.
+    """
+    per_doc = with_tokens(docs).select(
+        "doc_id", F.size("tokens").alias("m"), "tokens"
+    )
+    firsts = (
+        per_doc.select("doc_id", F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.min("doc_id").alias("fd"))
+        .groupBy("fd")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    rng = per_doc.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+    cks = (
+        rng.select(
+            F.explode(
+                F.sequence(F.lit(1), F.lit(checkpoints))
+            ).alias("ck"),
+            "lo",
+            "hi",
+        )
+        .select(
+            "ck",
+            F.expr("lo - 1 + ((hi - lo + 1) * ck) div " + str(checkpoints))
+            .alias("ck_doc"),
+        )
+    )
+    n_cum = (
+        per_doc.select("doc_id", "m")
+        .crossJoin(F.broadcast(cks))
+        .where(F.col("doc_id") <= F.col("ck_doc"))
+        .groupBy("ck", "ck_doc")
+        .agg(F.sum("m").alias("n_tokens_cum"))
+    )
+    v_cum = (
+        firsts.crossJoin(F.broadcast(cks))
+        .where(F.col("fd") <= F.col("ck_doc"))
+        .groupBy("ck")
+        .agg(F.sum("v").alias("vocab_cum"))
+    )
+    pts = n_cum.join(v_cum, ["ck"]).where(
+        (F.col("n_tokens_cum") > 0) & (F.col("vocab_cum") > 0)
+    )
+    xi = F.round(
+        F.log(F.col("n_tokens_cum").cast("double")) * 1e6
+    ).cast("long")
+    yi = F.round(F.log(F.col("vocab_cum").cast("double")) * 1e6).cast("long")
+    m = pts.select(xi.alias("x"), yi.alias("y")).agg(
+        F.count(F.lit(1)).alias("n_pts"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n_pts")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    denom = n * sxx - sx * sx
+    beta = (n * sxy - sx * sy) / denom
+    lnk = (sy - beta * sx) / n.cast("double") / F.lit(1e6)
+    fit = m.select(
+        F.when(denom > 0, F.round(beta, 4)).alias("heaps_beta"),
+        F.when(denom > 0, F.round(lnk, 4)).alias("heaps_ln_k"),
+    )
+    return (
+        pts.crossJoin(F.broadcast(fit))
+        .select(
+            F.col("ck").cast("long").alias("checkpoint"),
+            "ck_doc",
+            "n_tokens_cum",
+            "vocab_cum",
+            "heaps_beta",
+            "heaps_ln_k",
+        )
+        .orderBy("checkpoint")
+    )

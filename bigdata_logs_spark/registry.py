@@ -9482,6 +9482,398 @@ def q_weighted_sample(spark, sf_dir):
     return PL.weighted_sample(_docs(spark, sf_dir))
 
 
+@register(
+    "seasonal_decomposition",
+    """
+    WITH base AS (
+      SELECT (ts::DATE - DATE '1970-01-01')::BIGINT AS d,
+             COUNT(*)::BIGINT AS x
+      FROM events GROUP BY 1
+    ), rngt AS (
+      SELECT MIN(d) AS lo, MAX(d) AS hi FROM base
+    ), cal AS (
+      SELECT unnest(range(lo, hi + 1)) AS d FROM rngt
+    ), series AS (
+      SELECT c.d, COALESCE(b.x, 0)::BIGINT AS x
+      FROM cal c LEFT JOIN base b USING (d)
+    ), ma AS (
+      SELECT d, x, (SUM(x) OVER w7)::BIGINT AS s7,
+             (COUNT(*) OVER w7)::BIGINT AS n7
+      FROM series
+      WINDOW w7 AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), detr AS (
+      SELECT d, ((d + 4) % 7)::BIGINT AS dow,
+             ROUND(((x * 7 - s7) * 1000000)::DOUBLE
+                   / CAST(7 AS DOUBLE))::BIGINT AS dm
+      FROM ma WHERE n7 = 7
+    ), seas AS (
+      SELECT dow, COUNT(*)::BIGINT AS n_days,
+             ROUND(SUM(dm)::DOUBLE / COUNT(*))::BIGINT AS s_micro
+      FROM detr GROUP BY 1
+    ), resid AS (
+      SELECT detr.dow, abs(dm - s_micro)::BIGINT AS ar
+      FROM detr JOIN seas USING (dow)
+    ), mar AS (
+      SELECT dow,
+             ROUND(SUM(ar)::DOUBLE / COUNT(*) / 1e6, 4) AS mean_abs_residual
+      FROM resid GROUP BY 1
+    )
+    SELECT s.dow, s.n_days,
+           ROUND(s.s_micro::DOUBLE / 1e6, 4) AS seasonal,
+           m.mean_abs_residual
+    FROM seas s JOIN mar m USING (dow) ORDER BY dow
+    """,
+    tags=("W-18",),
+)
+def q_seasonal_decomposition(spark, sf_dir):
+    """W-18 additive seasonal decomposition of the zero-filled daily
+    count series: centered 7-day MA trend, per-dow seasonal means of
+    the one-step-quantized detrended series (round((7x - S7)*1e6/7)
+    BIGINT micros), mean absolute residual per dow. Day-of-week is
+    (epoch_day + 4) % 7 — pure integer, immune to the engines'
+    dayofweek numbering mismatch."""
+    return AN.seasonal_decomposition(_events(spark, sf_dir))
+
+
+@register(
+    "spearman_value_time",
+    """
+    WITH rows_ AS (
+      SELECT event_type,
+             (ts::DATE - DATE '1970-01-01')::BIGINT AS d,
+             (value::DECIMAL(18,2) * 100)::DECIMAL(38,0)::BIGINT AS c
+      FROM events
+    ), rx AS (
+      SELECT event_type, d,
+             ((SUM(cnt) OVER (PARTITION BY event_type ORDER BY d
+                ROWS UNBOUNDED PRECEDING)) - cnt) * 2 + cnt + 1 AS r2x
+      FROM (SELECT event_type, d, COUNT(*)::BIGINT AS cnt
+            FROM rows_ GROUP BY 1, 2)
+    ), ry AS (
+      SELECT event_type, c,
+             ((SUM(cnt) OVER (PARTITION BY event_type ORDER BY c
+                ROWS UNBOUNDED PRECEDING)) - cnt) * 2 + cnt + 1 AS r2y
+      FROM (SELECT event_type, c, COUNT(*)::BIGINT AS cnt
+            FROM rows_ GROUP BY 1, 2)
+    ), j AS (
+      SELECT r.event_type, rx.r2x::DECIMAL(19,0) AS x,
+             ry.r2y::DECIMAL(19,0) AS y
+      FROM rows_ r
+      JOIN rx ON r.event_type = rx.event_type AND r.d = rx.d
+      JOIN ry ON r.event_type = ry.event_type AND r.c = ry.c
+    ), m AS (
+      SELECT event_type, COUNT(*)::BIGINT AS n_events,
+             SUM(x)::DECIMAL(38,0) AS sx, SUM(y)::DECIMAL(38,0) AS sy,
+             SUM(x * y)::DECIMAL(38,0) AS sxy,
+             SUM(x * x)::DECIMAL(38,0) AS sxx,
+             SUM(y * y)::DECIMAL(38,0) AS syy
+      FROM j GROUP BY 1
+    )
+    SELECT event_type, n_events,
+           CASE WHEN (n_events::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                     > 0
+                 AND (n_events::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)
+                     > 0
+           THEN ROUND(
+             (n_events::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+             / (sqrt(n_events::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                * sqrt(n_events::DOUBLE * syy::DOUBLE
+                       - sy::DOUBLE * sy::DOUBLE)), 4)
+           END AS spearman_rho
+    FROM m ORDER BY event_type
+    """,
+    tags=("AGG-19",),
+)
+def q_spearman_value_time(spark, sf_dir):
+    """AGG-19 Spearman rank correlation of value against epoch day per
+    event type: tied ranks handled analytically on the distinct-value
+    tables (doubled average rank = 2*cum_before + cnt + 1, an exact
+    BIGINT), co-moments in DECIMAL(38,0), closed form in mirrored
+    doubles."""
+    return AN.spearman_value_time(_events(spark, sf_dir))
+
+
+@register(
+    "session_concurrency",
+    """
+    WITH secs AS (
+      SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS s FROM events
+    ), flagged AS (
+      SELECT user_id, event_id, s,
+             CASE WHEN s - lag(s) OVER (PARTITION BY user_id
+                    ORDER BY s, event_id) <= 1800
+                  THEN 0 ELSE 1 END AS nb
+      FROM secs
+    ), sess0 AS (
+      SELECT user_id, s,
+             SUM(nb) OVER (PARTITION BY user_id ORDER BY s, event_id
+               ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    ), sess AS (
+      SELECT MIN(s)::BIGINT AS a, (MAX(s) + 1)::BIGINT AS b
+      FROM sess0 GROUP BY user_id, session_no
+    ), sday AS (
+      SELECT a, b, unnest(range(a // 86400, (b - 1) // 86400 + 1)) AS day
+      FROM sess
+    ), clipped AS (
+      SELECT day, greatest(a, day * 86400) AS ca,
+             least(b, (day + 1) * 86400) AS cb
+      FROM sday
+    ), deltas AS (
+      SELECT day, sec, SUM(z)::BIGINT AS dz FROM (
+        SELECT day, ca AS sec, 1 AS z FROM clipped
+        UNION ALL
+        SELECT day, cb AS sec, -1 AS z FROM clipped
+        WHERE cb < (day + 1) * 86400
+      ) GROUP BY 1, 2
+    ), run AS (
+      SELECT day, sec,
+             SUM(dz) OVER (PARTITION BY day ORDER BY sec
+               ROWS UNBOUNDED PRECEDING) AS conc
+      FROM deltas
+    ), best AS (
+      SELECT day, sec, conc,
+             ROW_NUMBER() OVER (PARTITION BY day
+               ORDER BY conc DESC, sec) AS rk
+      FROM run
+    )
+    SELECT strftime(DATE '1970-01-01' + day::INT, '%Y-%m-%d') AS day,
+           conc::BIGINT AS peak_concurrency,
+           (sec - day * 86400)::BIGINT AS at_sec_of_day
+    FROM best WHERE rk = 1 ORDER BY day
+    """,
+    tags=("W-19",),
+)
+def q_session_concurrency(spark, sf_dir):
+    """W-19 peak concurrent sessions per day by day-partitioned
+    sweep-line over W-4's half-open session intervals: midnight-
+    spanning sessions clip into each covered day, same-second deltas
+    net BEFORE the cumulative pass, peaks tie-break to the earliest
+    second — all integer arithmetic."""
+    return AN.session_concurrency(_events(spark, sf_dir))
+
+
+@register(
+    "heaps_law",
+    TOKS_CTE
+    + """
+    , per_doc AS (
+      SELECT doc_id, len(tokens)::BIGINT AS m FROM toks
+    ), firsts AS (
+      SELECT fd, COUNT(*)::BIGINT AS v FROM (
+        SELECT token, MIN(doc_id)::BIGINT AS fd FROM (
+          SELECT doc_id, unnest(tokens) AS token FROM toks
+        ) GROUP BY token
+      ) GROUP BY 1
+    ), rngt AS (
+      SELECT MIN(doc_id)::BIGINT AS lo, MAX(doc_id)::BIGINT AS hi
+      FROM per_doc
+    ), cks AS (
+      SELECT ck::BIGINT AS ck, lo - 1 + ((hi - lo + 1) * ck) // 10 AS ck_doc
+      FROM (SELECT unnest(range(1, 11)) AS ck), rngt
+    ), n_cum AS (
+      SELECT ck, ck_doc, SUM(m)::BIGINT AS n_tokens_cum
+      FROM per_doc, cks WHERE doc_id <= ck_doc GROUP BY 1, 2
+    ), v_cum AS (
+      SELECT ck, SUM(v)::BIGINT AS vocab_cum
+      FROM firsts, cks WHERE fd <= ck_doc GROUP BY 1
+    ), pts AS (
+      SELECT ck, ck_doc, n_tokens_cum, vocab_cum,
+             ROUND(ln(n_tokens_cum::DOUBLE) * 1e6)::BIGINT AS x,
+             ROUND(ln(vocab_cum::DOUBLE) * 1e6)::BIGINT AS y
+      FROM n_cum JOIN v_cum USING (ck)
+      WHERE n_tokens_cum > 0 AND vocab_cum > 0
+    ), m AS (
+      SELECT COUNT(*)::BIGINT AS n_pts, SUM(x)::BIGINT AS sx,
+             SUM(y)::BIGINT AS sy, SUM(x * y)::BIGINT AS sxy,
+             SUM(x * x)::BIGINT AS sxx
+      FROM pts
+    ), fit AS (
+      SELECT CASE WHEN (n_pts::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                       > 0
+             THEN ROUND(
+               (n_pts::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+               / (n_pts::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 4)
+             END AS heaps_beta,
+             CASE WHEN (n_pts::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                       > 0
+             THEN ROUND(
+               (sy::DOUBLE
+                - ((n_pts::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                   / (n_pts::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE))
+                  * sx::DOUBLE)
+               / n_pts::DOUBLE / 1e6, 4)
+             END AS heaps_ln_k
+      FROM m
+    )
+    SELECT pts.ck AS checkpoint, pts.ck_doc, pts.n_tokens_cum,
+           pts.vocab_cum, fit.heaps_beta, fit.heaps_ln_k
+    FROM pts, fit ORDER BY checkpoint
+    """,
+    tags=("T-29",),
+)
+def q_heaps_law(spark, sf_dir):
+    """T-29 Heaps'-law vocabulary growth: V and N at ten integer-cut
+    doc-id checkpoints via broadcast-threshold aggregation (no global
+    running window), log-log OLS in T-17's quantized-ln co-moment
+    discipline; ln k reported instead of exp(ln k) because only ln's
+    cross-engine rounding is pinned."""
+    return TX.heaps_law(_docs(spark, sf_dir))
+
+
+@register(
+    "slo_burn_alerts",
+    """
+    WITH base AS (
+      SELECT (ts::DATE - DATE '1970-01-01')::BIGINT AS d,
+             COUNT(*)::BIGINT AS n,
+             SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT
+               AS ne
+      FROM events GROUP BY 1
+    ), rngt AS (
+      SELECT MIN(d) AS lo, MAX(d) AS hi FROM base
+    ), cal AS (
+      SELECT unnest(range(lo, hi + 1)) AS d FROM rngt
+    ), series AS (
+      SELECT c.d, COALESCE(b.n, 0)::BIGINT AS n,
+             COALESCE(b.ne, 0)::BIGINT AS ne
+      FROM cal c LEFT JOIN base b USING (d)
+    ), roll AS (
+      SELECT d, n, ne, (SUM(n) OVER w7)::BIGINT AS n7,
+             (SUM(ne) OVER w7)::BIGINT AS ne7
+      FROM series
+      WINDOW w7 AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT strftime(DATE '1970-01-01' + d::INT, '%Y-%m-%d') AS day, n, ne,
+           CASE WHEN n > 0 THEN
+             ROUND(ne::DOUBLE / n::DOUBLE / CAST(0.25 AS DOUBLE), 4)
+           END AS burn_1d,
+           CASE WHEN n7 > 0 THEN
+             ROUND(ne7::DOUBLE / n7::DOUBLE / CAST(0.25 AS DOUBLE), 4)
+           END AS burn_7d,
+           CASE WHEN n > 0 THEN
+             (ne::DOUBLE / n::DOUBLE / CAST(0.25 AS DOUBLE))
+               >= CAST(2.0 AS DOUBLE)
+           ELSE FALSE END AS page_fast,
+           CASE WHEN n7 > 0 THEN
+             (ne7::DOUBLE / n7::DOUBLE / CAST(0.25 AS DOUBLE))
+               >= CAST(1.0 AS DOUBLE)
+           ELSE FALSE END AS page_slow
+    FROM roll ORDER BY day
+    """,
+    tags=("OPS-3",),
+)
+def q_slo_burn_alerts(spark, sf_dir):
+    """OPS-3 multi-window error-budget burn (SRE Workbook ch.5 scaled
+    to daily granularity): exact BIGINT numerators/denominators over
+    the zero-filled calendar, one division + one comparison per burn,
+    NULL on empty windows."""
+    return AD.slo_burn_alerts(_events(spark, sf_dir))
+
+
+@register(
+    "streaming_line_length_quantiles",
+    SSH_PARSE_CTE
+    + """
+    , bins AS (
+      SELECT (least(length(message), 1023) // 4)::BIGINT AS bin
+      FROM parsed WHERE message IS NOT NULL
+    ), hist AS (
+      SELECT bin, COUNT(*)::BIGINT AS cnt FROM bins GROUP BY 1
+    ), cum AS (
+      SELECT bin, cnt,
+             (SUM(cnt) OVER (ORDER BY bin
+                ROWS UNBOUNDED PRECEDING))::BIGINT AS cum,
+             (SUM(cnt) OVER ())::BIGINT AS n
+      FROM hist
+    ), pcts AS (
+      SELECT unnest([50, 90, 95, 99]) AS p
+    ), hit AS (
+      SELECT p, n, bin, cnt, cum, (n * p + 99) // 100 AS r
+      FROM cum, pcts WHERE cum >= (n * p + 99) // 100
+    ), est AS (
+      SELECT p, n, bin, cnt, cum, r,
+             ROW_NUMBER() OVER (PARTITION BY p ORDER BY bin) AS rk
+      FROM hit
+    )
+    SELECT p::BIGINT AS p, n, bin, cnt AS bin_n,
+           ROUND((bin * 4)::DOUBLE
+                 + ((r - (cum - cnt))::DOUBLE / cnt::DOUBLE)
+                   * CAST(4 AS DOUBLE), 4) AS est_len
+    FROM est WHERE rk = 1 ORDER BY p
+    """,
+    tags=("ST-17",),
+)
+def q_streaming_line_length_quantiles(spark, sf_dir):
+    """ST-17 streaming message-length quantiles: the engine drains the
+    SSH file stream in multi-file micro-batches while foreachBatch
+    SUM-merges fixed-bin (width 4, domain [0, 1024)) length histograms
+    into a <=256-row parquet state (``streaming_length_histogram_state``
+    — SK-7's mergeable histogram with the data-independent bin domain
+    streaming forces), then reads p50/90/95/99 off the drained state
+    with SK-7's integer-rank extraction. Counter merge is SUM, so the
+    drained state is bit-identical under any micro-batch split — the
+    fifth streaming query with a full hash-match oracle."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from bigdata_logs_spark.streaming.ingest import (
+        read_ssh_stream,
+        streaming_length_histogram_state,
+    )
+
+    src = _stream_source_dir(spark, sf_dir)
+    stream = read_ssh_stream(spark, src, max_files_per_trigger=2)
+    state = _scratch_path("bls_lenq_state", sf_dir)
+    streaming_length_histogram_state(stream, state)
+    hist = spark.read.parquet(state)
+
+    w_cum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "bin",
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt")
+        .over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("n"),
+    )
+    pcts = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in (50, 90, 95, 99)])).alias("p")
+    )
+    hit = (
+        cum.crossJoin(F.broadcast(pcts))
+        .withColumn("r", F.expr("(n * p + 99) div 100"))
+        .where(F.col("cum") >= F.col("r"))
+    )
+    w_first = Window.partitionBy("p").orderBy("bin")
+    est = (
+        hit.withColumn("rk", F.row_number().over(w_first))
+        .where(F.col("rk") == 1)
+        .select(
+            F.col("p").cast("long").alias("p"),
+            "n",
+            "bin",
+            F.col("cnt").alias("bin_n"),
+            F.round(
+                (F.col("bin") * 4).cast("double")
+                + (
+                    (F.col("r") - (F.col("cum") - F.col("cnt"))).cast("double")
+                    / F.col("cnt").cast("double")
+                )
+                * F.lit(4.0),
+                4,
+            ).alias("est_len"),
+        )
+    )
+    return est.orderBy("p")
+
+
 # ---------------------------------------------------------------------------
 # Driver-certification order
 # ---------------------------------------------------------------------------
@@ -9529,6 +9921,12 @@ _DRIVER_FIRST = [
     "rake_keyphrases",
     "readability_profile",
     "weighted_sample",
+    "seasonal_decomposition",
+    "spearman_value_time",
+    "session_concurrency",
+    "heaps_law",
+    "slo_burn_alerts",
+    "streaming_line_length_quantiles",
     # latest driver row is round 1 (stalest certified block)
     "events_of_type",
     "entity_hourly_activity",

@@ -884,3 +884,63 @@ def streaming_hll_state(
     for d in (state_dir + "__ckpt", state_dir + "__tmp"):
         if os.path.exists(d):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def streaming_length_histogram_state(
+    parsed: DataFrame, state_dir: str, timeout_sec: int = 120
+) -> None:
+    """ST-17: streaming message-length histogram maintenance — a
+    256-bin fixed-width histogram of parsed SSH message lengths
+    (payload-size drift is a classic ops observable: a new log
+    template or truncation bug shifts the length distribution before
+    any count moves), SUM-merged per micro-batch into a parquet state
+    table, from which SK-7's quantile extraction reads p50/90/95/99.
+
+    The streaming twin of SK-7 with the one design change streaming
+    forces: SK-7 cuts bins from the batch-global min/max, which a
+    stream cannot know — so the bins here are DATA-INDEPENDENT
+    (width 4 over [0, 1024), lengths clamped into the top bin), the
+    same fixed-domain discipline production quantile services use for
+    mergeable histograms. Counter merge is SUM — associative and
+    commutative, so the drained state is bit-identical under any
+    micro-batch split (ST-15's invariance class; not replay-idempotent
+    like ST-16's MAX registers, which the oracle does not assume).
+
+    State is <= 256 BIGINT rows regardless of feed length. Merge
+    discipline is the S-10 swap: write-tmp -> validate -> rename."""
+    import os
+    import shutil
+
+    spark = parsed.sparkSession
+    bins = parsed.where(F.col("message").isNotNull()).select(
+        F.expr("least(length(message), 1023) div 4").alias("bin")
+    )
+    for d in (state_dir, state_dir + "__ckpt", state_dir + "__tmp"):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+
+    def merge(batch: DataFrame, _batch_id: int) -> None:
+        inc = batch.groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
+        if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
+            inc = spark.read.parquet(state_dir).unionByName(inc)
+        new_state = inc.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+        tmp = state_dir + "__tmp"
+        new_state.write.mode("overwrite").parquet(tmp)
+        if not os.path.exists(os.path.join(tmp, "_SUCCESS")):
+            raise RuntimeError("histogram state write did not complete")
+        if os.path.exists(state_dir):
+            shutil.rmtree(state_dir)
+        os.rename(tmp, state_dir)
+
+    q = (
+        bins.writeStream.foreachBatch(merge)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", state_dir + "__ckpt")
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:
+        q.stop()
+    for d in (state_dir + "__ckpt", state_dir + "__tmp"):
+        if os.path.exists(d):
+            shutil.rmtree(d, ignore_errors=True)
