@@ -369,6 +369,10 @@ def main() -> None:
         "heaps_law",
         "slo_burn_alerts",
         "streaming_line_length_quantiles",
+        "seasonal_adjusted_anomalies",
+        "kendall_tau_daily",
+        "degree_assortativity",
+        "hopkins_statistic",
     ]
     extended: dict[str, float] = {}
     for name in EXTENDED:

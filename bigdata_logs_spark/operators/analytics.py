@@ -1518,3 +1518,77 @@ def session_concurrency(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+def kendall_tau_daily(events: DataFrame) -> DataFrame:
+    """AGG-20: Kendall's tau-b between day index and daily event count
+    per event type (Kendall 1938; tau-b tie correction from Kendall
+    1945) — the rank-concordance complement of AGG-10: Mann-Kendall
+    reports the raw concordance SUM S (is there a trend?), tau-b
+    NORMALIZES it into [-1, 1] accounting for tied counts, so trends
+    are comparable across types with different horizons and count
+    granularities.
+
+    Exactness: the zero-filled daily series has NO ties on the day
+    axis, so tau-b = (C - D) / sqrt(n0 * (n0 - ty)) with n0 =
+    n(n-1)/2 and ty = sum over tied-count groups of t(t-1)/2 — C, D,
+    n0, ty are all exact BIGINTs (pair signs from integer
+    comparisons), and the one sqrt/division pair runs on mirrored
+    doubles.
+
+    Scale shape: one combinable per-(type, day) count collapses the
+    corpus; the i<j pair join runs on day-granular series (a few
+    thousand rows per type at any horizon — quadratic in DAYS, never
+    in events; the same bound AD-13/W-17 lean on)."""
+    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+    base = (
+        events.select("event_type", day.alias("d"))
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    rng = base.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    cal = (
+        base.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(rng))
+        .select("event_type", F.explode(F.sequence("lo", "hi")).alias("d"))
+    )
+    series = cal.join(base, ["event_type", "d"], "left").select(
+        "event_type", "d", F.coalesce("x", F.lit(0)).alias("x")
+    )
+    a = series.select(
+        "event_type", F.col("d").alias("di"), F.col("x").alias("xi")
+    )
+    b = series.select(
+        "event_type", F.col("d").alias("dj"), F.col("x").alias("xj")
+    )
+    pairs = a.join(b, ["event_type"]).where(F.col("di") < F.col("dj"))
+    cd = pairs.groupBy("event_type").agg(
+        F.sum(
+            F.when(F.col("xj") > F.col("xi"), 1).otherwise(0)
+        ).alias("c"),
+        F.sum(
+            F.when(F.col("xj") < F.col("xi"), 1).otherwise(0)
+        ).alias("dis"),
+    )
+    nd = series.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_days"))
+    ty = (
+        series.groupBy("event_type", "x")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("event_type")
+        .agg(
+            (F.sum(F.col("t") * (F.col("t") - 1)) / 2)
+            .cast("long")
+            .alias("ty")
+        )
+    )
+    j = cd.join(nd, ["event_type"]).join(ty, ["event_type"])
+    n0 = (F.col("n_days") * (F.col("n_days") - 1) / 2).cast("long")
+    denom = n0.cast("double") * (n0 - F.col("ty")).cast("double")
+    tau = (F.col("c") - F.col("dis")).cast("double") / F.sqrt(denom)
+    return j.select(
+        "event_type",
+        "n_days",
+        (F.col("c") - F.col("dis")).alias("s"),
+        F.when(denom > 0, F.round(tau, 4)).alias("kendall_tau_b"),
+    ).orderBy("event_type")

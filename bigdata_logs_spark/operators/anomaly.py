@@ -906,3 +906,93 @@ def slo_burn_alerts(
         .otherwise(F.lit(False))
         .alias("page_slow"),
     ).orderBy("day")
+
+
+def seasonal_adjusted_anomalies(
+    events: DataFrame, z_threshold: float = 1.5
+) -> DataFrame:
+    """AD-14: seasonally-adjusted daily anomalies — W-18's additive
+    decomposition (centered 7-day MA trend, per-dow seasonal offsets)
+    applied as a PRE-WHITENING step, then a z-score on the residuals;
+    days where |z| exceeds ``z_threshold`` report (default 1.5 — a
+    watch-list bar that the fairly-uniform synthetic corpus actually
+    crosses, keeping the report path certified end-to-end; production
+    pages at 2.5-3). AD-1 z-scores raw
+    hourly counts, so every Saturday looks anomalous on a weekday
+    baseline and a Saturday INCIDENT hides inside the weekend bump —
+    removing trend and season first is the standard fix (the
+    decompose-then-test half of seasonal-hybrid ESD, with the plain
+    z-test kept because t-distribution critical tables are not
+    cross-engine-certifiable).
+
+    Exactness: W-18's quantization verbatim (detrended micro =
+    round((7x - S7)*1e6/7) BIGINT; per-dow seasonal mean = one
+    division re-quantized to BIGINT micros), so residuals are exact
+    integers; the residual mean/variance come from exact integer
+    co-moments (n*Srr - Sr*Sr, accumulated in DECIMAL(38,0) — squared
+    micro-residuals outgrow BIGINT at production day volumes), and
+    each z spends its floats in mirrored operand order.
+
+    Scale shape: identical to W-18 — one combinable per-day count,
+    day-granular windows, 7-row seasonal table joined back by dow."""
+    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+    base = events.select(day.alias("d")).groupBy("d").agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    rng = base.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    cal = rng.select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    series = cal.join(base, ["d"], "left").select(
+        "d", F.coalesce("x", F.lit(0)).alias("x")
+    )
+    w7 = Window.orderBy("d").rowsBetween(-3, 3)
+    ma = series.select(
+        "d",
+        "x",
+        F.sum("x").over(w7).alias("s7"),
+        F.count(F.lit(1)).over(w7).alias("n7"),
+    ).where(F.col("n7") == 7)
+    dm = F.round(
+        ((F.col("x") * 7 - F.col("s7")) * F.lit(1000000)).cast("double")
+        / F.lit(7.0)
+    ).cast("long")
+    detr = ma.select(
+        "d", "x", ((F.col("d") + 4) % 7).alias("dow"), dm.alias("dm")
+    )
+    seas = detr.groupBy("dow").agg(
+        F.round(F.sum("dm").cast("double") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("s_micro")
+    )
+    resid = detr.join(F.broadcast(seas), ["dow"]).select(
+        "d", "x", (F.col("dm") - F.col("s_micro")).alias("r")
+    )
+    dec = "decimal(19,0)"
+    m = resid.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("r").cast(dec)).alias("sr"),
+        F.sum(F.col("r").cast(dec) * F.col("r").cast(dec)).alias("srr"),
+    )
+    scored = resid.crossJoin(F.broadcast(m))
+    n = F.col("n").cast("double")
+    sr = F.col("sr").cast("double")
+    srr = F.col("srr").cast("double")
+    var_n2 = n * srr - sr * sr  # n^2 * variance, exact-int inputs
+    z = (n * F.col("r").cast("double") - sr) / F.sqrt(var_n2)
+    return (
+        scored.where(var_n2 > 0)
+        .where(F.abs(z) > F.lit(z_threshold))
+        .select(
+            F.date_format(
+                F.date_add(
+                    F.lit("1970-01-01").cast("date"), F.col("d").cast("int")
+                ),
+                "yyyy-MM-dd",
+            ).alias("day"),
+            F.col("x").alias("n_events"),
+            F.round(F.col("r").cast("double") / F.lit(1e6), 4).alias(
+                "residual"
+            ),
+            F.round(z, 4).alias("zscore"),
+        )
+        .orderBy("day")
+    )

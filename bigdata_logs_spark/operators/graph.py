@@ -430,3 +430,66 @@ def markov_stationary(events: DataFrame, iterations: int = 5) -> DataFrame:
         )
         .orderBy(F.desc("mass_scaled"), "event_type")
     )
+
+
+def degree_assortativity(docs: DataFrame) -> DataFrame:
+    """G-8: degree assortativity coefficient of the token-adjacency
+    graph (Newman, PRL 89:208701, 2002) — the Pearson correlation of
+    the (distinct-neighbor) degrees at the two ends of every edge,
+    evaluated over the symmetric directed edge list as the paper
+    specifies. Assortative (r > 0) graphs have hubs linking to hubs;
+    language co-occurrence graphs are canonically DISASSORTATIVE
+    (hubs = function words link to rare content words), so r < 0 is
+    the expected healthy signature and r drifting toward 0 flags a
+    templated corpus. Completes the G-3/G-4 shape suite: degree
+    distribution, cohesion, and now degree-degree mixing.
+
+    Exactness: degrees are exact BIGINT distinct-neighbor counts; the
+    five co-moments over edge-endpoint degree pairs accumulate in
+    DECIMAL(38,0) (degree products overflow BIGINT on hub-heavy
+    graphs long before they trouble 38 digits); the closed form
+    spends its floats in mirrored operand order; a degree-regular
+    graph (zero variance) reports NULL.
+
+    Scale shape: one corpus pass builds the edge list; the degree
+    table is vocabulary-sized and broadcast into the two edge-endpoint
+    joins; the co-moments collapse in one combinable aggregation —
+    nothing bigger than the edge list ever shuffles."""
+    edges = token_adjacency_edges(docs).select("src", "dst")
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    di = deg.select(F.col("src"), F.col("deg").alias("deg_src"))
+    dj = deg.select(
+        F.col("src").alias("dst"), F.col("deg").alias("deg_dst")
+    )
+    dec = "decimal(19,0)"
+    pairs = (
+        edges.join(F.broadcast(di), "src")
+        .join(F.broadcast(dj), "dst")
+        .select(
+            F.col("deg_src").cast(dec).alias("j"),
+            F.col("deg_dst").cast(dec).alias("k"),
+        )
+    )
+    m = pairs.agg(
+        F.count(F.lit(1)).alias("n_edges_directed"),
+        F.sum("j").alias("sj"),
+        F.sum("k").alias("sk"),
+        F.sum(F.col("j") * F.col("k")).alias("sjk"),
+        F.sum(F.col("j") * F.col("j")).alias("sjj"),
+        F.sum(F.col("k") * F.col("k")).alias("skk"),
+    )
+    n = F.col("n_edges_directed").cast("double")
+    sj = F.col("sj").cast("double")
+    sk = F.col("sk").cast("double")
+    sjk = F.col("sjk").cast("double")
+    sjj = F.col("sjj").cast("double")
+    skk = F.col("skk").cast("double")
+    varj = n * sjj - sj * sj
+    vark = n * skk - sk * sk
+    r = (n * sjk - sj * sk) / (F.sqrt(varj) * F.sqrt(vark))
+    return m.select(
+        "n_edges_directed",
+        F.when((varj > 0) & (vark > 0), F.round(r, 6)).alias(
+            "assortativity"
+        ),
+    )

@@ -2056,3 +2056,132 @@ def centroid_silhouette(emb: DataFrame) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+HOPKINS_M = 32
+HOPKINS_SEED = "hop1"
+
+
+def hopkins_statistic(emb: DataFrame) -> DataFrame:
+    """E-27: Hopkins clusterability statistic (Hopkins & Skellam 1954;
+    the Lawson-Jurs form every clustering-tendency chapter quotes) —
+    compare nearest-neighbor distances of m real points (w_i) against
+    m synthetic uniform points drawn in the data's bounding box (u_i):
+    H = sum(u) / (sum(u) + sum(w)). H near 0.5 means the embeddings
+    are indistinguishable from uniform noise — running E-8's Lloyd
+    steps or trusting E-24/E-26's cluster scores on such a corpus is
+    GIGO; H near 1 certifies real cluster structure. The pre-flight
+    gate for the whole clustering stack.
+
+    Determinism/exactness: components quantize to E-24's shifted
+    micro-unit BIGINTs at the scan; the m real probes are the
+    smallest (52-bit md5, vec_id) hash ranks — a distributed top-k,
+    no global window; the synthetic points are INTEGER lattice draws
+    u_dim = lo_dim + ((hi_dim - lo_dim) * h20) div 2^20 from seeded
+    20-bit md5 hashes (20 bits keep the BIGINT product exact against
+    micro-unit ranges; the lattice step is range/2^20 — far below any
+    NN distance), so both probe sets are exact integers; every squared
+    distance is an exact BIGINT reduction over a dim equi-join; each
+    NN distance takes one sqrt then re-quantizes to BIGINT micros so
+    the two sums are order-free; H spends one division.
+
+    Scale shape: the bounding box is one combinable per-dim min/max
+    (64 rows); both probe sets (m x 64 rows) BROADCAST against the
+    corpus component scan; the NN reduction is a combinable MIN per
+    probe. Cost is exactly two E-2-shaped brute-force passes with
+    m = 32 queries — at 100 TB the same IVF shortlist swap as E-23
+    applies, same vote/report tail."""
+    q = F.expr(
+        "transform(embedding, x -> "
+        "CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) + 1000000)"
+    )
+    comps = emb.select("vec_id", F.posexplode(q).alias("dim", "qv"))
+    box = comps.groupBy("dim").agg(
+        F.min("qv").alias("lo"), F.max("qv").alias("hi")
+    )
+    h52 = (
+        "CAST(conv(substring(md5(CAST(vec_id AS STRING)), 1, 13), 16, 10)"
+        " AS BIGINT)"
+    )
+    probes = (
+        emb.select("vec_id", F.expr(h52).alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(HOPKINS_M)
+    )
+    real_pts = probes.join(comps, "vec_id").select(
+        F.col("vec_id").alias("pid"), "dim", F.col("qv").alias("pv")
+    )
+    # w_i: NN distance from each real probe to the rest of the corpus
+    wd = (
+        comps.join(F.broadcast(real_pts), "dim")
+        .where(F.col("vec_id") != F.col("pid"))
+        .withColumn(
+            "t", (F.col("qv") - F.col("pv")) * (F.col("qv") - F.col("pv"))
+        )
+        .groupBy("pid", "vec_id")
+        .agg(F.sum("t").alias("d2"))
+        .groupBy("pid")
+        .agg(F.min("d2").alias("nn2"))
+        .select(
+            F.round(F.sqrt(F.col("nn2").cast("double")))
+            .cast("long")
+            .alias("nn_micro")
+        )
+    )
+    # synthetic uniform lattice points in the bounding box
+    ids = emb.sparkSession.range(HOPKINS_M).select(
+        F.col("id").alias("sid")
+    )
+    uh = (
+        f"CAST(conv(substring(md5(concat('{HOPKINS_SEED}:', "
+        "CAST(sid AS STRING), ':', CAST(dim AS STRING))), 1, 13), 16, 10)"
+        " AS BIGINT)"
+    )
+    synth = (
+        ids.crossJoin(F.broadcast(box))
+        .withColumn("h", F.expr(uh) % F.lit(2**20))
+        .select(
+            "sid",
+            "dim",
+            (
+                F.col("lo")
+                + F.expr(f"((hi - lo) * h) div {2**20}")
+            ).alias("pv"),
+        )
+    )
+    ud = (
+        comps.join(F.broadcast(synth), "dim")
+        .withColumn(
+            "t", (F.col("qv") - F.col("pv")) * (F.col("qv") - F.col("pv"))
+        )
+        .groupBy("sid", "vec_id")
+        .agg(F.sum("t").alias("d2"))
+        .groupBy("sid")
+        .agg(F.min("d2").alias("nn2"))
+        .select(
+            F.round(F.sqrt(F.col("nn2").cast("double")))
+            .cast("long")
+            .alias("nn_micro")
+        )
+    )
+    ws = wd.agg(
+        F.count(F.lit(1)).alias("m_real"), F.sum("nn_micro").alias("sw")
+    )
+    us = ud.agg(
+        F.count(F.lit(1)).alias("m_synth"), F.sum("nn_micro").alias("su")
+    )
+    return ws.crossJoin(us).select(
+        "m_real",
+        "m_synth",
+        F.round(F.col("sw").cast("double") / F.lit(1e6), 4).alias(
+            "sum_w"
+        ),
+        F.round(F.col("su").cast("double") / F.lit(1e6), 4).alias(
+            "sum_u"
+        ),
+        F.round(
+            F.col("su").cast("double")
+            / (F.col("su") + F.col("sw")).cast("double"),
+            6,
+        ).alias("hopkins"),
+    )

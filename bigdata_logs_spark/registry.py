@@ -9874,6 +9874,233 @@ def q_streaming_line_length_quantiles(spark, sf_dir):
     return est.orderBy("p")
 
 
+@register(
+    "seasonal_adjusted_anomalies",
+    """
+    WITH base AS (
+      SELECT (ts::DATE - DATE '1970-01-01')::BIGINT AS d,
+             COUNT(*)::BIGINT AS x
+      FROM events GROUP BY 1
+    ), rngt AS (
+      SELECT MIN(d) AS lo, MAX(d) AS hi FROM base
+    ), cal AS (
+      SELECT unnest(range(lo, hi + 1)) AS d FROM rngt
+    ), series AS (
+      SELECT c.d, COALESCE(b.x, 0)::BIGINT AS x
+      FROM cal c LEFT JOIN base b USING (d)
+    ), ma AS (
+      SELECT d, x, (SUM(x) OVER w7)::BIGINT AS s7,
+             (COUNT(*) OVER w7)::BIGINT AS n7
+      FROM series
+      WINDOW w7 AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), detr AS (
+      SELECT d, x, ((d + 4) % 7)::BIGINT AS dow,
+             ROUND(((x * 7 - s7) * 1000000)::DOUBLE
+                   / CAST(7 AS DOUBLE))::BIGINT AS dm
+      FROM ma WHERE n7 = 7
+    ), seas AS (
+      SELECT dow,
+             ROUND(SUM(dm)::DOUBLE / COUNT(*))::BIGINT AS s_micro
+      FROM detr GROUP BY 1
+    ), resid AS (
+      SELECT d, x, (dm - s_micro)::DECIMAL(19,0) AS r
+      FROM detr JOIN seas USING (dow)
+    ), m AS (
+      SELECT COUNT(*)::BIGINT AS n, SUM(r)::DECIMAL(38,0) AS sr,
+             SUM(r * r)::DECIMAL(38,0) AS srr
+      FROM resid
+    )
+    SELECT strftime(DATE '1970-01-01' + d::INT, '%Y-%m-%d') AS day,
+           x AS n_events,
+           ROUND(r::DOUBLE / 1e6, 4) AS residual,
+           ROUND((n::DOUBLE * r::DOUBLE - sr::DOUBLE)
+                 / sqrt(n::DOUBLE * srr::DOUBLE - sr::DOUBLE * sr::DOUBLE),
+                 4) AS zscore
+    FROM resid, m
+    WHERE (n::DOUBLE * srr::DOUBLE - sr::DOUBLE * sr::DOUBLE) > 0
+      AND abs((n::DOUBLE * r::DOUBLE - sr::DOUBLE)
+              / sqrt(n::DOUBLE * srr::DOUBLE - sr::DOUBLE * sr::DOUBLE))
+          > CAST(1.5 AS DOUBLE)
+    ORDER BY day
+    """,
+    tags=("AD-14",),
+)
+def q_seasonal_adjusted_anomalies(spark, sf_dir):
+    """AD-14 seasonally-adjusted daily anomalies: W-18's decomposition
+    as a pre-whitening step, then an exact-co-moment z-score on the
+    integer residuals; |z| > 1.5 reports. The decompose-then-test
+    half of seasonal-hybrid ESD."""
+    return AD.seasonal_adjusted_anomalies(_events(spark, sf_dir))
+
+
+@register(
+    "kendall_tau_daily",
+    """
+    WITH base AS (
+      SELECT event_type, (ts::DATE - DATE '1970-01-01')::BIGINT AS d,
+             COUNT(*)::BIGINT AS x
+      FROM events GROUP BY 1, 2
+    ), rngt AS (
+      SELECT MIN(d) AS lo, MAX(d) AS hi FROM base
+    ), cal AS (
+      SELECT event_type, unnest(range(lo, hi + 1)) AS d
+      FROM (SELECT DISTINCT event_type FROM base), rngt
+    ), series AS (
+      SELECT c.event_type, c.d, COALESCE(b.x, 0)::BIGINT AS x
+      FROM cal c LEFT JOIN base b
+        ON c.event_type = b.event_type AND c.d = b.d
+    ), cd AS (
+      SELECT a.event_type,
+             SUM(CASE WHEN b.x > a.x THEN 1 ELSE 0 END)::BIGINT AS c,
+             SUM(CASE WHEN b.x < a.x THEN 1 ELSE 0 END)::BIGINT AS dis
+      FROM series a JOIN series b
+        ON a.event_type = b.event_type AND a.d < b.d
+      GROUP BY 1
+    ), nd AS (
+      SELECT event_type, COUNT(*)::BIGINT AS n_days
+      FROM series GROUP BY 1
+    ), ty AS (
+      SELECT event_type, (SUM(t * (t - 1)) / 2)::BIGINT AS ty FROM (
+        SELECT event_type, x, COUNT(*)::BIGINT AS t
+        FROM series GROUP BY 1, 2
+      ) GROUP BY 1
+    )
+    SELECT cd.event_type, nd.n_days, (cd.c - cd.dis)::BIGINT AS s,
+           CASE WHEN ((nd.n_days * (nd.n_days - 1) / 2)::BIGINT::DOUBLE
+                      * ((nd.n_days * (nd.n_days - 1) / 2)::BIGINT
+                         - ty.ty)::DOUBLE) > 0
+           THEN ROUND((cd.c - cd.dis)::DOUBLE
+                 / sqrt((nd.n_days * (nd.n_days - 1) / 2)::BIGINT::DOUBLE
+                        * ((nd.n_days * (nd.n_days - 1) / 2)::BIGINT
+                           - ty.ty)::DOUBLE), 4)
+           END AS kendall_tau_b
+    FROM cd JOIN nd USING (event_type) JOIN ty USING (event_type)
+    ORDER BY event_type
+    """,
+    tags=("AGG-20",),
+)
+def q_kendall_tau_daily(spark, sf_dir):
+    """AGG-20 Kendall tau-b of daily count against day per type: exact
+    BIGINT concordant/discordant pair counts over the zero-filled
+    day-granular series (quadratic in days, never in events), tie
+    correction on the count axis, one mirrored sqrt/division."""
+    return AN.kendall_tau_daily(_events(spark, sf_dir))
+
+
+@register(
+    "degree_assortativity",
+    TOKS_CTE
+    + """
+    , pairs AS (
+      SELECT unnest(tokens[:len(tokens)-1]) AS a, unnest(tokens[2:]) AS b
+      FROM toks WHERE len(tokens) >= 2
+    ), dir AS (
+      SELECT a AS src, b AS dst FROM pairs
+      UNION ALL SELECT b AS src, a AS dst FROM pairs
+    ), edges AS (
+      SELECT src, dst FROM dir GROUP BY 1, 2
+    ), deg AS (
+      SELECT src, COUNT(*)::BIGINT AS deg FROM edges GROUP BY 1
+    ), ep AS (
+      SELECT di.deg::DECIMAL(19,0) AS j, dj.deg::DECIMAL(19,0) AS k
+      FROM edges e
+      JOIN deg di ON e.src = di.src
+      JOIN deg dj ON e.dst = dj.src
+    ), m AS (
+      SELECT COUNT(*)::BIGINT AS n_edges_directed,
+             SUM(j)::DECIMAL(38,0) AS sj, SUM(k)::DECIMAL(38,0) AS sk,
+             SUM(j * k)::DECIMAL(38,0) AS sjk,
+             SUM(j * j)::DECIMAL(38,0) AS sjj,
+             SUM(k * k)::DECIMAL(38,0) AS skk
+      FROM ep
+    )
+    SELECT n_edges_directed,
+           CASE WHEN (n_edges_directed::DOUBLE * sjj::DOUBLE
+                      - sj::DOUBLE * sj::DOUBLE) > 0
+                 AND (n_edges_directed::DOUBLE * skk::DOUBLE
+                      - sk::DOUBLE * sk::DOUBLE) > 0
+           THEN ROUND(
+             (n_edges_directed::DOUBLE * sjk::DOUBLE - sj::DOUBLE * sk::DOUBLE)
+             / (sqrt(n_edges_directed::DOUBLE * sjj::DOUBLE
+                     - sj::DOUBLE * sj::DOUBLE)
+                * sqrt(n_edges_directed::DOUBLE * skk::DOUBLE
+                       - sk::DOUBLE * sk::DOUBLE)), 6)
+           END AS assortativity
+    FROM m
+    """,
+    tags=("G-8",),
+)
+def q_degree_assortativity(spark, sf_dir):
+    """G-8 Newman degree assortativity of the token-adjacency graph:
+    Pearson correlation of endpoint degrees over the symmetric
+    directed edge list, DECIMAL(38,0) co-moments, mirrored closed
+    form; co-occurrence graphs are canonically disassortative."""
+    return G.degree_assortativity(_docs(spark, sf_dir))
+
+
+@register(
+    "hopkins_statistic",
+    f"""
+    WITH comps AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(round(unnest(embedding)::DOUBLE * 1000000.0) AS BIGINT)
+               + 1000000 AS qv
+      FROM embeddings
+    ), box AS (
+      SELECT dim, MIN(qv)::BIGINT AS lo, MAX(qv)::BIGINT AS hi
+      FROM comps GROUP BY 1
+    ), probes AS (
+      SELECT vec_id FROM (
+        SELECT vec_id,
+               ('0x' || substr(md5(vec_id::VARCHAR), 1, 13))::BIGINT AS h
+        FROM embeddings
+      ) ORDER BY h, vec_id LIMIT {SIM.HOPKINS_M}
+    ), real_pts AS (
+      SELECT p.vec_id AS pid, c.dim, c.qv AS pv
+      FROM probes p JOIN comps c ON p.vec_id = c.vec_id
+    ), wd AS (
+      SELECT ROUND(SQRT(MIN(d2)::DOUBLE))::BIGINT AS nn_micro FROM (
+        SELECT r.pid, c.vec_id,
+               SUM((c.qv - r.pv) * (c.qv - r.pv))::BIGINT AS d2
+        FROM comps c JOIN real_pts r ON c.dim = r.dim
+        WHERE c.vec_id != r.pid
+        GROUP BY 1, 2
+      ) GROUP BY pid
+    ), synth AS (
+      SELECT sid, dim,
+             lo + ((hi - lo)
+                   * (('0x' || substr(md5('{SIM.HOPKINS_SEED}:'
+                        || sid::VARCHAR || ':' || dim::VARCHAR), 1, 13))
+                      ::BIGINT % {2**20})) // {2**20} AS pv
+      FROM (SELECT unnest(range(0, {SIM.HOPKINS_M})) AS sid), box
+    ), ud AS (
+      SELECT ROUND(SQRT(MIN(d2)::DOUBLE))::BIGINT AS nn_micro FROM (
+        SELECT s.sid, c.vec_id,
+               SUM((c.qv - s.pv) * (c.qv - s.pv))::BIGINT AS d2
+        FROM comps c JOIN synth s ON c.dim = s.dim
+        GROUP BY 1, 2
+      ) GROUP BY sid
+    ), ws AS (
+      SELECT COUNT(*)::BIGINT AS m_real, SUM(nn_micro)::BIGINT AS sw FROM wd
+    ), us AS (
+      SELECT COUNT(*)::BIGINT AS m_synth, SUM(nn_micro)::BIGINT AS su FROM ud
+    )
+    SELECT ws.m_real, us.m_synth,
+           ROUND(ws.sw::DOUBLE / 1e6, 4) AS sum_w,
+           ROUND(us.su::DOUBLE / 1e6, 4) AS sum_u,
+           ROUND(us.su::DOUBLE / (us.su + ws.sw)::DOUBLE, 6) AS hopkins
+    FROM ws, us
+    """,
+    tags=("E-27",),
+)
+def q_hopkins_statistic(spark, sf_dir):
+    """E-27 Hopkins clusterability: NN distances of 32 hash-picked
+    real probes vs 32 integer-lattice uniform probes in the per-dim
+    bounding box, H = sum(u)/(sum(u)+sum(w)); micro-BIGINT geometry,
+    distributed top-k probe pick, broadcast probe joins."""
+    return SIM.hopkins_statistic(_emb(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Driver-certification order
 # ---------------------------------------------------------------------------
@@ -9927,6 +10154,10 @@ _DRIVER_FIRST = [
     "heaps_law",
     "slo_burn_alerts",
     "streaming_line_length_quantiles",
+    "seasonal_adjusted_anomalies",
+    "kendall_tau_daily",
+    "degree_assortativity",
+    "hopkins_statistic",
     # latest driver row is round 1 (stalest certified block)
     "events_of_type",
     "entity_hourly_activity",
