@@ -1630,15 +1630,21 @@ def knn_label_accuracy(
     from E-6's IVF cells instead — same vote/report tail); the vote
     and report are two combinable aggregations over query-bounded
     rows (k votes per query, one row per label after)."""
+    # Norm scalars are computed ONCE per vector, not once per pair —
+    # sqrt(dot(v, v)) is deterministic, so hoisting it out of the
+    # |Q| x |C| cross join leaves every cosine bit-identical while
+    # cutting the pair-level flops to a single dot product.
     q = emb.where(F.col("vec_id") % sample_mod == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("true_label"),
         F.col("embedding").alias("q_emb"),
+        F.sqrt(_dot("embedding", "embedding")).alias("q_norm"),
     )
     c = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("n_label"),
         F.col("embedding").alias("c_emb"),
+        F.sqrt(_dot("embedding", "embedding")).alias("c_norm"),
     )
     scored = (
         F.broadcast(q)
@@ -1648,12 +1654,12 @@ def knn_label_accuracy(
             "cosine",
             F.round(
                 _dot("q_emb", "c_emb")
-                / (
-                    F.sqrt(_dot("q_emb", "q_emb"))
-                    * F.sqrt(_dot("c_emb", "c_emb"))
-                ),
+                / (F.col("q_norm") * F.col("c_norm")),
                 6,
             ),
+        )
+        .select(
+            "query_id", "true_label", "neighbor_id", "n_label", "cosine"
         )
     )
     w_knn = Window.partitionBy("query_id").orderBy(
