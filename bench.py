@@ -373,6 +373,10 @@ def main() -> None:
         "kendall_tau_daily",
         "degree_assortativity",
         "hopkins_statistic",
+        "streaming_bloom_filter",
+        "tokenizer_fertility",
+        "capacity_forecast",
+        "rank_movers",
     ]
     extended: dict[str, float] = {}
     for name in EXTENDED:

@@ -1592,3 +1592,115 @@ def kendall_tau_daily(events: DataFrame) -> DataFrame:
         (F.col("c") - F.col("dis")).alias("s"),
         F.when(denom > 0, F.round(tau, 4)).alias("kendall_tau_b"),
     ).orderBy("event_type")
+
+
+def capacity_forecast(
+    events: DataFrame, horizon_days: int = 7, headroom: float = 1.5
+) -> DataFrame:
+    """OPS-4: linear capacity forecast — OLS of the zero-filled daily
+    event count on the day index (AGG-7's exact-co-moment discipline),
+    projected ``horizon_days`` ahead, against a capacity line of
+    ``headroom`` x the observed peak day. Answers the two questions a
+    capacity review opens with: where is volume trending next week,
+    and how many days until the current headroom is gone? OPS-1/OPS-2
+    instrument writes and gate quality; this is the forward-looking
+    leg of the ops family.
+
+    Exactness: co-moments are exact BIGINTs over the day-granular
+    series; slope/intercept/projection each spend their floats in
+    mirrored operand order; the capacity line is an integer-times-
+    literal product; a flat-or-declining slope reports NULL
+    days_to_capacity (you are not running out).
+
+    Scale shape: one combinable per-day count; everything after runs
+    on the day-granular series (the AD-13/W-17 bound); output is ONE
+    row."""
+    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+    base = events.select(day.alias("d")).groupBy("d").agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    rng = base.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    cal = rng.select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    series = cal.join(base, ["d"], "left").select(
+        "d", F.coalesce("x", F.lit(0)).alias("x")
+    )
+    m = series.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("d").alias("hi"),
+        F.max("x").alias("peak"),
+        F.sum("d").alias("sd"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("d") * F.col("x")).alias("sdx"),
+        F.sum(F.col("d") * F.col("d")).alias("sdd"),
+    )
+    n = F.col("n").cast("double")
+    sd = F.col("sd").cast("double")
+    sx = F.col("sx").cast("double")
+    sdx = F.col("sdx").cast("double")
+    sdd = F.col("sdd").cast("double")
+    den = n * sdd - sd * sd
+    slope = (n * sdx - sd * sx) / den
+    intercept = (sx - slope * sd) / n
+    level_now = intercept + slope * F.col("hi").cast("double")
+    forecast = intercept + slope * (F.col("hi") + horizon_days).cast(
+        "double"
+    )
+    capacity = F.col("peak").cast("double") * F.lit(headroom)
+    days_left = (capacity - level_now) / slope
+    return m.select(
+        F.col("n").alias("n_days"),
+        F.col("peak").alias("peak_daily"),
+        F.when(den > 0, F.round(slope, 4)).alias("slope_per_day"),
+        F.when(den > 0, F.round(level_now, 4)).alias("level_now"),
+        F.when(den > 0, F.round(forecast, 4)).alias(
+            "forecast_" + str(horizon_days) + "d"
+        ),
+        F.round(capacity, 4).alias("capacity_line"),
+        F.when((den > 0) & (slope > 0), F.round(days_left, 2)).alias(
+            "days_to_capacity"
+        ),
+    )
+
+
+def rank_movers(events: DataFrame) -> DataFrame:
+    """D-55: week-over-week rank movers — event types ranked by weekly
+    volume (rank 1 = busiest), with each week's rank change against
+    the previous week. The "what changed since last week" panel of
+    every traffic dashboard, and the discrete complement of W-13's
+    percentage growth: a type can grow 40% and still not move in
+    rank, or barely grow and leapfrog a declining sibling.
+
+    Determinism: the week bucket is integer epoch-day div 7 (no
+    engine week-numbering involved — ISO week functions disagree
+    across engines); ranks break count ties by type name; the first
+    week reports NULL movement.
+
+    Scale shape: one combinable (week, type) count collapses the
+    corpus; ranking windows run on |weeks| x |types| rows."""
+    wk = F.expr(
+        "datediff(to_date(ts), to_date('1970-01-01')) div 7"
+    )
+    base = events.select(wk.alias("w"), "event_type").groupBy(
+        "w", "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w_rank = Window.partitionBy("w").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    ranked = base.withColumn("rnk", F.row_number().over(w_rank))
+    w_lag = Window.partitionBy("event_type").orderBy("w")
+    return ranked.select(
+        F.date_format(
+            F.date_add(
+                F.lit("1970-01-01").cast("date"),
+                (F.col("w") * 7).cast("int"),
+            ),
+            "yyyy-MM-dd",
+        ).alias("week_start"),
+        "event_type",
+        "n_events",
+        F.col("rnk").cast("long").alias("rank"),
+        F.lag("rnk").over(w_lag).cast("long").alias("prev_rank"),
+        (F.lag("rnk").over(w_lag) - F.col("rnk"))
+        .cast("long")
+        .alias("rank_delta"),
+    ).orderBy("week_start", "rank")

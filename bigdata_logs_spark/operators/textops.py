@@ -1493,3 +1493,66 @@ def heaps_law(docs: DataFrame, checkpoints: int = 10) -> DataFrame:
         )
         .orderBy("checkpoint")
     )
+
+
+def tokenizer_fertility(docs: DataFrame) -> DataFrame:
+    """T-30: tokenizer fertility profile per language — subword tokens
+    per whitespace word ("fertility") and characters per subword, the
+    two numbers multilingual-tokenizer papers publish per language
+    (high fertility = the tokenizer fragments that language, inflating
+    sequence length and training cost for the same text). T-3 counts
+    whitespace tokens; this is the comparison against a BPE-ish
+    pre-tokenization — letter runs, digit runs, and single
+    punctuation marks on the lowercased text — the deterministic
+    stand-in for a learned BPE's pre-tokenizer split.
+
+    Exactness: both token counts are regex-derived exact BIGINTs
+    (array lengths of regexp_extract_all, a shared builtin); the two
+    ratios each spend one IEEE division; languages with zero words
+    report NULL.
+
+    Scale shape: two narrow per-doc expressions, one combinable
+    per-lang sum — no explode, no shuffle wider than |langs| rows."""
+    words = F.size(
+        F.expr(r"regexp_extract_all(trim(text), '[^\\s]+', 0)")
+    )
+    subs = F.size(
+        F.expr(
+            r"regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)"
+        )
+    )
+    per_doc = docs.select(
+        "lang",
+        F.when(words > 0, words).otherwise(F.lit(0)).alias("w"),
+        F.when(subs > 0, subs).otherwise(F.lit(0)).alias("s"),
+        F.length(F.regexp_replace(F.lower(F.col("text")), r"\s+", ""))
+        .alias("ch"),
+    )
+    agg = per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("w").alias("n_words"),
+        F.sum("s").alias("n_subtokens"),
+        F.sum("ch").alias("n_chars_nospace"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_subtokens",
+        F.when(
+            F.col("n_words") > 0,
+            F.round(
+                F.col("n_subtokens").cast("double")
+                / F.col("n_words").cast("double"),
+                4,
+            ),
+        ).alias("fertility"),
+        F.when(
+            F.col("n_subtokens") > 0,
+            F.round(
+                F.col("n_chars_nospace").cast("double")
+                / F.col("n_subtokens").cast("double"),
+                4,
+            ),
+        ).alias("chars_per_subtoken"),
+    ).orderBy("lang")

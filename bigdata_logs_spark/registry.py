@@ -10101,6 +10101,223 @@ def q_hopkins_statistic(spark, sf_dir):
     return SIM.hopkins_statistic(_emb(spark, sf_dir))
 
 
+@register(
+    "streaming_bloom_filter",
+    SSH_PARSE_CTE
+    + f"""
+    , keys AS (
+      SELECT DISTINCT ip,
+             ('0x' || substr(md5(ip), 1, 13))::BIGINT AS h
+      FROM parsed WHERE ip IS NOT NULL
+    ), bits AS (
+      SELECT DISTINCT bit FROM (
+        SELECT unnest([
+          (h * {SK.BLOOM_A[0]} + {SK.BLOOM_B[0]}) % {SK.CMS_P} % {SK.BLOOM_M},
+          (h * {SK.BLOOM_A[1]} + {SK.BLOOM_B[1]}) % {SK.CMS_P} % {SK.BLOOM_M},
+          (h * {SK.BLOOM_A[2]} + {SK.BLOOM_B[2]}) % {SK.CMS_P} % {SK.BLOOM_M},
+          (h * {SK.BLOOM_A[3]} + {SK.BLOOM_B[3]}) % {SK.CMS_P} % {SK.BLOOM_M}
+        ]) AS bit FROM keys
+      )
+    ), agg AS (
+      SELECT COUNT(*)::BIGINT AS n_set_bits FROM bits
+    ), ex AS (
+      SELECT COUNT(*)::BIGINT AS n_exact FROM keys
+    )
+    SELECT agg.n_set_bits, ex.n_exact,
+           ROUND(agg.n_set_bits::DOUBLE / {float(SK.BLOOM_M)}::DOUBLE, 6)
+             AS occupancy,
+           CASE WHEN agg.n_set_bits < {SK.BLOOM_M} THEN
+             ROUND(-({SK.BLOOM_M}::DOUBLE / CAST(4 AS DOUBLE))
+                   * ln(CAST(1 AS DOUBLE)
+                        - agg.n_set_bits::DOUBLE / {float(SK.BLOOM_M)}::DOUBLE),
+                   4)
+           END AS bloom_estimate,
+           CASE WHEN agg.n_set_bits < {SK.BLOOM_M} THEN
+             ROUND((-({SK.BLOOM_M}::DOUBLE / CAST(4 AS DOUBLE))
+                    * ln(CAST(1 AS DOUBLE)
+                         - agg.n_set_bits::DOUBLE / {float(SK.BLOOM_M)}::DOUBLE)
+                    - ex.n_exact) / ex.n_exact, 4)
+           END AS rel_error
+    FROM agg, ex
+    """,
+    tags=("ST-18",),
+)
+def q_streaming_bloom_filter(spark, sf_dir):
+    """ST-18 streaming Bloom filter: the engine drains the SSH file
+    stream in multi-file micro-batches while foreachBatch
+    union-DISTINCT-merges each batch's set-bit positions into a
+    <=1024-row parquet state (``streaming_bloom_state``). Bit-set
+    union is associative, commutative AND idempotent — ST-16's
+    invariance class: the drained bit set is identical under any batch
+    split and under replayed input, which is why Bloom state is safe
+    under at-least-once delivery. The report reads the swamee-style
+    fill-rate cardinality estimate -(m/k)*ln(1 - X/m) (Papapetrou et
+    al.'s standard inversion; ln is cross-engine bit-identical) off
+    the drained bits beside the exact distinct-IP count — the sixth
+    streaming query with a full hash-match oracle."""
+    from pyspark.sql import functions as F
+
+    from bigdata_logs_spark.operators.sketches import BLOOM_M
+    from bigdata_logs_spark.streaming.ingest import (
+        read_ssh_stream,
+        streaming_bloom_state,
+    )
+
+    src = _stream_source_dir(spark, sf_dir)
+    stream = read_ssh_stream(spark, src, max_files_per_trigger=2)
+    state = _scratch_path("bls_bloom_state", sf_dir)
+    streaming_bloom_state(stream, state)
+    bits = spark.read.parquet(state)
+
+    agg = bits.agg(F.count(F.lit(1)).alias("n_set_bits"))
+    exact = (
+        parse_ssh_lines(_ssh_lines(spark, sf_dir))
+        .where(F.col("ip").isNotNull())
+        .agg(F.countDistinct("ip").alias("n_exact"))
+    )
+    x = F.col("n_set_bits").cast("double")
+    est = -(F.lit(float(BLOOM_M)) / F.lit(4.0)) * F.log(
+        F.lit(1.0) - x / F.lit(float(BLOOM_M))
+    )
+    return agg.crossJoin(F.broadcast(exact)).select(
+        "n_set_bits",
+        "n_exact",
+        F.round(x / F.lit(float(BLOOM_M)), 6).alias("occupancy"),
+        F.when(F.col("n_set_bits") < BLOOM_M, F.round(est, 4)).alias(
+            "bloom_estimate"
+        ),
+        F.when(
+            F.col("n_set_bits") < BLOOM_M,
+            F.round(
+                (est - F.col("n_exact")) / F.col("n_exact"), 4
+            ),
+        ).alias("rel_error"),
+    )
+
+
+@register(
+    "tokenizer_fertility",
+    r"""
+    WITH per_doc AS (
+      SELECT lang,
+             len(regexp_extract_all(trim(text), '[^\s]+'))::BIGINT AS w,
+             len(regexp_extract_all(lower(text),
+                 '[a-z]+|[0-9]+|[^a-z0-9\s]'))::BIGINT AS s,
+             length(regexp_replace(lower(text), '\s+', '', 'g'))::BIGINT
+               AS ch
+      FROM documents
+    ), agg AS (
+      SELECT lang, COUNT(*)::BIGINT AS n_docs, SUM(w)::BIGINT AS n_words,
+             SUM(s)::BIGINT AS n_subtokens,
+             SUM(ch)::BIGINT AS n_chars_nospace
+      FROM per_doc GROUP BY 1
+    )
+    SELECT lang, n_docs, n_words, n_subtokens,
+           CASE WHEN n_words > 0 THEN
+             ROUND(n_subtokens::DOUBLE / n_words::DOUBLE, 4)
+           END AS fertility,
+           CASE WHEN n_subtokens > 0 THEN
+             ROUND(n_chars_nospace::DOUBLE / n_subtokens::DOUBLE, 4)
+           END AS chars_per_subtoken
+    FROM agg ORDER BY lang
+    """,
+    tags=("T-30",),
+)
+def q_tokenizer_fertility(spark, sf_dir):
+    """T-30 tokenizer fertility per language: BPE-ish pre-tokenization
+    (letter runs, digit runs, single punctuation) vs whitespace words
+    — subtokens-per-word and chars-per-subtoken, the two numbers
+    multilingual tokenizer papers publish per language."""
+    return TX.tokenizer_fertility(_docs(spark, sf_dir))
+
+
+@register(
+    "capacity_forecast",
+    """
+    WITH base AS (
+      SELECT (ts::DATE - DATE '1970-01-01')::BIGINT AS d,
+             COUNT(*)::BIGINT AS x
+      FROM events GROUP BY 1
+    ), rngt AS (
+      SELECT MIN(d) AS lo, MAX(d) AS hi FROM base
+    ), cal AS (
+      SELECT unnest(range(lo, hi + 1)) AS d FROM rngt
+    ), series AS (
+      SELECT c.d, COALESCE(b.x, 0)::BIGINT AS x
+      FROM cal c LEFT JOIN base b USING (d)
+    ), m AS (
+      SELECT COUNT(*)::BIGINT AS n, MAX(d)::BIGINT AS hi,
+             MAX(x)::BIGINT AS peak, SUM(d)::BIGINT AS sd,
+             SUM(x)::BIGINT AS sx, SUM(d * x)::BIGINT AS sdx,
+             SUM(d * d)::BIGINT AS sdd
+      FROM series
+    ), f AS (
+      SELECT n, hi, peak, sd, sx, sdx, sdd,
+             (n::DOUBLE * sdd::DOUBLE - sd::DOUBLE * sd::DOUBLE) AS den,
+             (n::DOUBLE * sdx::DOUBLE - sd::DOUBLE * sx::DOUBLE)
+               / (n::DOUBLE * sdd::DOUBLE - sd::DOUBLE * sd::DOUBLE)
+               AS slope
+      FROM m
+    ), g AS (
+      SELECT n, hi, peak, den, slope,
+             (sx::DOUBLE - slope * sd::DOUBLE) / n::DOUBLE AS intercept
+      FROM f
+    )
+    SELECT n AS n_days, peak AS peak_daily,
+           CASE WHEN den > 0 THEN ROUND(slope, 4) END AS slope_per_day,
+           CASE WHEN den > 0 THEN
+             ROUND(intercept + slope * hi::DOUBLE, 4)
+           END AS level_now,
+           CASE WHEN den > 0 THEN
+             ROUND(intercept + slope * (hi + 7)::DOUBLE, 4)
+           END AS forecast_7d,
+           ROUND(peak::DOUBLE * CAST(1.5 AS DOUBLE), 4) AS capacity_line,
+           CASE WHEN den > 0 AND slope > 0 THEN
+             ROUND((peak::DOUBLE * CAST(1.5 AS DOUBLE)
+                    - (intercept + slope * hi::DOUBLE)) / slope, 2)
+           END AS days_to_capacity
+    FROM g
+    """,
+    tags=("OPS-4",),
+)
+def q_capacity_forecast(spark, sf_dir):
+    """OPS-4 linear capacity forecast: exact-co-moment OLS on the
+    zero-filled daily series, 7-day projection, days-to-headroom
+    against 1.5x the observed peak; NULL when flat or declining."""
+    return AN.capacity_forecast(_events(spark, sf_dir))
+
+
+@register(
+    "rank_movers",
+    """
+    WITH base AS (
+      SELECT (ts::DATE - DATE '1970-01-01')::BIGINT // 7 AS w,
+             event_type, COUNT(*)::BIGINT AS n_events
+      FROM events GROUP BY 1, 2
+    ), ranked AS (
+      SELECT w, event_type, n_events,
+             ROW_NUMBER() OVER (PARTITION BY w
+               ORDER BY n_events DESC, event_type) AS rnk
+      FROM base
+    )
+    SELECT strftime(DATE '1970-01-01' + (w * 7)::INT, '%Y-%m-%d')
+             AS week_start,
+           event_type, n_events, rnk::BIGINT AS rank,
+           (lag(rnk) OVER (PARTITION BY event_type ORDER BY w))::BIGINT
+             AS prev_rank,
+           ((lag(rnk) OVER (PARTITION BY event_type ORDER BY w))
+            - rnk)::BIGINT AS rank_delta
+    FROM ranked ORDER BY week_start, rank
+    """,
+    tags=("D-55",),
+)
+def q_rank_movers(spark, sf_dir):
+    """D-55 week-over-week rank movers: integer epoch-day-div-7 week
+    buckets (no engine week numbering), volume ranks with name
+    tiebreaks, lag against the previous week."""
+    return AN.rank_movers(_events(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Driver-certification order
 # ---------------------------------------------------------------------------
@@ -10158,6 +10375,10 @@ _DRIVER_FIRST = [
     "kendall_tau_daily",
     "degree_assortativity",
     "hopkins_statistic",
+    "streaming_bloom_filter",
+    "tokenizer_fertility",
+    "capacity_forecast",
+    "rank_movers",
     # latest driver row is round 1 (stalest certified block)
     "events_of_type",
     "entity_hourly_activity",

@@ -944,3 +944,76 @@ def streaming_length_histogram_state(
     for d in (state_dir + "__ckpt", state_dir + "__tmp"):
         if os.path.exists(d):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def streaming_bloom_state(
+    parsed: DataFrame, state_dir: str, timeout_sec: int = 120
+) -> None:
+    """ST-18: streaming Bloom-filter maintenance — SK-5's m=1024-bit,
+    k=4-hash filter over the source IPs seen so far, kept live by
+    union-DISTINCT-merging each micro-batch's set-bit positions into a
+    parquet state table. The streaming membership gate every ingest
+    pipeline wants ("have we EVER seen this key?" without storing
+    keys).
+
+    Bit-set union is associative, commutative AND idempotent — the
+    ST-16 invariance class: the drained bit set is bit-identical
+    under any micro-batch split and under replayed/duplicated input
+    (a replayed key just re-sets bits that are already set). That
+    idempotence is exactly why Bloom state (like HLL registers, unlike
+    CMS counters) is safe to maintain under at-least-once delivery.
+
+    State is <= m = 1024 one-column rows regardless of key
+    cardinality or feed length. Merge discipline is the S-10 swap:
+    write-tmp -> validate -> rename."""
+    import os
+    import shutil
+
+    from bigdata_logs_spark.operators.sketches import (
+        BLOOM_A,
+        BLOOM_B,
+        BLOOM_M,
+        CMS_P,
+        kmv_hash_expr,
+    )
+
+    spark = parsed.sparkSession
+    h = F.expr(kmv_hash_expr("ip"))
+    pos = F.array(
+        *[
+            ((h * F.lit(a) + F.lit(b)) % CMS_P % BLOOM_M)
+            for a, b in zip(BLOOM_A, BLOOM_B)
+        ]
+    )
+    bits = parsed.where(F.col("ip").isNotNull()).select(
+        F.explode(pos).alias("bit")
+    )
+    for d in (state_dir, state_dir + "__ckpt", state_dir + "__tmp"):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+
+    def merge(batch: DataFrame, _batch_id: int) -> None:
+        inc = batch.select("bit").distinct()
+        if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
+            inc = spark.read.parquet(state_dir).unionByName(inc)
+        new_state = inc.distinct()
+        tmp = state_dir + "__tmp"
+        new_state.write.mode("overwrite").parquet(tmp)
+        if not os.path.exists(os.path.join(tmp, "_SUCCESS")):
+            raise RuntimeError("bloom state write did not complete")
+        if os.path.exists(state_dir):
+            shutil.rmtree(state_dir)
+        os.rename(tmp, state_dir)
+
+    q = (
+        bits.writeStream.foreachBatch(merge)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", state_dir + "__ckpt")
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:
+        q.stop()
+    for d in (state_dir + "__ckpt", state_dir + "__tmp"):
+        if os.path.exists(d):
+            shutil.rmtree(d, ignore_errors=True)

@@ -1,0 +1,199 @@
+"""Round-7 batch-5 operators: fixture-value tests against pure-Python
+references for the streaming Bloom filter (ST-18), tokenizer fertility
+(T-30), capacity forecast (OPS-4), and rank movers (D-55)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from pyspark.sql import Row
+
+from bigdata_logs_spark.operators import analytics as AN
+from bigdata_logs_spark.operators import textops as TX
+
+BASE = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _ev(spark, rows):
+    """rows: (user_id, event_type, value, day_offset)."""
+    return spark.createDataFrame(
+        [
+            Row(
+                event_id=i,
+                ts=BASE + dt.timedelta(days=d, minutes=i),
+                user_id=u,
+                event_type=t,
+                value=float(v),
+            )
+            for i, (u, t, v, d) in enumerate(rows)
+        ]
+    )
+
+
+def _docs(spark, texts, langs=None):
+    return spark.createDataFrame(
+        [
+            Row(
+                doc_id=i,
+                text=t,
+                lang=(langs[i] if langs else "en"),
+                source="s0",
+                n_chars=len(t),
+            )
+            for i, t in enumerate(texts)
+        ]
+    )
+
+
+class TestTokenizerFertility:
+    def test_hand_counted_fertility(self, spark):
+        # "don't stop 123" -> words: 3; BPE-ish: don,',t,stop,123 = 5;
+        # chars (no space): don't(5) + stop(4) + 123(3) = 12
+        out = TX.tokenizer_fertility(
+            _docs(spark, ["don't stop 123"])
+        ).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r.n_words, r.n_subtokens) == (3, 5)
+        assert r.fertility == round(5 / 3, 4)
+        assert r.chars_per_subtoken == round(12 / 5, 4)
+
+    def test_empty_text_reports_null(self, spark):
+        out = TX.tokenizer_fertility(
+            _docs(spark, ["", "abc def"], langs=["xx", "en"])
+        ).collect()
+        by = {r.lang: r for r in out}
+        assert by["xx"].fertility is None
+        assert by["en"].fertility == 1.0
+
+
+class TestCapacityForecast:
+    def test_matches_pure_python_ols(self, spark):
+        counts = [10, 12, 14, 16, 18, 20]  # slope exactly 2
+        rows = [
+            (u, "a", 1.0, d) for d, c in enumerate(counts) for u in range(c)
+        ]
+        out = AN.capacity_forecast(_ev(spark, rows)).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r.n_days == 6 and r.peak_daily == 20
+        assert r.slope_per_day == 2.0
+        assert r.level_now == 20.0
+        assert r.forecast_7d == 20.0 + 7 * 2.0
+        assert r.capacity_line == 30.0
+        assert r.days_to_capacity == 5.0  # (30 - 20) / 2
+
+    def test_declining_series_has_null_days(self, spark):
+        counts = [20, 16, 12, 8]
+        rows = [
+            (u, "a", 1.0, d) for d, c in enumerate(counts) for u in range(c)
+        ]
+        r = AN.capacity_forecast(_ev(spark, rows)).collect()[0]
+        assert r.slope_per_day < 0
+        assert r.days_to_capacity is None
+
+
+class TestRankMovers:
+    def test_rank_swap_between_weeks(self, spark):
+        # week 0 (days 0-6): a busier than b; week 1 (days 7-13): b
+        # overtakes a.
+        rows = (
+            [(u, "a", 1.0, 0) for u in range(5)]
+            + [(u, "b", 1.0, 1) for u in range(3)]
+            + [(u, "a", 1.0, 7) for u in range(2)]
+            + [(u, "b", 1.0, 8) for u in range(6)]
+        )
+        # day 0 of week 0 for BASE: epoch day of 2024-01-01 = 19723;
+        # 19723 div 7 = 2817.57 -> week boundary not at day 0, so use
+        # enough spacing that both days of each pair land in one week.
+        out = AN.rank_movers(_ev(spark, rows)).collect()
+        weeks = sorted({r.week_start for r in out})
+        by = {(r.week_start, r.event_type): r for r in out}
+        # first observed week: no previous rank
+        w0 = [r for r in out if r.week_start == weeks[0]]
+        assert all(r.prev_rank is None for r in w0)
+        # in every week ranks are 1..n_types_that_week with tiebreaks
+        for w in weeks:
+            ranks = sorted(r.rank for r in out if r.week_start == w)
+            assert ranks == list(range(1, len(ranks) + 1))
+        # b's total in its later week exceeds a's -> b rank 1, moved up
+        last = weeks[-1]
+        if ("2024-01-08"[:4], "b") and (last, "b") in by:
+            b = by[(last, "b")]
+            a = by[(last, "a")]
+            assert b.rank < a.rank
+
+    def test_partition_invariant(self, spark):
+        rows = [
+            (u, "ab"[u % 2], 1.0, d) for d in range(21) for u in range(d + 1)
+        ]
+        df = _ev(spark, rows)
+        x = sorted(map(tuple, AN.rank_movers(df).collect()))
+        y = sorted(map(tuple, AN.rank_movers(df.repartition(6)).collect()))
+        assert x == y
+
+
+def test_streaming_bloom_split_and_replay_invariant(spark, sf_dir, tmp_path):
+    """ST-18: the drained Bloom bit set equals the batch construction
+    and is bit-identical whether the feed arrives as one micro-batch,
+    one file per micro-batch, or fully REPLAYED (bit-set union is
+    idempotent). Also pins bounded state (<= 1024 rows) and the
+    no-false-negative direction: every batch-computed bit is present."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bigdata_logs_spark.operators.parse import parse_ssh_lines
+    from bigdata_logs_spark.operators.sketches import (
+        BLOOM_A,
+        BLOOM_B,
+        BLOOM_M,
+        CMS_P,
+        kmv_hash_expr,
+    )
+    from bigdata_logs_spark.operators.ssh_synth import synthesize_ssh_lines
+    from bigdata_logs_spark.sources import load_table
+    from bigdata_logs_spark.streaming.ingest import (
+        read_ssh_stream,
+        streaming_bloom_state,
+    )
+
+    lines = synthesize_ssh_lines(load_table(spark, sf_dir, "events"))
+    src = str(tmp_path / "src")
+    lines.coalesce(4).write.mode("overwrite").text(src)
+    src_replay = str(tmp_path / "src_replay")
+    lines.unionAll(lines).coalesce(3).write.mode("overwrite").text(src_replay)
+
+    states = {}
+    for label, source, mfpt in (
+        ("one_batch", src, None),
+        ("per_file", src, 1),
+        ("replayed", src_replay, 1),
+    ):
+        state = str(tmp_path / f"state_{label}")
+        streaming_bloom_state(
+            read_ssh_stream(spark, source, max_files_per_trigger=mfpt), state
+        )
+        df = spark.read.parquet(state)
+        assert df.count() <= BLOOM_M
+        states[label] = sorted(r.bit for r in df.collect())
+        assert not os.path.exists(state + "__ckpt")
+    assert states["one_batch"] == states["per_file"] == states["replayed"]
+
+    h = F.expr(kmv_hash_expr("ip"))
+    pos = F.array(
+        *[
+            ((h * F.lit(a) + F.lit(b)) % CMS_P % BLOOM_M)
+            for a, b in zip(BLOOM_A, BLOOM_B)
+        ]
+    )
+    batch_bits = sorted(
+        r.bit
+        for r in parse_ssh_lines(spark.read.text(src))
+        .where(F.col("ip").isNotNull())
+        .select(F.explode(pos).alias("bit"))
+        .distinct()
+        .collect()
+    )
+    assert states["one_batch"] == batch_bits
