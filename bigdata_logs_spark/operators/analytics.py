@@ -1395,25 +1395,37 @@ def spearman_value_time(events: DataFrame) -> DataFrame:
 
     rx = _ranked("d", "r2x")
     ry = _ranked("c", "r2y")
-    joined = rows.join(rx, ["event_type", "d"]).join(
+    # Collapse the corpus to distinct (type, day, cents) CELLS before
+    # any join — the co-moment sums weight each cell by its count, a
+    # bit-identical regrouping of the per-row sums, and every join
+    # after the first shuffle is bounded by calendar x price
+    # granularity instead of event cardinality.
+    cells = rows.groupBy("event_type", "d", "c").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    joined = cells.join(rx, ["event_type", "d"]).join(
         ry, ["event_type", "c"]
     )
-    dec = "decimal(38,0)"
+    d19 = "decimal(19,0)"
+    cnt = F.col("cnt").cast(d19)
     m = joined.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.col("r2x").cast(dec)).alias("sx"),
-        F.sum(F.col("r2y").cast(dec)).alias("sy"),
+        F.sum("cnt").alias("n_events"),
+        F.sum(cnt * F.col("r2x").cast(d19)).alias("sx"),
+        F.sum(cnt * F.col("r2y").cast(d19)).alias("sy"),
         F.sum(
-            F.col("r2x").cast("decimal(19,0)")
-            * F.col("r2y").cast("decimal(19,0)")
+            cnt
+            * F.col("r2x").cast(d19)
+            * F.col("r2y").cast(d19)
         ).alias("sxy"),
         F.sum(
-            F.col("r2x").cast("decimal(19,0)")
-            * F.col("r2x").cast("decimal(19,0)")
+            cnt
+            * F.col("r2x").cast(d19)
+            * F.col("r2x").cast(d19)
         ).alias("sxx"),
         F.sum(
-            F.col("r2y").cast("decimal(19,0)")
-            * F.col("r2y").cast("decimal(19,0)")
+            cnt
+            * F.col("r2y").cast(d19)
+            * F.col("r2y").cast(d19)
         ).alias("syy"),
     )
     n = F.col("n_events").cast("double")
