@@ -377,6 +377,7 @@ def main() -> None:
         "tokenizer_fertility",
         "capacity_forecast",
         "rank_movers",
+        "char_class_profile_arrow",
     ]
     extended: dict[str, float] = {}
     for name in EXTENDED:

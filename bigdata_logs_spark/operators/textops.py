@@ -1556,3 +1556,69 @@ def tokenizer_fertility(docs: DataFrame) -> DataFrame:
             ),
         ).alias("chars_per_subtoken"),
     ).orderBy("lang")
+
+
+def char_class_profile_arrow(docs: DataFrame) -> DataFrame:
+    """U-7: ``mapInArrow`` character-class profile — per document, the
+    count of letters, digits, whitespace and other characters,
+    computed on raw Arrow RecordBatches with ``pyarrow.compute``
+    kernels. Completes the Python extension taxonomy (grouped-map U-1,
+    scalar pandas_udf U-2, stateful U-3, grouped-agg U-4, UDTF U-5,
+    DataSource U-6) with the LOWEST-overhead escape hatch: no pandas
+    materialization at all — batches stay in Arrow's columnar layout
+    end-to-end, which is the right call for byte-level kernels over
+    wide batches (the multimodal M-ops' natural upgrade path).
+
+    Determinism: pyarrow, Spark's Java regex and DuckDB all implement
+    single-character classes identically (pyarrow and DuckDB are both
+    RE2), and counts of non-overlapping single-char matches are exact
+    integers — so the Python-path output hash-matches a pure-SQL
+    oracle, same contract as U-2. The native expression remains the
+    hot path; this proves the escape hatch stays certifiable.
+
+    Scale shape: embarrassingly parallel map over Arrow batches; no
+    shuffle; output is one narrow row per document."""
+
+    def profile(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            text = batch.column("text")
+            n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+            alpha = pc.cast(
+                pc.count_substring_regex(text, "[A-Za-z]"), pa.int64()
+            )
+            digit = pc.cast(
+                pc.count_substring_regex(text, "[0-9]"), pa.int64()
+            )
+            space = pc.cast(
+                pc.count_substring_regex(text, r"\s"), pa.int64()
+            )
+            other = pc.subtract(
+                pc.subtract(pc.subtract(n_chars, alpha), digit), space
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    n_chars,
+                    alpha,
+                    digit,
+                    space,
+                    other,
+                ],
+                names=[
+                    "doc_id",
+                    "n_chars",
+                    "n_alpha",
+                    "n_digit",
+                    "n_space",
+                    "n_other",
+                ],
+            )
+
+    return docs.select("doc_id", "text").mapInArrow(
+        profile,
+        "doc_id bigint, n_chars bigint, n_alpha bigint, n_digit bigint,"
+        " n_space bigint, n_other bigint",
+    ).orderBy("doc_id")

@@ -10318,6 +10318,35 @@ def q_rank_movers(spark, sf_dir):
     return AN.rank_movers(_events(spark, sf_dir))
 
 
+@register(
+    "char_class_profile_arrow",
+    r"""
+    SELECT doc_id, length(text)::BIGINT AS n_chars,
+           length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::BIGINT
+             AS n_alpha,
+           length(regexp_replace(text, '[^0-9]', '', 'g'))::BIGINT
+             AS n_digit,
+           (length(text)
+            - length(regexp_replace(text, '\s', '', 'g')))::BIGINT
+             AS n_space,
+           (length(text)
+            - length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+            - length(regexp_replace(text, '[^0-9]', '', 'g'))
+            - (length(text)
+               - length(regexp_replace(text, '\s', '', 'g'))))::BIGINT
+             AS n_other
+    FROM documents ORDER BY doc_id
+    """,
+    tags=("U-7",),
+)
+def q_char_class_profile_arrow(spark, sf_dir):
+    """U-7 mapInArrow char-class profile: pyarrow.compute kernels over
+    raw RecordBatches (no pandas materialization), hash-matched
+    against a pure-SQL oracle — the lowest-overhead certified Python
+    escape hatch."""
+    return TX.char_class_profile_arrow(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Driver-certification order
 # ---------------------------------------------------------------------------
@@ -10379,6 +10408,7 @@ _DRIVER_FIRST = [
     "tokenizer_fertility",
     "capacity_forecast",
     "rank_movers",
+    "char_class_profile_arrow",
     # latest driver row is round 1 (stalest certified block)
     "events_of_type",
     "entity_hourly_activity",

@@ -197,3 +197,32 @@ def test_streaming_bloom_split_and_replay_invariant(spark, sf_dir, tmp_path):
         .collect()
     )
     assert states["one_batch"] == batch_bits
+
+
+class TestCharClassProfileArrow:
+    def test_hand_counted_classes_match_native_twin(self, spark):
+        from pyspark.sql import functions as F
+
+        texts = ["Ab1 c!", "  ", "123", "no digits here"]
+        df = spark.createDataFrame(
+            [
+                Row(doc_id=i, text=t, lang="en", source="s0", n_chars=len(t))
+                for i, t in enumerate(texts)
+            ]
+        )
+        out = {r.doc_id: r for r in TX.char_class_profile_arrow(df).collect()}
+        # "Ab1 c!": 6 chars, 3 alpha, 1 digit, 1 space, 1 other
+        assert tuple(out[0])[1:] == (6, 3, 1, 1, 1)
+        assert tuple(out[1])[1:] == (2, 0, 0, 2, 0)
+        assert tuple(out[2])[1:] == (3, 0, 3, 0, 0)
+        # Arrow path must equal the equivalent native expressions
+        native = df.select(
+            "doc_id",
+            F.length("text").cast("long").alias("n_chars"),
+            F.length(
+                F.regexp_replace("text", "[^A-Za-z]", "")
+            ).cast("long").alias("n_alpha"),
+        ).collect()
+        for r in native:
+            assert out[r.doc_id].n_chars == r.n_chars
+            assert out[r.doc_id].n_alpha == r.n_alpha
