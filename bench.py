@@ -378,6 +378,7 @@ def main() -> None:
         "capacity_forecast",
         "rank_movers",
         "char_class_profile_arrow",
+        "weekday_effect_anova",
     ]
     extended: dict[str, float] = {}
     for name in EXTENDED:

@@ -996,3 +996,69 @@ def seasonal_adjusted_anomalies(
         )
         .orderBy("day")
     )
+
+
+def weekday_effect_anova(events: DataFrame) -> DataFrame:
+    """AD-15: one-way ANOVA of the zero-filled daily count by
+    day-of-week — the F statistic (between-dow variance over
+    within-dow variance) and the eta-squared effect size (share of
+    daily variance the weekday explains). W-18 ESTIMATES the seasonal
+    offsets; this says whether they are signal or noise, and eta^2 is
+    the one-number answer to "how weekly is this corpus?" that decides
+    whether AD-14's seasonal adjustment is even worth running.
+
+    Exactness: group sums/squares are exact BIGINTs over the
+    day-granular calendar; SSB/SSW/SST are assembled from them with
+    mirrored single divisions per group term; F and eta^2 each spend
+    one more division; degenerate cases (fewer than 2 dow groups, or
+    zero within-group variance) report NULL F.
+
+    Scale shape: one combinable per-day count; a 7-row group table;
+    ONE output row."""
+    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+    base = events.select(day.alias("d")).groupBy("d").agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    rng = base.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    cal = rng.select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    series = cal.join(base, ["d"], "left").select(
+        ((F.col("d") + 4) % 7).alias("dow"),
+        F.coalesce("x", F.lit(0)).alias("x"),
+    )
+    grp = series.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum("x").alias("sg"),
+        F.sum(F.col("x") * F.col("x")).alias("qg"),
+    )
+    # each group's sg^2/ng term quantizes to BIGINT micros BEFORE the
+    # sum (a float sum across groups would be order-dependent)
+    tq = F.round(
+        F.col("sg").cast("double")
+        * F.col("sg").cast("double")
+        / F.col("ng").cast("double")
+        * F.lit(1e6)
+    ).cast("long")
+    m = grp.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("ng").alias("n"),
+        F.sum("sg").alias("s"),
+        F.sum("qg").alias("q"),
+        F.sum(tq).alias("sbq"),
+    )
+    n = F.col("n").cast("double")
+    s = F.col("s").cast("double")
+    q = F.col("q").cast("double")
+    sb_raw = F.col("sbq").cast("double") / F.lit(1e6)
+    sst = q - s * s / n
+    ssb = sb_raw - s * s / n
+    ssw = q - sb_raw
+    k = F.col("k")
+    f_stat = (ssb / (k - 1).cast("double")) / (
+        ssw / (F.col("n") - k).cast("double")
+    )
+    return m.select(
+        F.col("n").alias("n_days"),
+        F.col("k").alias("k_groups"),
+        F.when((k > 1) & (ssw > 0), F.round(f_stat, 4)).alias("f_stat"),
+        F.when(sst > 0, F.round(ssb / sst, 4)).alias("eta_sq"),
+    )

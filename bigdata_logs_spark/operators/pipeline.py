@@ -888,3 +888,4 @@ def weighted_sample(docs: DataFrame) -> DataFrame:
         "n_chars",
         F.round("es_key", 9).alias("es_key"),
     )
+

@@ -10347,6 +10347,55 @@ def q_char_class_profile_arrow(spark, sf_dir):
     return TX.char_class_profile_arrow(_docs(spark, sf_dir))
 
 
+@register(
+    "weekday_effect_anova",
+    """
+    WITH base AS (
+      SELECT (ts::DATE - DATE '1970-01-01')::BIGINT AS d,
+             COUNT(*)::BIGINT AS x
+      FROM events GROUP BY 1
+    ), rngt AS (
+      SELECT MIN(d) AS lo, MAX(d) AS hi FROM base
+    ), cal AS (
+      SELECT unnest(range(lo, hi + 1)) AS d FROM rngt
+    ), series AS (
+      SELECT ((c.d + 4) % 7)::BIGINT AS dow, COALESCE(b.x, 0)::BIGINT AS x
+      FROM cal c LEFT JOIN base b USING (d)
+    ), grp AS (
+      SELECT dow, COUNT(*)::BIGINT AS ng, SUM(x)::BIGINT AS sg,
+             SUM(x * x)::BIGINT AS qg
+      FROM series GROUP BY 1
+    ), m AS (
+      SELECT COUNT(*)::BIGINT AS k, SUM(ng)::BIGINT AS n,
+             SUM(sg)::BIGINT AS s, SUM(qg)::BIGINT AS q,
+             SUM(ROUND(sg::DOUBLE * sg::DOUBLE / ng::DOUBLE * 1e6)
+                 ::BIGINT)::BIGINT AS sbq
+      FROM grp
+    )
+    SELECT n AS n_days, k AS k_groups,
+           CASE WHEN k > 1
+                 AND (q::DOUBLE - sbq::DOUBLE / 1e6) > 0 THEN
+             ROUND(((sbq::DOUBLE / 1e6 - s::DOUBLE * s::DOUBLE / n::DOUBLE)
+                    / (k - 1)::DOUBLE)
+                   / ((q::DOUBLE - sbq::DOUBLE / 1e6) / (n - k)::DOUBLE), 4)
+           END AS f_stat,
+           CASE WHEN (q::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE) > 0 THEN
+             ROUND((sbq::DOUBLE / 1e6 - s::DOUBLE * s::DOUBLE / n::DOUBLE)
+                   / (q::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE), 4)
+           END AS eta_sq
+    FROM m
+    """,
+    tags=("AD-15",),
+)
+def q_weekday_effect_anova(spark, sf_dir):
+    """AD-15 one-way ANOVA of daily counts by day-of-week: F statistic
+    and eta-squared from exact integer group sums (per-group terms
+    quantized to micros before summing — float sums across groups
+    would be order-dependent); decides whether AD-14's seasonal
+    adjustment is signal or noise."""
+    return AD.weekday_effect_anova(_events(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Driver-certification order
 # ---------------------------------------------------------------------------
@@ -10409,6 +10458,7 @@ _DRIVER_FIRST = [
     "capacity_forecast",
     "rank_movers",
     "char_class_profile_arrow",
+    "weekday_effect_anova",
     # latest driver row is round 1 (stalest certified block)
     "events_of_type",
     "entity_hourly_activity",

@@ -226,3 +226,48 @@ class TestCharClassProfileArrow:
         for r in native:
             assert out[r.doc_id].n_chars == r.n_chars
             assert out[r.doc_id].n_alpha == r.n_alpha
+
+
+class TestWeekdayEffectAnova:
+    def test_matches_pure_python_anova(self, spark):
+        ep0 = (dt.date(2024, 1, 1) - dt.date(1970, 1, 1)).days
+        counts = []
+        for d in range(28):
+            dow = (ep0 + d + 4) % 7
+            counts.append(4 + (8 if dow == 6 else 0) + d % 2)
+        rows = [
+            (u, "a", 1.0, d) for d, c in enumerate(counts) for u in range(c)
+        ]
+        out = AN.capacity_forecast  # silence linter for AN import reuse
+        r = __import__(
+            "bigdata_logs_spark.operators.anomaly", fromlist=["x"]
+        ).weekday_effect_anova(_ev(spark, rows)).collect()[0]
+
+        groups: dict[int, list[int]] = {}
+        for d, c in enumerate(counts):
+            groups.setdefault((ep0 + d + 4) % 7, []).append(c)
+        n = len(counts)
+        s = sum(counts)
+        q = sum(c * c for c in counts)
+        sbq = sum(
+            round(sum(g) * sum(g) / len(g) * 1e6) for g in groups.values()
+        )
+        sb_raw = sbq / 1e6
+        sst = q - s * s / n
+        ssb = sb_raw - s * s / n
+        ssw = q - sb_raw
+        k = len(groups)
+        want_f = (ssb / (k - 1)) / (ssw / (n - k))
+        assert r.n_days == n and r.k_groups == k
+        assert abs(r.f_stat - round(want_f, 4)) < 1e-9
+        assert abs(r.eta_sq - round(ssb / sst, 4)) < 1e-9
+        # strong weekly signal -> large effect
+        assert r.eta_sq > 0.5
+
+    def test_constant_series_null_f(self, spark):
+        rows = [(u, "a", 1.0, d) for d in range(14) for u in range(5)]
+        r = __import__(
+            "bigdata_logs_spark.operators.anomaly", fromlist=["x"]
+        ).weekday_effect_anova(_ev(spark, rows)).collect()[0]
+        # zero within AND between variance -> NULL F, NULL eta^2
+        assert r.f_stat is None and r.eta_sq is None
