@@ -379,6 +379,7 @@ def main() -> None:
         "rank_movers",
         "char_class_profile_arrow",
         "weekday_effect_anova",
+        "survival_churn_curve",
     ]
     extended: dict[str, float] = {}
     for name in EXTENDED:

@@ -1716,3 +1716,96 @@ def rank_movers(events: DataFrame) -> DataFrame:
         .cast("long")
         .alias("rank_delta"),
     ).orderBy("week_start", "rank")
+
+
+def survival_churn_curve(
+    events: DataFrame, censor_window_days: int = 7
+) -> DataFrame:
+    """AGG-21: user-churn survival curve — Kaplan-Meier (1958) /
+    Nelson-Aalen (1972) estimators over user lifetimes with right
+    censoring: a user's lifetime is last-event-day minus
+    first-event-day, and users still active within
+    ``censor_window_days`` of the horizon are CENSORED (we haven't
+    seen them churn, which is categorically different from churning —
+    the distinction retention_cohorts' fixed-window percentages cannot
+    make, and the reason survival analysis exists). Per lifetime t:
+    the at-risk count, churn/censor counts, the discrete hazard
+    d_t/n_t, the Nelson-Aalen cumulative hazard, and the Kaplan-Meier
+    log-survival ln S(t) = sum ln(1 - d_i/n_i).
+
+    Exactness: the KM product and the cumulative hazard are both
+    order-dependent float reductions in their textbook form, so each
+    per-t term quantizes to BIGINT micros first (hazard: one division
+    then round; KM: one ln, bit-identical cross-engine, then round) —
+    the running sums are then exact integer window reductions.
+    ln-survival is reported instead of S = exp(...) because exp's
+    cross-engine rounding is not pinned (the T-29 convention). A t
+    where every at-risk user churns (d = n) has ln 0 undefined: its
+    km term is NULL and the running sum skips it (both engines skip
+    NULLs in SUM) — downstream rows carry the last finite value with
+    the curve conceptually at zero.
+
+    Scale shape: one combinable per-user (first, last) aggregation
+    collapses the corpus; everything after runs on lifetime-granular
+    rows (bounded by the horizon in days, the AD-13/W-17 bound); the
+    at-risk set is a reversed cumulative sum, not a self-join."""
+    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+    spans = (
+        events.where(F.col("user_id").isNotNull())
+        .select("user_id", day.alias("d"))
+        .groupBy("user_id")
+        .agg(F.min("d").alias("f"), F.max("d").alias("l"))
+    )
+    horizon = spans.agg(F.max("l").alias("hz"))
+    marked = spans.crossJoin(F.broadcast(horizon)).select(
+        (F.col("l") - F.col("f")).alias("t"),
+        F.when(
+            F.col("l") > F.col("hz") - censor_window_days, F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("censored"),
+    )
+    per_t = marked.groupBy("t").agg(
+        F.sum(1 - F.col("censored")).alias("d_t"),
+        F.sum("censored").alias("c_t"),
+    )
+    w_rev = (
+        Window.orderBy(F.desc("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = per_t.select(
+        "t",
+        "d_t",
+        "c_t",
+        F.sum(F.col("d_t") + F.col("c_t")).over(w_rev).alias("n_t"),
+    )
+    hq = F.round(
+        F.col("d_t").cast("double") / F.col("n_t").cast("double") * F.lit(1e6)
+    ).cast("long")
+    kq = F.when(
+        F.col("d_t") < F.col("n_t"),
+        F.round(
+            F.log(
+                (F.col("n_t") - F.col("d_t")).cast("double")
+                / F.col("n_t").cast("double")
+            )
+            * F.lit(1e6)
+        ).cast("long"),
+    )
+    terms = risk.select("t", "d_t", "c_t", "n_t", hq.alias("hq"), kq.alias("kq"))
+    w_fwd = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return terms.select(
+        F.col("t").alias("t_days"),
+        F.col("n_t").alias("n_at_risk"),
+        F.col("d_t").alias("n_churned"),
+        F.col("c_t").alias("n_censored"),
+        F.round(F.col("hq").cast("double") / F.lit(1e6), 6).alias("hazard"),
+        F.round(
+            F.sum("hq").over(w_fwd).cast("double") / F.lit(1e6), 6
+        ).alias("cum_hazard"),
+        F.round(
+            F.sum("kq").over(w_fwd).cast("double") / F.lit(1e6), 6
+        ).alias("km_ln_survival"),
+    ).orderBy("t_days")

@@ -10396,6 +10396,58 @@ def q_weekday_effect_anova(spark, sf_dir):
     return AD.weekday_effect_anova(_events(spark, sf_dir))
 
 
+@register(
+    "survival_churn_curve",
+    """
+    WITH spans AS (
+      SELECT user_id,
+             MIN((ts::DATE - DATE '1970-01-01')::BIGINT) AS f,
+             MAX((ts::DATE - DATE '1970-01-01')::BIGINT) AS l
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    ), hz AS (
+      SELECT MAX(l) AS hz FROM spans
+    ), marked AS (
+      SELECT (l - f)::BIGINT AS t,
+             CASE WHEN l > hz.hz - 7 THEN 1 ELSE 0 END AS censored
+      FROM spans, hz
+    ), per_t AS (
+      SELECT t, SUM(1 - censored)::BIGINT AS d_t,
+             SUM(censored)::BIGINT AS c_t
+      FROM marked GROUP BY 1
+    ), risk AS (
+      SELECT t, d_t, c_t,
+             (SUM(d_t + c_t) OVER (ORDER BY t DESC
+                ROWS UNBOUNDED PRECEDING))::BIGINT AS n_t
+      FROM per_t
+    ), terms AS (
+      SELECT t, d_t, c_t, n_t,
+             ROUND(d_t::DOUBLE / n_t::DOUBLE * 1e6)::BIGINT AS hq,
+             CASE WHEN d_t < n_t THEN
+               ROUND(ln((n_t - d_t)::DOUBLE / n_t::DOUBLE) * 1e6)::BIGINT
+             END AS kq
+      FROM risk
+    )
+    SELECT t AS t_days, n_t AS n_at_risk, d_t AS n_churned,
+           c_t AS n_censored,
+           ROUND(hq::DOUBLE / 1e6, 6) AS hazard,
+           ROUND((SUM(hq) OVER w)::DOUBLE / 1e6, 6) AS cum_hazard,
+           ROUND((SUM(kq) OVER w)::DOUBLE / 1e6, 6) AS km_ln_survival
+    FROM terms
+    WINDOW w AS (ORDER BY t ROWS UNBOUNDED PRECEDING)
+    ORDER BY t_days
+    """,
+    tags=("AGG-21",),
+)
+def q_survival_churn_curve(spark, sf_dir):
+    """AGG-21 Kaplan-Meier / Nelson-Aalen user-churn curve with right
+    censoring (active within 7 days of horizon = censored): per-t
+    hazard and ln-survival terms quantize to BIGINT micros before the
+    running sums, so both order-dependent textbook reductions become
+    exact integer window reductions; at-risk set is a reversed
+    cumulative sum, never a self-join."""
+    return AN.survival_churn_curve(_events(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Driver-certification order
 # ---------------------------------------------------------------------------
@@ -10459,6 +10511,7 @@ _DRIVER_FIRST = [
     "rank_movers",
     "char_class_profile_arrow",
     "weekday_effect_anova",
+    "survival_churn_curve",
     # latest driver row is round 1 (stalest certified block)
     "events_of_type",
     "entity_hourly_activity",

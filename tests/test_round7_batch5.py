@@ -271,3 +271,59 @@ class TestWeekdayEffectAnova:
         ).weekday_effect_anova(_ev(spark, rows)).collect()[0]
         # zero within AND between variance -> NULL F, NULL eta^2
         assert r.f_stat is None and r.eta_sq is None
+
+
+class TestSurvivalChurnCurve:
+    def test_matches_pure_python_km(self, spark):
+        # users with staggered lifetimes; horizon = day 30; censor
+        # window 7 days -> users last seen after day 23 are censored.
+        spans = [  # (user, first_day, last_day)
+            (1, 0, 2),   # churned, t=2
+            (2, 0, 2),   # churned, t=2
+            (3, 1, 6),   # churned, t=5
+            (4, 0, 10),  # churned, t=10
+            (5, 2, 26),  # censored, t=24
+            (6, 0, 30),  # censored, t=30 (defines horizon)
+        ]
+        rows = []
+        for i, (u, f, l) in enumerate(spans):
+            rows.append((u, "a", 1.0, f))
+            rows.append((u, "a", 1.0, l))
+        df = _ev(spark, rows)
+        out = {r.t_days: r for r in
+               __import__("bigdata_logs_spark.operators.analytics",
+                          fromlist=["x"]).survival_churn_curve(df).collect()}
+
+        import math
+
+        lifetimes = [(l - f, 1 if l > 30 - 7 else 0) for _, f, l in spans]
+        ts = sorted({t for t, _ in lifetimes})
+        cumh = 0
+        cumk = 0
+        for t in ts:
+            d = sum(1 for x, c in lifetimes if x == t and c == 0)
+            cns = sum(1 for x, c in lifetimes if x == t and c == 1)
+            n = sum(1 for x, _ in lifetimes if x >= t)
+            r = out[t]
+            assert (r.n_at_risk, r.n_churned, r.n_censored) == (n, d, cns)
+            cumh += round(d / n * 1e6)
+            assert abs(r.cum_hazard - round(cumh / 1e6, 6)) < 1e-9
+            if d < n:
+                cumk += round(math.log((n - d) / n) * 1e6)
+            assert abs(r.km_ln_survival - round(cumk / 1e6, 6)) < 1e-9
+        # survival is monotonically non-increasing where defined
+        lnS = [out[t].km_ln_survival for t in ts]
+        assert all(b <= a + 1e-12 for a, b in zip(lnS, lnS[1:]))
+
+    def test_partition_invariant(self, spark):
+        rows = [
+            (u, "a", 1.0, (u * 3) % 15) for u in range(40)
+        ] + [(u, "a", 1.0, (u * 7) % 28) for u in range(40)]
+        df = _ev(spark, rows)
+        a = sorted(map(tuple, __import__(
+            "bigdata_logs_spark.operators.analytics", fromlist=["x"]
+        ).survival_churn_curve(df).collect()))
+        b = sorted(map(tuple, __import__(
+            "bigdata_logs_spark.operators.analytics", fromlist=["x"]
+        ).survival_churn_curve(df.repartition(9)).collect()))
+        assert a == b
