@@ -380,6 +380,7 @@ def main() -> None:
         "char_class_profile_arrow",
         "weekday_effect_anova",
         "survival_churn_curve",
+        "burrows_delta",
     ]
     extended: dict[str, float] = {}
     for name in EXTENDED:

@@ -1622,3 +1622,113 @@ def char_class_profile_arrow(docs: DataFrame) -> DataFrame:
         "doc_id bigint, n_chars bigint, n_alpha bigint, n_digit bigint,"
         " n_space bigint, n_other bigint",
     ).orderBy("doc_id")
+
+
+def burrows_delta(docs: DataFrame, top_m: int = 30) -> DataFrame:
+    """T-31: Burrows' Delta stylometric distance between sources
+    (Burrows 2002, the standard authorship-attribution measure) —
+    z-score each source's relative frequency of the corpus's
+    ``top_m`` most frequent tokens (function words dominate that
+    set, which is the point: style lives in function-word rates),
+    then Delta(a, b) = mean |z_a - z_b| over the marker tokens. The
+    curation angle: sources with near-zero Delta are stylistic
+    clones (one crawler, one template), so a "diverse" mixture
+    weighted by source count may be far less diverse than it looks —
+    T-30 profiles a source's tokenizer cost, Delta profiles its
+    style redundancy against every other source.
+
+    Exactness: relative frequencies quantize to BIGINT micros at the
+    (source, token) cell (one division each); each z-score is the
+    integer co-moment form (n*f - Sf) / sqrt(n*Sff - Sf^2) — integer
+    numerator, integer radicand, one sqrt + one division — and
+    re-quantizes to micros so the final mean |dz| is an exact integer
+    reduction with one closing division. Zero-variance markers (all
+    sources at the same rate) contribute NULL z and are excluded from
+    the pair mean identically on both engines.
+
+    Scale shape: one tokenize pass -> (source, token) counts; the
+    marker set is a corpus-wide top-m (TakeOrdered, vocabulary-
+    bounded); everything pairwise runs on |sources|^2 x m rows."""
+    toks = with_tokens(docs).select(
+        "source", F.explode("tokens").alias("token")
+    )
+    cell = toks.groupBy("source", "token").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    totals = cell.groupBy("source").agg(F.sum("cnt").alias("total"))
+    markers = (
+        cell.groupBy("token")
+        .agg(F.sum("cnt").alias("corpus_cnt"))
+        .orderBy(F.desc("corpus_cnt"), F.asc("token"))
+        .limit(top_m)
+        .select("token")
+    )
+    # every (source, marker) cell, zero-filled — a source that never
+    # uses a marker is stylistic signal, not missing data
+    grid = totals.crossJoin(F.broadcast(markers))
+    fq = (
+        grid.join(cell, ["source", "token"], "left")
+        .select(
+            "source",
+            "token",
+            F.round(
+                F.coalesce(F.col("cnt"), F.lit(0)).cast("double")
+                * F.lit(1e6)
+                / F.col("total").cast("double")
+            )
+            .cast("long")
+            .alias("fq"),
+        )
+    )
+    stats = fq.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("fq").alias("sf"),
+        F.sum(F.col("fq") * F.col("fq")).alias("sff"),
+    )
+    varn = (
+        F.col("n").cast("double") * F.col("sff").cast("double")
+        - F.col("sf").cast("double") * F.col("sf").cast("double")
+    )
+    z = (
+        F.col("n").cast("double") * F.col("fq").cast("double")
+        - F.col("sf").cast("double")
+    ) / F.sqrt(varn)
+    zq = (
+        fq.join(F.broadcast(stats), ["token"])
+        .select(
+            "source",
+            "token",
+            F.when(varn > 0, F.round(z * F.lit(1e6)).cast("long")).alias(
+                "zq"
+            ),
+        )
+        .where(F.col("zq").isNotNull())
+    )
+    za = zq.select(
+        F.col("source").alias("source_a"), "token", F.col("zq").alias("za")
+    )
+    zb = zq.select(
+        F.col("source").alias("source_b"), "token", F.col("zq").alias("zb")
+    )
+    pairs = za.join(zb, ["token"]).where(
+        F.col("source_a") < F.col("source_b")
+    )
+    return (
+        pairs.groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_markers"),
+            F.sum(F.abs(F.col("za") - F.col("zb"))).alias("sabs"),
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_markers",
+            F.round(
+                F.col("sabs").cast("double")
+                / F.col("n_markers").cast("double")
+                / F.lit(1e6),
+                4,
+            ).alias("delta"),
+        )
+        .orderBy("source_a", "source_b")
+    )

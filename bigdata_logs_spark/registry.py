@@ -10448,6 +10448,61 @@ def q_survival_churn_curve(spark, sf_dir):
     return AN.survival_churn_curve(_events(spark, sf_dir))
 
 
+@register(
+    "burrows_delta",
+    TOKS_CTE
+    + """
+    , tok AS (
+      SELECT source, unnest(tokens) AS token FROM toks
+    ), cell AS (
+      SELECT source, token, COUNT(*)::BIGINT AS cnt FROM tok GROUP BY 1, 2
+    ), totals AS (
+      SELECT source, SUM(cnt)::BIGINT AS total FROM cell GROUP BY 1
+    ), markers AS (
+      SELECT token FROM (
+        SELECT token, SUM(cnt)::BIGINT AS corpus_cnt
+        FROM cell GROUP BY 1
+      ) ORDER BY corpus_cnt DESC, token LIMIT 30
+    ), fq AS (
+      SELECT t.source, m.token,
+             ROUND(COALESCE(c.cnt, 0)::DOUBLE * 1e6
+                   / t.total::DOUBLE)::BIGINT AS fq
+      FROM totals t CROSS JOIN markers m
+      LEFT JOIN cell c ON c.source = t.source AND c.token = m.token
+    ), stats AS (
+      SELECT token, COUNT(*)::BIGINT AS n, SUM(fq)::BIGINT AS sf,
+             SUM(fq * fq)::BIGINT AS sff
+      FROM fq GROUP BY 1
+    ), zq AS (
+      SELECT source, fq.token,
+             CASE WHEN (n::DOUBLE * sff::DOUBLE - sf::DOUBLE * sf::DOUBLE)
+                       > 0 THEN
+               ROUND((n::DOUBLE * fq::DOUBLE - sf::DOUBLE)
+                     / sqrt(n::DOUBLE * sff::DOUBLE - sf::DOUBLE * sf::DOUBLE)
+                     * 1e6)::BIGINT
+             END AS zq
+      FROM fq JOIN stats ON fq.token = stats.token
+    ), zz AS (
+      SELECT * FROM zq WHERE zq IS NOT NULL
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           COUNT(*)::BIGINT AS n_markers,
+           ROUND(SUM(abs(a.zq - b.zq))::DOUBLE / COUNT(*)::DOUBLE / 1e6, 4)
+             AS delta
+    FROM zz a JOIN zz b ON a.token = b.token AND a.source < b.source
+    GROUP BY 1, 2 ORDER BY source_a, source_b
+    """,
+    tags=("T-31",),
+)
+def q_burrows_delta(spark, sf_dir):
+    """T-31 Burrows' Delta stylometric distance between sources:
+    micro-quantized marker-token rates, integer co-moment z-scores
+    (one sqrt + one division each, re-quantized), exact integer mean
+    absolute difference per source pair — the style-redundancy
+    profile of the training mixture."""
+    return TX.burrows_delta(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Driver-certification order
 # ---------------------------------------------------------------------------
@@ -10512,6 +10567,7 @@ _DRIVER_FIRST = [
     "char_class_profile_arrow",
     "weekday_effect_anova",
     "survival_churn_curve",
+    "burrows_delta",
     # latest driver row is round 1 (stalest certified block)
     "events_of_type",
     "entity_hourly_activity",

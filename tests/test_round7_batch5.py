@@ -327,3 +327,41 @@ class TestSurvivalChurnCurve:
             "bigdata_logs_spark.operators.analytics", fromlist=["x"]
         ).survival_churn_curve(df.repartition(9)).collect()))
         assert a == b
+
+
+class TestBurrowsDelta:
+    def test_clone_sources_have_smaller_delta_than_distinct(self, spark):
+        # s0/s1 are stylistic clones (same function-word rates);
+        # s2 writes differently.
+        a = "the cat and the dog and the bird went to the house"
+        b = "the sun and the moon and the star went to the sky"
+        c = "quantum flux meters recalibrate seventeen novel isotopes"
+        rows = []
+        for i in range(6):
+            rows.append(("s0", a + f" x{i}"))
+            rows.append(("s1", b + f" y{i}"))
+            rows.append(("s2", c + f" z{i}"))
+        df = spark.createDataFrame(
+            [
+                Row(doc_id=i, text=t, lang="en", source=s, n_chars=len(t))
+                for i, (s, t) in enumerate(rows)
+            ]
+        )
+        out = {(r.source_a, r.source_b): r.delta
+               for r in TX.burrows_delta(df).collect()}
+        assert set(out) == {("s0", "s1"), ("s0", "s2"), ("s1", "s2")}
+        assert out[("s0", "s1")] < out[("s0", "s2")]
+        assert out[("s0", "s1")] < out[("s1", "s2")]
+
+    def test_partition_invariant(self, spark):
+        texts = [f"common words fill {i} and the {i % 3} more" for i in range(30)]
+        df = spark.createDataFrame(
+            [
+                Row(doc_id=i, text=t, lang="en",
+                    source=f"s{i % 4}", n_chars=len(t))
+                for i, t in enumerate(texts)
+            ]
+        )
+        x = sorted(map(tuple, TX.burrows_delta(df).collect()))
+        y = sorted(map(tuple, TX.burrows_delta(df.repartition(7)).collect()))
+        assert x == y
