@@ -381,6 +381,7 @@ def main() -> None:
         "weekday_effect_anova",
         "survival_churn_curve",
         "burrows_delta",
+        "user_resurrections",
     ]
     extended: dict[str, float] = {}
     for name in EXTENDED:

@@ -1809,3 +1809,62 @@ def survival_churn_curve(
             F.sum("kq").over(w_fwd).cast("double") / F.lit(1e6), 6
         ).alias("km_ln_survival"),
     ).orderBy("t_days")
+
+
+def user_resurrections(events: DataFrame, gap_days: int = 14) -> DataFrame:
+    """W-20: resurrection/winback report — per day, how many active
+    users were RESURRECTED (returned after ``gap_days``+ days of
+    silence) and what share of the day's actives they are. Growth
+    accounting's third bucket: a flat DAU (W-16) can hide perfectly
+    offsetting churn and winback, and SET-1's INTERSECT can only say
+    a user appears in both halves, not that they left and came back.
+    Resurrection share spiking after a campaign is the metric the
+    campaign is judged by.
+
+    Determinism/exactness: activity collapses to distinct (user, day)
+    first, so multiple same-day events are one active day; the gap is
+    an integer lag difference per user; counts are exact BIGINTs and
+    the share spends one division.
+
+    Scale shape: one combinable distinct (user, day) collapse; the
+    lag window partitions BY USER over that user's active DAYS
+    (horizon-bounded per user, never event cardinality); the report
+    is a day-granular aggregation."""
+    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+    ud = (
+        events.where(F.col("user_id").isNotNull())
+        .select("user_id", day.alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    flagged = ud.select(
+        "d",
+        F.when(
+            F.col("d") - F.lag("d").over(w) >= gap_days, F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("res"),
+    )
+    return (
+        flagged.groupBy("d")
+        .agg(
+            F.count(F.lit(1)).alias("n_active_users"),
+            F.sum("res").alias("n_resurrected"),
+        )
+        .select(
+            F.date_format(
+                F.date_add(
+                    F.lit("1970-01-01").cast("date"), F.col("d").cast("int")
+                ),
+                "yyyy-MM-dd",
+            ).alias("day"),
+            "n_active_users",
+            "n_resurrected",
+            F.round(
+                F.col("n_resurrected").cast("double")
+                / F.col("n_active_users").cast("double"),
+                4,
+            ).alias("resurrection_share"),
+        )
+        .orderBy("day")
+    )

@@ -10503,6 +10503,37 @@ def q_burrows_delta(spark, sf_dir):
     return TX.burrows_delta(_docs(spark, sf_dir))
 
 
+@register(
+    "user_resurrections",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             (ts::DATE - DATE '1970-01-01')::BIGINT AS d
+      FROM events WHERE user_id IS NOT NULL
+    ), flagged AS (
+      SELECT d,
+             CASE WHEN d - lag(d) OVER (PARTITION BY user_id ORDER BY d)
+                       >= 14
+                  THEN 1 ELSE 0 END AS res
+      FROM ud
+    )
+    SELECT strftime(DATE '1970-01-01' + d::INT, '%Y-%m-%d') AS day,
+           COUNT(*)::BIGINT AS n_active_users,
+           SUM(res)::BIGINT AS n_resurrected,
+           ROUND(SUM(res)::DOUBLE / COUNT(*)::DOUBLE, 4)
+             AS resurrection_share
+    FROM flagged GROUP BY d ORDER BY day
+    """,
+    tags=("W-20",),
+)
+def q_user_resurrections(spark, sf_dir):
+    """W-20 resurrection/winback report: distinct user-days, integer
+    lag gaps per user (>= 14 silent days then active = resurrected),
+    day-granular counts and share — growth accounting's third bucket
+    beside new and retained."""
+    return AN.user_resurrections(_events(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Driver-certification order
 # ---------------------------------------------------------------------------
@@ -10568,6 +10599,7 @@ _DRIVER_FIRST = [
     "weekday_effect_anova",
     "survival_churn_curve",
     "burrows_delta",
+    "user_resurrections",
     # latest driver row is round 1 (stalest certified block)
     "events_of_type",
     "entity_hourly_activity",

@@ -365,3 +365,33 @@ class TestBurrowsDelta:
         x = sorted(map(tuple, TX.burrows_delta(df).collect()))
         y = sorted(map(tuple, TX.burrows_delta(df.repartition(7)).collect()))
         assert x == y
+
+
+class TestUserResurrections:
+    def test_gap_rule_and_share(self, spark):
+        # u1 active day 0, silent 14+ days, back day 20 (resurrected);
+        # u2 active days 0, 5 (gap < 14, not resurrected);
+        # u3 only day 20 (first sighting: never resurrected).
+        rows = [
+            (1, "a", 1.0, 0),
+            (1, "a", 1.0, 20),
+            (1, "a", 1.0, 20),  # same-day dup must not double-count
+            (2, "a", 1.0, 0),
+            (2, "a", 1.0, 5),
+            (3, "a", 1.0, 20),
+        ]
+        out = {r.day: r for r in AN.user_resurrections(_ev(spark, rows)).collect()}
+        d20 = out["2024-01-21"]
+        assert (d20.n_active_users, d20.n_resurrected) == (2, 1)
+        assert d20.resurrection_share == 0.5
+        assert out["2024-01-01"].n_resurrected == 0
+        assert out["2024-01-06"].n_resurrected == 0
+
+    def test_partition_invariant(self, spark):
+        rows = [
+            (u % 7, "a", 1.0, (u * 5) % 40) for u in range(80)
+        ]
+        df = _ev(spark, rows)
+        a = sorted(map(tuple, AN.user_resurrections(df).collect()))
+        b = sorted(map(tuple, AN.user_resurrections(df.repartition(9)).collect()))
+        assert a == b
