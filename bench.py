@@ -382,6 +382,7 @@ def main() -> None:
         "survival_churn_curve",
         "burrows_delta",
         "user_resurrections",
+        "dedup_tier_agreement",
     ]
     extended: dict[str, float] = {}
     for name in EXTENDED:

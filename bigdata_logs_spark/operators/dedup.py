@@ -969,3 +969,107 @@ def normalization_dedup(docs: DataFrame) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def dedup_tier_agreement(docs: DataFrame, max_group: int = 64) -> DataFrame:
+    """DD-17: agreement matrix between dedup tiers — the pair sets
+    found by exact-hash dedup (DD-1), MinHash-LSH verified Jaccard >=
+    0.5 (DD-2/DD-4), and SimHash Hamming <= 3 (DD-3/DD-6), compared
+    pairwise by pair-set Jaccard. The tier-calibration question
+    DD-15's per-threshold calibration can't answer: do the tiers
+    AGREE on which documents are duplicates, or does each fire on a
+    disjoint population (in which case running only one tier leaves
+    the others' duplicates in the corpus)? Exact ⊂ minhash ⊂ simhash
+    containment is the healthy signature; a simhash set disjoint from
+    minhash means the 32-bit fingerprint is firing on topical, not
+    textual, similarity.
+
+    Determinism: the exact tier enumerates pairs within identical-
+    md5(text) groups capped at ``max_group`` members (the LSH bucket
+    occupancy-cap discipline — an uncapped clone group contributes
+    O(g^2) pairs); tier pair sets are exact; each agreement row
+    spends one division on exact counts.
+
+    Scale shape: all three tiers shuffle digests/fingerprints only
+    (the DD family contract); intersections are equi-joins on
+    (doc_a, doc_b); output is 3 rows."""
+    exg = docs.select(F.md5(F.col("text")).alias("dg"), "doc_id")
+    exok = (
+        exg.groupBy("dg")
+        .agg(F.count(F.lit(1)).alias("g"))
+        .where((F.col("g") >= 2) & (F.col("g") <= max_group))
+        .select("dg")
+    )
+    capped = exg.join(exok, ["dg"])
+    ex_pairs = (
+        capped.alias("a")
+        .join(capped.alias("b"), "dg")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+    )
+    mh_pairs = near_dup_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    sh_pairs = simhash_near_dup(docs).select("doc_a", "doc_b")
+    tiers = (
+        ex_pairs.withColumn("tier", F.lit("exact"))
+        .unionByName(mh_pairs.withColumn("tier", F.lit("minhash")))
+        .unionByName(sh_pairs.withColumn("tier", F.lit("simhash")))
+    )
+    sizes = tiers.groupBy("tier").agg(F.count(F.lit(1)).alias("n"))
+    spark = docs.sparkSession
+    tn = spark.range(1).select(
+        F.explode(
+            F.array(F.lit("exact"), F.lit("minhash"), F.lit("simhash"))
+        ).alias("tier")
+    )
+    tp = (
+        tn.alias("a")
+        .crossJoin(tn.alias("b"))
+        .where(F.col("a.tier") < F.col("b.tier"))
+        .select(
+            F.col("a.tier").alias("tier_a"), F.col("b.tier").alias("tier_b")
+        )
+    )
+    inter = (
+        tiers.alias("x")
+        .join(
+            tiers.alias("y"),
+            (F.col("x.doc_a") == F.col("y.doc_a"))
+            & (F.col("x.doc_b") == F.col("y.doc_b"))
+            & (F.col("x.tier") < F.col("y.tier")),
+        )
+        .groupBy(
+            F.col("x.tier").alias("tier_a"), F.col("y.tier").alias("tier_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("tier").alias("tier_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("tier").alias("tier_b"), F.col("n").alias("n_b"))
+    out = (
+        tp.join(F.broadcast(sa), ["tier_a"], "left")
+        .join(F.broadcast(sb), ["tier_b"], "left")
+        .join(F.broadcast(inter), ["tier_a", "tier_b"], "left")
+        .select(
+            "tier_a",
+            "tier_b",
+            F.coalesce("n_a", F.lit(0)).alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+            F.coalesce("n_common", F.lit(0)).alias("n_common"),
+        )
+    )
+    union = (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    ).cast("double")
+    return out.select(
+        "tier_a",
+        "tier_b",
+        "n_a",
+        "n_b",
+        "n_common",
+        F.when(
+            union > 0,
+            F.round(F.col("n_common").cast("double") / union, 4),
+        ).alias("pair_jaccard"),
+    ).orderBy("tier_a", "tier_b")

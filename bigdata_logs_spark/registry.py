@@ -10534,6 +10534,76 @@ def q_user_resurrections(spark, sf_dir):
     return AN.user_resurrections(_events(spark, sf_dir))
 
 
+@register(
+    "dedup_tier_agreement",
+    NDP_PAIRS_CTES
+    + SIMHASH_SQL
+    + """
+    , mh AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.5)
+    , shp AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               list_sum(list_transform(range(1, 33),
+                 i -> CASE WHEN substr(a.simhash, i, 1)
+                                <> substr(b.simhash, i, 1)
+                      THEN 1 ELSE 0 END))::INT AS hamming
+        FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
+      ) WHERE hamming <= 3
+    )
+    , exg AS (SELECT md5(text) AS dg, doc_id FROM documents)
+    , exok AS (
+      SELECT dg FROM exg GROUP BY dg
+      HAVING COUNT(*) BETWEEN 2 AND 64
+    )
+    , ex_pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM exg a JOIN exg b ON a.dg = b.dg AND a.doc_id < b.doc_id
+      JOIN exok ON a.dg = exok.dg
+    )
+    , tiers AS (
+      SELECT 'exact' AS tier, doc_a, doc_b FROM ex_pairs
+      UNION ALL SELECT 'minhash', doc_a, doc_b FROM mh
+      UNION ALL SELECT 'simhash', doc_a, doc_b FROM shp
+    )
+    , sizes AS (SELECT tier, COUNT(*)::BIGINT AS n FROM tiers GROUP BY 1)
+    , tn AS (SELECT unnest(['exact', 'minhash', 'simhash']) AS tier)
+    , tpx AS (
+      SELECT a.tier AS tier_a, b.tier AS tier_b
+      FROM tn a, tn b WHERE a.tier < b.tier
+    )
+    , inter AS (
+      SELECT x.tier AS tier_a, y.tier AS tier_b,
+             COUNT(*)::BIGINT AS n_common
+      FROM tiers x JOIN tiers y
+        ON x.doc_a = y.doc_a AND x.doc_b = y.doc_b AND x.tier < y.tier
+      GROUP BY 1, 2
+    )
+    SELECT tpx.tier_a AS tier_a, tpx.tier_b AS tier_b,
+           COALESCE(sa.n, 0)::BIGINT AS n_a,
+           COALESCE(sb.n, 0)::BIGINT AS n_b,
+           COALESCE(i.n_common, 0)::BIGINT AS n_common,
+           CASE WHEN (COALESCE(sa.n, 0) + COALESCE(sb.n, 0)
+                      - COALESCE(i.n_common, 0)) > 0 THEN
+             ROUND(COALESCE(i.n_common, 0)::DOUBLE
+                   / (COALESCE(sa.n, 0) + COALESCE(sb.n, 0)
+                      - COALESCE(i.n_common, 0))::DOUBLE, 4)
+           END AS pair_jaccard
+    FROM tpx
+    LEFT JOIN sizes sa ON tpx.tier_a = sa.tier
+    LEFT JOIN sizes sb ON tpx.tier_b = sb.tier
+    LEFT JOIN inter i ON tpx.tier_a = i.tier_a AND tpx.tier_b = i.tier_b
+    ORDER BY tpx.tier_a, tpx.tier_b
+    """,
+    tags=("DD-17",),
+)
+def q_dedup_tier_agreement(spark, sf_dir):
+    """DD-17 dedup-tier agreement matrix: pair-set Jaccard between the
+    exact (capped clone groups), MinHash-LSH (verified J >= 0.5), and
+    SimHash (H <= 3) tiers — do the tiers fire on the same duplicate
+    population, or does each leave the others' duplicates behind?"""
+    return DD.dedup_tier_agreement(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Driver-certification order
 # ---------------------------------------------------------------------------
@@ -10600,6 +10670,7 @@ _DRIVER_FIRST = [
     "survival_churn_curve",
     "burrows_delta",
     "user_resurrections",
+    "dedup_tier_agreement",
     # latest driver row is round 1 (stalest certified block)
     "events_of_type",
     "entity_hourly_activity",

@@ -395,3 +395,52 @@ class TestUserResurrections:
         a = sorted(map(tuple, AN.user_resurrections(df).collect()))
         b = sorted(map(tuple, AN.user_resurrections(df.repartition(9)).collect()))
         assert a == b
+
+
+class TestDedupTierAgreement:
+    def test_exact_clones_agree_across_tiers(self, spark):
+        from bigdata_logs_spark.operators import dedup as DD
+
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        texts = [f"unique filler doc {i} with tokens {i*3} {i*11} {i*17} end"
+                 for i in range(20)]
+        texts += [base, base]  # exact clone pair: all three tiers fire
+        df = spark.createDataFrame(
+            [
+                Row(doc_id=i, text=t, lang="en", source="s0", n_chars=len(t))
+                for i, t in enumerate(texts)
+            ]
+        )
+        out = {(r.tier_a, r.tier_b): r
+               for r in DD.dedup_tier_agreement(df).collect()}
+        assert set(out) == {
+            ("exact", "minhash"),
+            ("exact", "simhash"),
+            ("minhash", "simhash"),
+        }
+        em = out[("exact", "minhash")]
+        # the clone pair is in every tier
+        assert em.n_a >= 1 and em.n_common >= 1
+        assert em.pair_jaccard is not None and em.pair_jaccard > 0
+        # pair_jaccard = common / union for every row
+        for r in out.values():
+            union = r.n_a + r.n_b - r.n_common
+            if union > 0:
+                assert abs(r.pair_jaccard - round(r.n_common / union, 4)) < 1e-9
+
+    def test_partition_invariant(self, spark):
+        from bigdata_logs_spark.operators import dedup as DD
+
+        texts = [f"doc {i} shared words {i % 4} tail" for i in range(24)]
+        texts += ["dup dup dup dup dup"] * 3
+        df = spark.createDataFrame(
+            [
+                Row(doc_id=i, text=t, lang="en", source="s0", n_chars=len(t))
+                for i, t in enumerate(texts)
+            ]
+        )
+        a = sorted(map(tuple, DD.dedup_tier_agreement(df).collect()))
+        b = sorted(
+            map(tuple, DD.dedup_tier_agreement(df.repartition(7)).collect())
+        )
+        assert a == b
