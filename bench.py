@@ -383,6 +383,7 @@ def main() -> None:
         "burrows_delta",
         "user_resurrections",
         "dedup_tier_agreement",
+        "media_byte_entropy",
     ]
     extended: dict[str, float] = {}
     for name in EXTENDED:

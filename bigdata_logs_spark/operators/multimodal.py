@@ -477,3 +477,64 @@ def media_perceptual_dedup(media: DataFrame, max_hamming: int = 8) -> DataFrame:
         .select("media_a", "media_b", "hamming")
         .orderBy("media_a", "media_b")
     )
+
+
+def media_byte_entropy(media: DataFrame) -> DataFrame:
+    """M-8: byte-level Shannon entropy of each media payload, in bits
+    per byte — the decode-free corruption/compression detector:
+    well-compressed or encrypted payloads sit near 8 bits/byte, raw
+    bitmaps and templated payloads far lower, and a payload whose
+    entropy disagrees with its container kind (a "video" at 2
+    bits/byte) is the classic mislabeled/truncated-blob smell. Works
+    on the opaque bytes, so it needs none of the env-gated decoder
+    arms.
+
+    Exactness: H = (ln n - (sum c_i ln c_i) / n) / ln 2 — each
+    c·ln(c) term quantizes to BIGINT micros BEFORE the per-payload
+    sum (ln is cross-engine bit-identical; a float sum across byte
+    values would be order-dependent), leaving three mirrored IEEE
+    ops per payload. Byte extraction is substr(text, i, 1) over an
+    integer range — identical on both engines against the pure-ASCII
+    fixture payloads (octet == char there; production swaps in a
+    binary get_byte with the same plan shape).
+
+    Scale shape: the explode is payload-bytes-granular but
+    map-side-combines to (media, byte-value) cells — at most
+    |alphabet| rows per payload ever shuffle; the entropy reduction
+    is one combinable aggregation. (At 100 TB the per-row histogram
+    moves into U-7's mapInArrow kernel — same outputs, zero explode;
+    this is the oracle-mirrored form.)"""
+    chars = media.select(
+        "media_id",
+        "kind",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(CAST(content AS STRING))),"
+                " i -> substr(CAST(content AS STRING), i, 1))"
+            )
+        ).alias("ch"),
+    )
+    cells = chars.groupBy("media_id", "kind", "ch").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tq = F.round(
+        F.col("c").cast("double")
+        * F.log(F.col("c").cast("double"))
+        * F.lit(1e6)
+    ).cast("long")
+    per_media = cells.groupBy("media_id", "kind").agg(
+        F.sum("c").alias("n_bytes"),
+        F.sum(tq).alias("sq"),
+    )
+    n = F.col("n_bytes").cast("double")
+    h = (
+        F.log(n) - (F.col("sq").cast("double") / F.lit(1e6)) / n
+    ) / F.log(F.lit(2.0))
+    return per_media.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.when(F.col("n_bytes") > 0, F.round(h, 4)).alias(
+            "entropy_bits_per_byte"
+        ),
+    ).orderBy("media_id")

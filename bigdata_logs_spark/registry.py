@@ -10604,6 +10604,41 @@ def q_dedup_tier_agreement(spark, sf_dir):
     return DD.dedup_tier_agreement(_docs(spark, sf_dir))
 
 
+@register(
+    "media_byte_entropy",
+    MEDIA_CTE
+    + """
+    , chars AS (
+      SELECT media_id, kind, substr(text, i, 1) AS ch
+      FROM media, unnest(range(1, length(text) + 1)) AS r(i)
+    ), cells AS (
+      SELECT media_id, kind, ch, COUNT(*)::BIGINT AS c
+      FROM chars GROUP BY 1, 2, 3
+    ), per_media AS (
+      SELECT media_id, kind, SUM(c)::BIGINT AS n_bytes,
+             SUM(ROUND(c::DOUBLE * ln(c::DOUBLE) * 1e6)::BIGINT)::BIGINT
+               AS sq
+      FROM cells GROUP BY 1, 2
+    )
+    SELECT media_id, kind, n_bytes,
+           CASE WHEN n_bytes > 0 THEN
+             ROUND((ln(n_bytes::DOUBLE)
+                    - (sq::DOUBLE / 1e6) / n_bytes::DOUBLE)
+                   / ln(CAST(2.0 AS DOUBLE)), 4)
+           END AS entropy_bits_per_byte
+    FROM per_media ORDER BY media_id
+    """,
+    tags=("M-8",),
+)
+def q_media_byte_entropy(spark, sf_dir):
+    """M-8 byte-level Shannon entropy per payload (bits/byte): the
+    decode-free corruption/compression detector. c*ln(c) terms
+    quantize to micros before the per-payload sum; three mirrored
+    IEEE ops close each row."""
+    media = MM.media_from_documents(_docs(spark, sf_dir))
+    return MM.media_byte_entropy(media)
+
+
 # ---------------------------------------------------------------------------
 # Driver-certification order
 # ---------------------------------------------------------------------------
@@ -10671,6 +10706,7 @@ _DRIVER_FIRST = [
     "burrows_delta",
     "user_resurrections",
     "dedup_tier_agreement",
+    "media_byte_entropy",
     # latest driver row is round 1 (stalest certified block)
     "events_of_type",
     "entity_hourly_activity",

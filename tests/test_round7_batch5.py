@@ -444,3 +444,52 @@ class TestDedupTierAgreement:
             map(tuple, DD.dedup_tier_agreement(df.repartition(7)).collect())
         )
         assert a == b
+
+
+class TestMediaByteEntropy:
+    def test_hand_counted_entropy(self, spark):
+        from bigdata_logs_spark.operators import multimodal as MM
+
+        texts = ["aaaa", "abab", "abcd"]
+        df = spark.createDataFrame(
+            [
+                Row(doc_id=i, text=t, lang="en", source="s0", n_chars=len(t))
+                for i, t in enumerate(texts)
+            ]
+        )
+        media = MM.media_from_documents(df)
+        out = {r.media_id: r for r in MM.media_byte_entropy(media).collect()}
+        import math
+
+        def want(t):
+            from collections import Counter
+
+            n = len(t)
+            sq = sum(
+                round(c * math.log(c) * 1e6) for c in Counter(t).values()
+            )
+            return round((math.log(n) - (sq / 1e6) / n) / math.log(2.0), 4)
+
+        assert out[0].entropy_bits_per_byte == want("aaaa")  # 0.0
+        assert out[0].entropy_bits_per_byte == 0.0
+        assert out[1].entropy_bits_per_byte == want("abab")  # 1 bit
+        assert abs(out[1].entropy_bits_per_byte - 1.0) < 1e-9
+        assert out[2].entropy_bits_per_byte == want("abcd")  # 2 bits
+        assert abs(out[2].entropy_bits_per_byte - 2.0) < 1e-9
+        assert out[2].n_bytes == 4
+
+    def test_partition_invariant(self, spark):
+        from bigdata_logs_spark.operators import multimodal as MM
+
+        texts = [f"payload {i} " + "x" * (i % 17) for i in range(40)]
+        df = spark.createDataFrame(
+            [
+                Row(doc_id=i, text=t, lang="en", source="s0", n_chars=len(t))
+                for i, t in enumerate(texts)
+            ]
+        )
+        a = sorted(map(tuple, MM.media_byte_entropy(
+            MM.media_from_documents(df)).collect()))
+        b = sorted(map(tuple, MM.media_byte_entropy(
+            MM.media_from_documents(df.repartition(9))).collect()))
+        assert a == b
