@@ -384,6 +384,8 @@ def main() -> None:
         "user_resurrections",
         "dedup_tier_agreement",
         "media_byte_entropy",
+        "mann_whitney_value",
+        "binary_file_roundtrip",
     ]
     extended: dict[str, float] = {}
     for name in EXTENDED:

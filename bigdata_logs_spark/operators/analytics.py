@@ -1868,3 +1868,95 @@ def user_resurrections(events: DataFrame, gap_days: int = 14) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+def mann_whitney_value(
+    events: DataFrame, type_a: str = "purchase", type_b: str = "view"
+) -> DataFrame:
+    """AGG-22: Mann-Whitney U test (Mann & Whitney 1947; Wilcoxon
+    rank-sum) — does ``type_a``'s value distribution stochastically
+    dominate ``type_b``'s? The nonparametric two-sample LOCATION test
+    that completes the drift/test suite: AD-12's KS asks "did the
+    shape change", AD-11's z tests proportions, this asks "are
+    purchases simply LARGER than views" without assuming normality
+    (the t-test the reference's eyeballed bar charts implicitly
+    invite is wrong for skewed value data).
+
+    Exactness: doubled mid-ranks over the COMBINED distinct-cent
+    table are exact BIGINTs (2*cum_before + cnt + 1, the AGG-19
+    discipline); 2*R_a = sum cnt_a * r2 stays integer, so
+    U_a = n_a*n_b + n_a(n_a+1)/2 - R_a is an exact HALF-integer
+    (binary-exact as a double); the tie-corrected normal
+    approximation sigma^2 = n_a*n_b*((n+1)*n*(n-1) - sum(t^3-t))
+    / (12*n*(n-1)) is assembled from exact DECIMAL ingredients with
+    mirrored final floats (no continuity correction — a documented
+    choice, mirrored exactly on both engines).
+
+    Scale shape: the corpus collapses to distinct (cents) cells with
+    per-type counts (price-granularity bound, the AD-12 argument);
+    the rank window runs on that cell table; one output row."""
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    rows = events.where(
+        F.col("event_type").isin(type_a, type_b)
+    ).select(
+        cents.alias("c"),
+        F.when(F.col("event_type") == type_a, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_a"),
+    )
+    cells = rows.groupBy("c").agg(
+        F.sum("is_a").alias("ca"),
+        F.sum(1 - F.col("is_a")).alias("cb"),
+    )
+    w = Window.orderBy("c").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = cells.select(
+        "c",
+        "ca",
+        "cb",
+        (
+            (F.sum(F.col("ca") + F.col("cb")).over(w)
+             - (F.col("ca") + F.col("cb"))) * 2
+            + (F.col("ca") + F.col("cb"))
+            + 1
+        ).alias("r2"),
+    )
+    dec = "decimal(38,0)"
+    m = ranked.agg(
+        F.sum("ca").alias("na"),
+        F.sum("cb").alias("nb"),
+        F.sum(F.col("ca").cast(dec) * F.col("r2").cast(dec)).alias("r2a"),
+        F.sum(
+            (F.col("ca") + F.col("cb")).cast(dec)
+            * (F.col("ca") + F.col("cb")).cast(dec)
+            * (F.col("ca") + F.col("cb")).cast(dec)
+            - (F.col("ca") + F.col("cb")).cast(dec)
+        ).alias("ties"),
+    )
+    na = F.col("na").cast("double")
+    nb = F.col("nb").cast("double")
+    n = na + nb
+    # U_a = na*nb + na(na+1)/2 - R_a, with 2*R_a = r2a (exact integer)
+    u_a = na * nb + na * (na + 1) / F.lit(2.0) - F.col("r2a").cast(
+        "double"
+    ) / F.lit(2.0)
+    mu = na * nb / F.lit(2.0)
+    sigma2 = (
+        na
+        * nb
+        * ((n + 1) * n * (n - 1) - F.col("ties").cast("double"))
+        / (F.lit(12.0) * n * (n - 1))
+    )
+    z = (u_a - mu) / F.sqrt(sigma2)
+    return m.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.round(u_a, 1).alias("u_a"),
+        F.when((F.col("na") > 0) & (F.col("nb") > 0) & (sigma2 > 0),
+               F.round(z, 4)).alias("z"),
+        F.when(
+            (F.col("na") > 0) & (F.col("nb") > 0) & (sigma2 > 0),
+            F.abs(z) > F.lit(1.96),
+        ).alias("significant"),
+    )

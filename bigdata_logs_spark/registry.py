@@ -10639,6 +10639,147 @@ def q_media_byte_entropy(spark, sf_dir):
     return MM.media_byte_entropy(media)
 
 
+@register(
+    "mann_whitney_value",
+    """
+    WITH rows_ AS (
+      SELECT (value::DECIMAL(18,2) * 100)::DECIMAL(38,0)::BIGINT AS c,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_a
+      FROM events WHERE event_type IN ('purchase', 'view')
+    ), cells AS (
+      SELECT c, SUM(is_a)::BIGINT AS ca, SUM(1 - is_a)::BIGINT AS cb
+      FROM rows_ GROUP BY 1
+    ), ranked AS (
+      SELECT c, ca, cb,
+             ((SUM(ca + cb) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING)
+               - (ca + cb)) * 2 + (ca + cb) + 1)::BIGINT AS r2
+      FROM cells
+    ), m AS (
+      SELECT SUM(ca)::BIGINT AS na, SUM(cb)::BIGINT AS nb,
+             SUM(ca::DECIMAL(38,0) * r2::DECIMAL(38,0))::DECIMAL(38,0)
+               AS r2a,
+             SUM((ca + cb)::DECIMAL(38,0) * (ca + cb)::DECIMAL(38,0)
+                 * (ca + cb)::DECIMAL(38,0)
+                 - (ca + cb)::DECIMAL(38,0))::DECIMAL(38,0) AS ties
+      FROM ranked
+    )
+    SELECT na AS n_a, nb AS n_b,
+           ROUND(na::DOUBLE * nb::DOUBLE
+                 + na::DOUBLE * (na::DOUBLE + 1) / CAST(2 AS DOUBLE)
+                 - r2a::DOUBLE / CAST(2 AS DOUBLE), 1) AS u_a,
+           CASE WHEN na > 0 AND nb > 0
+                 AND (na::DOUBLE * nb::DOUBLE
+                      * ((na::DOUBLE + nb::DOUBLE + 1)
+                         * (na::DOUBLE + nb::DOUBLE)
+                         * (na::DOUBLE + nb::DOUBLE - 1) - ties::DOUBLE)
+                      / (CAST(12 AS DOUBLE) * (na::DOUBLE + nb::DOUBLE)
+                         * (na::DOUBLE + nb::DOUBLE - 1))) > 0
+           THEN ROUND(
+             (na::DOUBLE * nb::DOUBLE
+              + na::DOUBLE * (na::DOUBLE + 1) / CAST(2 AS DOUBLE)
+              - r2a::DOUBLE / CAST(2 AS DOUBLE)
+              - na::DOUBLE * nb::DOUBLE / CAST(2 AS DOUBLE))
+             / sqrt(na::DOUBLE * nb::DOUBLE
+                    * ((na::DOUBLE + nb::DOUBLE + 1)
+                       * (na::DOUBLE + nb::DOUBLE)
+                       * (na::DOUBLE + nb::DOUBLE - 1) - ties::DOUBLE)
+                    / (CAST(12 AS DOUBLE) * (na::DOUBLE + nb::DOUBLE)
+                       * (na::DOUBLE + nb::DOUBLE - 1))), 4)
+           END AS z,
+           CASE WHEN na > 0 AND nb > 0
+                 AND (na::DOUBLE * nb::DOUBLE
+                      * ((na::DOUBLE + nb::DOUBLE + 1)
+                         * (na::DOUBLE + nb::DOUBLE)
+                         * (na::DOUBLE + nb::DOUBLE - 1) - ties::DOUBLE)
+                      / (CAST(12 AS DOUBLE) * (na::DOUBLE + nb::DOUBLE)
+                         * (na::DOUBLE + nb::DOUBLE - 1))) > 0
+           THEN abs((na::DOUBLE * nb::DOUBLE
+                     + na::DOUBLE * (na::DOUBLE + 1) / CAST(2 AS DOUBLE)
+                     - r2a::DOUBLE / CAST(2 AS DOUBLE)
+                     - na::DOUBLE * nb::DOUBLE / CAST(2 AS DOUBLE))
+                    / sqrt(na::DOUBLE * nb::DOUBLE
+                           * ((na::DOUBLE + nb::DOUBLE + 1)
+                              * (na::DOUBLE + nb::DOUBLE)
+                              * (na::DOUBLE + nb::DOUBLE - 1)
+                              - ties::DOUBLE)
+                           / (CAST(12 AS DOUBLE)
+                              * (na::DOUBLE + nb::DOUBLE)
+                              * (na::DOUBLE + nb::DOUBLE - 1))))
+                > CAST(1.96 AS DOUBLE)
+           END AS significant
+    FROM m
+    """,
+    tags=("AGG-22",),
+)
+def q_mann_whitney_value(spark, sf_dir):
+    """AGG-22 Mann-Whitney U (purchase vs view values): doubled
+    mid-ranks on the combined distinct-cent table, exact half-integer
+    U, tie-corrected normal z in mirrored doubles — the nonparametric
+    location test beside AD-12's shape test."""
+    return AN.mann_whitney_value(_events(spark, sf_dir))
+
+
+@register(
+    "binary_file_roundtrip",
+    MEDIA_CTE
+    + """
+    SELECT kind, COUNT(*)::BIGINT AS n_files,
+           SUM(length(text))::BIGINT AS total_bytes,
+           COUNT(DISTINCT md5(text))::BIGINT AS distinct_digests
+    FROM media GROUP BY kind ORDER BY kind
+    """,
+    tags=("S-19",),
+)
+def q_binary_file_roundtrip(spark, sf_dir):
+    """S-19 ``binaryFile`` source: write every media payload as its
+    own blob file under kind=... partition directories (executor-side
+    foreach — the file-per-object layout image/audio corpora actually
+    ship as), read the directory back with Spark's native binaryFile
+    format (partition discovery recovers ``kind``; pathGlobFilter
+    prunes at the listing), and aggregate counts/bytes/digests per
+    kind. The oracle recomputes the same aggregates from the source
+    rows, proving the blob hop byte-lossless — the S-4 roundtrip
+    contract extended to Spark's one read-only binary source."""
+    import os as _o
+
+    from pyspark.sql import functions as F
+
+    media = MM.media_from_documents(_docs(spark, sf_dir))
+    base = _scratch_path("bls_binfiles", sf_dir)
+
+    def _write_blob(row):
+        import os
+
+        d = os.path.join(base, f"kind={row['kind']}")
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".{row['media_id']}.bin.tmp")
+        with open(tmp, "wb") as f:
+            f.write(bytes(row["content"]))
+        os.replace(tmp, os.path.join(d, f"{row['media_id']}.bin"))
+
+    media.select("media_id", "kind", "content").foreach(_write_blob)
+    back = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(base)
+    )
+    return (
+        back.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(F.length("content")).alias("total_bytes"),
+            F.countDistinct(F.md5("content")).alias("distinct_digests"),
+        )
+        .select(
+            F.col("kind").cast("string").alias("kind"),
+            "n_files",
+            "total_bytes",
+            "distinct_digests",
+        )
+        .orderBy("kind")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-certification order
 # ---------------------------------------------------------------------------
@@ -10707,6 +10848,8 @@ _DRIVER_FIRST = [
     "user_resurrections",
     "dedup_tier_agreement",
     "media_byte_entropy",
+    "mann_whitney_value",
+    "binary_file_roundtrip",
     # latest driver row is round 1 (stalest certified block)
     "events_of_type",
     "entity_hourly_activity",

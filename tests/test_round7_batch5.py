@@ -493,3 +493,75 @@ class TestMediaByteEntropy:
         b = sorted(map(tuple, MM.media_byte_entropy(
             MM.media_from_documents(df.repartition(9))).collect()))
         assert a == b
+
+
+class TestMannWhitney:
+    def test_matches_pure_python_u_and_z(self, spark):
+        a_vals = [5.0, 7.0, 7.0, 9.0, 12.0]
+        b_vals = [1.0, 2.0, 2.0, 7.0, 3.0, 4.0]
+        rows = [(u, "purchase", v, 0) for u, v in enumerate(a_vals)]
+        rows += [(100 + u, "view", v, 0) for u, v in enumerate(b_vals)]
+        rows += [(500, "click", 99.0, 0)]  # other types excluded
+        out = AN.mann_whitney_value(_ev(spark, rows)).collect()
+        assert len(out) == 1
+        r = out[0]
+
+        import math
+        from collections import Counter
+
+        ca = [int(round(v * 100)) for v in a_vals]
+        cb = [int(round(v * 100)) for v in b_vals]
+        combined = sorted(ca + cb)
+        ranks = {}
+        i = 0
+        for v, t in sorted(Counter(combined).items()):
+            ranks[v] = (2 * i + t + 1) / 2  # mid-rank
+            i += t
+        ra = sum(ranks[v] for v in ca)
+        na, nb = len(ca), len(cb)
+        u_a = na * nb + na * (na + 1) / 2 - ra
+        n = na + nb
+        ties = sum(t**3 - t for t in Counter(combined).values())
+        sigma2 = na * nb * ((n + 1) * n * (n - 1) - ties) / (12 * n * (n - 1))
+        z = (u_a - na * nb / 2) / math.sqrt(sigma2)
+        assert (r.n_a, r.n_b) == (na, nb)
+        assert r.u_a == round(u_a, 1)
+        assert abs(r.z - round(z, 4)) < 1e-9
+        assert r.significant == (abs(z) > 1.96)
+
+    def test_identical_distributions_not_significant(self, spark):
+        vals = [float(v) for v in range(1, 21)]
+        rows = [(u, "purchase", v, 0) for u, v in enumerate(vals)]
+        rows += [(100 + u, "view", v, 0) for u, v in enumerate(vals)]
+        r = AN.mann_whitney_value(_ev(spark, rows)).collect()[0]
+        assert not r.significant
+        assert abs(r.z) < 0.1
+
+
+def test_binary_file_roundtrip_is_lossless(spark, sf_dir):
+    """S-19: blob-per-file write + binaryFile read recovers every
+    payload byte-for-byte (counts, total bytes, distinct digests all
+    equal the source table's)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_logs_spark.registry import REGISTRY
+    from bigdata_logs_spark.operators import multimodal as MM
+    from bigdata_logs_spark.sources import load_table
+
+    got = sorted(
+        map(tuple, REGISTRY["binary_file_roundtrip"].fn(spark, sf_dir).collect())
+    )
+    media = MM.media_from_documents(load_table(spark, sf_dir, "documents"))
+    want = sorted(
+        map(
+            tuple,
+            media.groupBy("kind")
+            .agg(
+                F.count(F.lit(1)).alias("n_files"),
+                F.sum(F.length("content")).alias("total_bytes"),
+                F.countDistinct(F.md5("content")).alias("distinct_digests"),
+            )
+            .collect(),
+        )
+    )
+    assert got == want
