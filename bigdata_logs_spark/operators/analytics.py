@@ -928,21 +928,27 @@ def global_ranked(
       3. rank = slice-local row_number + broadcast offset. Each task
          sorts only its own slice (~1/shuffle-partitions of the data).
 
-    The sliced frame is cached so the sampled range boundaries are
-    computed once and both passes read the same physical partitions
-    (repartitionByRange samples its boundaries; two independent
-    evaluations could disagree). Output: input columns + ``rn``
-    (1-based rank within ``part_col``) + ``n`` (group size).
+    The sliced frame is an EAGER ``localCheckpoint`` (lineage
+    truncated), not a best-effort cache: ``repartitionByRange``
+    SAMPLES its boundaries, so if the offsets pass and the join pass
+    ever re-evaluated the lineage independently (cache-block eviction
+    or executor loss silently triggers recomputation for a plain
+    ``cache()``), the two passes could see different ``_slice``
+    assignments and produce wrong ranks. With the checkpoint both
+    passes can only read the one materialized snapshot — block loss
+    fails the job loudly instead of corrupting ranks. Output: input
+    columns + ``rn`` (1-based rank within ``part_col``) + ``n``
+    (group size).
 
     Rank VALUES are identical to the single-window form — order keys
     must form a total order (pass a unique id last) — so swapping
     this in changes no certified result, only the physical plan."""
-    from bigdata_logs_spark.caching import tracked_cache
+    from bigdata_logs_spark.caching import track_checkpoint
 
-    sliced = tracked_cache(
-        df.repartitionByRange(part_col, *order_cols).withColumn(
-            "_slice", F.spark_partition_id()
-        )
+    sliced = track_checkpoint(
+        df.repartitionByRange(part_col, *order_cols)
+        .withColumn("_slice", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     counts = sliced.groupBy("_slice", part_col).agg(
         F.count(F.lit(1)).alias("_c")
@@ -1056,6 +1062,10 @@ def value_lorenz_deciles(events: DataFrame) -> DataFrame:
     Exactness: per-user totals are exact DECIMAL cents; the decile
     boundary is integer arithmetic ((rn-1)*10 div n); shares are
     single double divisions of exact integer operands, ROUND(6).
+    NULL user_ids are excluded up front (as in the sibling user-grain
+    ops): the rank tiebreak orders by user_id, and Spark (NULLS FIRST
+    asc) and DuckDB (NULLS LAST) would place a NULL user tying on
+    cents differently — filtering on BOTH engines removes the hazard.
 
     Scale shape: the corpus collapses to the per-user total first
     (one combinable aggregation); user ranks come from the shared
@@ -1063,7 +1073,8 @@ def value_lorenz_deciles(events: DataFrame) -> DataFrame:
     per-slice offsets — no single-task sort of the user table);
     everything after the decile aggregation runs on 10 rows."""
     per_user = (
-        events.groupBy("user_id")
+        events.where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
         .agg(
             F.sum((F.col("value").cast("decimal(18,2)") * 100))
             .cast("decimal(38,0)")
@@ -1367,7 +1378,13 @@ def spearman_value_time(events: DataFrame) -> DataFrame:
     Scale shape: rank tables are windows over DISTINCT (type, day)
     and (type, cents) — bounded by calendar x price granularity, not
     event cardinality; the row-level joins are equi-joins on those
-    bounded keys; the co-moments collapse in one combinable pass."""
+    bounded keys; the co-moments collapse in one combinable pass.
+    Quantified bound: per type, the day window is <= the calendar
+    span (a year = 366 rows) and the cent window <= 100*V_max + 1
+    rows for a 2-decimal value in [0, V_max] (sf0.1 fixture: ~18k) —
+    both trivially one-task; a continuous high-cardinality value
+    column would take the ``global_ranked`` two-pass swap (mechanical,
+    same doubled-midrank values)."""
     day = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
     cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
     rows = events.select(
@@ -1894,7 +1911,15 @@ def mann_whitney_value(
 
     Scale shape: the corpus collapses to distinct (cents) cells with
     per-type counts (price-granularity bound, the AD-12 argument);
-    the rank window runs on that cell table; one output row."""
+    the rank window runs on that cell table; one output row.
+    Cell-cardinality bound, quantified: a 2-decimal value column with
+    range [0, V] yields at most 100*V + 1 distinct cent cells
+    REGARDLESS of corpus row count (the sf0.1 fixture: V=560 ->
+    ~18k cells; even V=10^6 prices -> 10^8 cells ~ a few GB, one
+    task's sort). The unpartitioned rank window is therefore bounded
+    by price granularity, not data volume; if a genuinely continuous
+    high-cardinality value column ever lands, swap the window for the
+    two-pass ``global_ranked`` (mechanical — same rank semantics)."""
     cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
     rows = events.where(
         F.col("event_type").isin(type_a, type_b)

@@ -8834,7 +8834,7 @@ def q_value_gini(spark, sf_dir):
       SELECT user_id,
              SUM((value::DECIMAL(18,2) * 100))::DECIMAL(38,0)::BIGINT
                AS cents
-      FROM events GROUP BY 1
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1
     ), ranked AS (
       SELECT cents,
              ROW_NUMBER() OVER (ORDER BY cents, user_id) AS rn,
@@ -10739,7 +10739,17 @@ def q_binary_file_roundtrip(spark, sf_dir):
     prunes at the listing), and aggregate counts/bytes/digests per
     kind. The oracle recomputes the same aggregates from the source
     rows, proving the blob hop byte-lossless — the S-4 roundtrip
-    contract extended to Spark's one read-only binary source."""
+    contract extended to Spark's one read-only binary source.
+
+    The blob-WRITE leg targets a local tempdir, which executors can
+    only reach when they share the driver's filesystem — so the
+    executor-side ``foreach`` runs only under a ``local[*]`` master;
+    any other master falls back to a driver-side ``toLocalIterator``
+    write (streams one partition at a time, never a full collect) so
+    a cluster run stays CORRECT instead of silently reading a
+    partial directory. On a real cluster the write leg would point
+    at shared storage (HDFS/object store) and keep the distributed
+    ``foreach``; the binaryFile READ leg is unchanged either way."""
     import os as _o
 
     from pyspark.sql import functions as F
@@ -10757,7 +10767,12 @@ def q_binary_file_roundtrip(spark, sf_dir):
             f.write(bytes(row["content"]))
         os.replace(tmp, os.path.join(d, f"{row['media_id']}.bin"))
 
-    media.select("media_id", "kind", "content").foreach(_write_blob)
+    blobs = media.select("media_id", "kind", "content")
+    if spark.sparkContext.master.startswith("local"):
+        blobs.foreach(_write_blob)
+    else:  # executors don't share the driver tempdir — write here
+        for row in blobs.toLocalIterator():
+            _write_blob(row)
     back = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.bin")
@@ -10790,68 +10805,21 @@ def q_binary_file_roundtrip(spark, sf_dir):
 # bench, and tests see a stable, readable ordering; the driver-facing
 # ``__spark_entry__.queries()`` re-keys by CERTIFICATION_ORDER.
 #
-# Round-7 rotation: the 12 never-driver-certified queries lead (the
-# six that sat at positions 50-55 of the round-6 window + the six
-# late-r6 adds the r6 verdict flagged), then any NEW round-7 queries
-# (inserted just below the never-certified block as they land:
-# never-certified beats stale-but-once-green), then the r1-stale
-# block (latest driver row is round 1), then the r3 block. With a
-# ~50-row window this re-certifies 12 never + all 35 r1 + the head
-# of r3; the r3 remainder leads round 8 (then max staleness is r4).
+# Round-8 rotation (consolidation round — NO new queries ahead of
+# this list). Round 7's ~50-row window went entirely to the 12
+# never-certified + 37 new-in-r7 queries + `events_of_type`, so
+# post-r7 the stale ledger is: 34 queries whose latest driver row is
+# round 1, and 46 whose latest row is round 3. Round 8 leads with
+# the full 34-query r1-stale block, then the 46-query r3 block; the
+# ~50-row window re-certifies all 34 r1 + the head (~16) of r3.
+# Round 9 plan: the r3 remainder (~30) + the 49 r4-stale queries
+# lead; after that max staleness is r5 and the rotation is caught up.
+# Everything certified green in round 7 (CORRECTNESS_r07: 50/50)
+# falls to the registry-order tail via ``rest`` below.
 _DRIVER_FIRST = [
-    # never driver-certified (positions 50-55 of r6 + late-r6 adds)
-    "weekly_pct_change",
-    "behavioral_entropy",
-    "top_value_days_with_ties",
-    "cumulative_unique_users",
-    "trimmed_mean_value",
-    "epoch_shuffle_shards",
-    "value_gini",
-    "rolling_active_users",
-    "association_rules",
-    "markov_stationary",
-    "two_proportion_drift",
-    "embedding_drift",
-    # new in round 7 — never driver-certified (inserted as they land)
-    "streaming_hll_distinct",
-    "value_lorenz_deciles",
-    "bm25_topk",
-    "knn_label_accuracy",
-    "label_cluster_quality",
-    "pca_top_component",
-    "ks_drift",
-    "structural_breaks",
-    "daily_acf",
-    "histogram_quantiles",
-    "centroid_silhouette",
-    "rake_keyphrases",
-    "readability_profile",
-    "weighted_sample",
-    "seasonal_decomposition",
-    "spearman_value_time",
-    "session_concurrency",
-    "heaps_law",
-    "slo_burn_alerts",
-    "streaming_line_length_quantiles",
-    "seasonal_adjusted_anomalies",
-    "kendall_tau_daily",
-    "degree_assortativity",
-    "hopkins_statistic",
-    "streaming_bloom_filter",
-    "tokenizer_fertility",
-    "capacity_forecast",
-    "rank_movers",
-    "char_class_profile_arrow",
-    "weekday_effect_anova",
-    "survival_churn_curve",
-    "burrows_delta",
-    "user_resurrections",
-    "dedup_tier_agreement",
-    "media_byte_entropy",
-    "mann_whitney_value",
-    "binary_file_roundtrip",
-    # latest driver row is round 1 (stalest certified block)
-    "events_of_type",
+    # latest driver row is round 1 (stalest certified block; 34
+    # entries — `events_of_type` was re-certified in round 7 and is
+    # no longer stale)
     "entity_hourly_activity",
     "top_events_with_others",
     "profile_percentages_long",
