@@ -224,6 +224,20 @@ class TestValueLorenzDeciles:
             assert abs(r.cum_value_share - round(cum / total, 6)) < 1e-6
         assert abs(out[-1].cum_value_share - 1.0) < 1e-9
 
+    def test_null_user_rows_excluded(self, spark):
+        # NULL user_id rows must not enter the decile table: the rank
+        # tiebreak orders by user_id, where Spark (NULLS FIRST) and
+        # DuckDB (NULLS LAST) disagree — the operator filters them on
+        # both engines, so a NULL user tying on cents can't flip the
+        # cross-engine hash. A NULL row with a huge value must leave
+        # every decile identical to the no-NULL run.
+        rows = [(u, "a", float(u + 1), 0) for u in range(20)]
+        base = AN.value_lorenz_deciles(_ev(spark, rows)).collect()
+        with_null = AN.value_lorenz_deciles(
+            _ev(spark, rows + [(None, "a", 9999.0, 0)])
+        ).collect()
+        assert [tuple(r) for r in with_null] == [tuple(r) for r in base]
+
 
 class TestBm25TopK:
     def test_matches_python_reference(self, spark):
