@@ -171,23 +171,34 @@ def user_activity_deciles(events: DataFrame) -> DataFrame:
     cut into tenths). ntile completes the ranking-window taxonomy
     next to row_number (W-1), running sums (W-2) and lag/lead (W-6).
 
-    Determinism: ntile assigns by position in the ORDER BY, so the
+    Determinism: NTILE assigns by position in the ORDER BY, so the
     (n_events, user_id) tiebreak makes the assignment — including
     which buckets get the +1 remainder rows — identical in any
-    engine.
+    engine. NULL user_ids are excluded up front (the user-grain
+    convention — see ``value_lorenz_deciles``): Spark and DuckDB
+    order NULLs differently, so a NULL user tying on n_events would
+    otherwise diverge cross-engine.
 
     Scale shape: the fact table collapses to one row per user in a
-    map-side-combinable groupBy FIRST; the ntile window then ranks
-    the (already small) user table — the global window never sees
-    raw-event cardinality. At 100 TB the user table is the thing you
-    ntile, and it is orders of magnitude smaller than the events.
+    map-side-combinable groupBy FIRST; the decile then comes from the
+    shared scale-safe two-pass ``global_ranked`` (range-repartition +
+    per-slice offsets) with ``ntile_from_rank`` reproducing exact
+    NTILE semantics arithmetically — no task ever sorts the whole
+    user table, so the operator holds even when the user table itself
+    is billions of rows (the plain ``ntile() OVER (ORDER BY ...)``
+    form this replaced funneled every user through one task).
     """
-    per_user = events.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_events")
+    per_user = (
+        events.where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .withColumn("grp", F.lit("all"))
     )
-    w = Window.orderBy("n_events", "user_id")
+    ranked = global_ranked(per_user, "grp", ("n_events", "user_id"))
     return (
-        per_user.withColumn("decile", F.ntile(10).over(w))
+        ranked.withColumn(
+            "decile", ntile_from_rank(F.col("rn"), F.col("n"), 10)
+        )
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_users"),
@@ -971,6 +982,41 @@ def global_ranked(
         sliced.join(F.broadcast(offsets), ["_slice", part_col])
         .withColumn("rn", F.row_number().over(w_local) + F.col("_off"))
         .drop("_slice", "_off")
+    )
+
+
+def ntile_from_rank(rn, n, k: int):
+    """Exact NTILE(k) bucket from a 1-based rank ``rn`` and group size
+    ``n`` (both Columns) — SQL NTILE semantics reproduced in integer
+    arithmetic so the bucket can ride ``global_ranked``'s scale-safe
+    two-pass rank instead of a single-task window sort.
+
+    NTILE splits n rows into k buckets where the first ``n mod k``
+    buckets hold ``n div k + 1`` rows and the rest ``n div k``:
+
+        q = n div k, r = n mod k
+        rn <= r*(q+1):  bucket = (rn + q) div (q + 1)
+        otherwise:      bucket = r + (rn - r*(q+1) + q - 1) div q
+
+    The else-branch divisor is ``greatest(q, 1)``: when n < k every
+    row falls in the first branch (q = 0, r = n, rn <= n), but ANSI
+    mode would still reject a literal div-by-zero if the expression
+    were evaluated — the guard keeps the never-taken branch safe.
+    Floor-of-double division is exact here (operands are row counts,
+    far below 2^53). Proven identical to ``F.ntile(k)`` including
+    remainder and n < k cases in tests."""
+    q = F.floor(n / k).cast("long")
+    r = (n % k).cast("long")
+    size_hi = q + 1
+    first_span = r * size_hi
+    return F.when(
+        rn <= first_span,
+        F.floor((rn + q) / size_hi).cast("long"),
+    ).otherwise(
+        r
+        + F.floor(
+            (rn - first_span + q - 1) / F.greatest(q, F.lit(1))
+        ).cast("long")
     )
 
 

@@ -521,28 +521,41 @@ def curriculum_phases(docs: DataFrame, n_phases: int = 4) -> DataFrame:
     row_number over (md5(doc_id), doc_id) are both tie-free integer/
     string comparisons — no floats anywhere.
 
-    Scale shape: the global NTILE is a full sort of (doc_id, n_tokens)
-    pairs — 16 bytes/doc, fine for billions of rows, and the payload
-    text never enters the sort. At 100 TB you would swap the exact
-    quartiles for approx-percentile cutoffs computed the
-    ``token_length_percentile_gate`` (PL-9) way and keep this
-    operator's phase/rank contract unchanged.
+    Scale shape: BOTH global orderings ride the shared two-pass
+    ``global_ranked`` (range-repartition + per-slice offsets) — the
+    phase comes from ``ntile_from_rank`` on the corpus-wide rank, the
+    in-phase shuffled rank from a second ``global_ranked`` partitioned
+    by phase — so no single task ever sorts the whole doc table (or a
+    whole phase, which is 1/n_phases of it: the window forms this
+    replaced did exactly that). Only (doc_id, n_tokens, md5) triples
+    move; the payload text never enters either sort.
     """
-    from pyspark.sql import Window
-
+    from bigdata_logs_spark.operators.analytics import (
+        global_ranked,
+        ntile_from_rank,
+    )
     from bigdata_logs_spark.operators.textops import with_tokens
 
-    base = with_tokens(docs).select(
-        "doc_id", F.size("tokens").alias("n_tokens")
+    base = (
+        with_tokens(docs)
+        .select("doc_id", F.size("tokens").alias("n_tokens"))
+        .withColumn("grp", F.lit("all"))
     )
-    phase = F.ntile(n_phases).over(Window.orderBy("n_tokens", "doc_id"))
-    ranked = base.withColumn("phase", phase)
-    in_phase = Window.partitionBy("phase").orderBy(
-        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    ranked = global_ranked(base, "grp", ("n_tokens", "doc_id"))
+    phased = ranked.select(
+        "doc_id",
+        "n_tokens",
+        ntile_from_rank(F.col("rn"), F.col("n"), n_phases).alias("phase"),
+        F.md5(F.col("doc_id").cast("string")).alias("_shuf"),
     )
+    in_phase = global_ranked(phased, "phase", ("_shuf", "doc_id"))
     return (
-        ranked.withColumn("phase_rank", F.row_number().over(in_phase))
-        .select("doc_id", "n_tokens", "phase", "phase_rank")
+        in_phase.select(
+            "doc_id",
+            "n_tokens",
+            "phase",
+            F.col("rn").alias("phase_rank"),
+        )
         .orderBy("phase", "phase_rank")
     )
 

@@ -5252,7 +5252,7 @@ def q_rare_transitions(spark, sf_dir):
     """
     WITH per_user AS (
       SELECT user_id, COUNT(*)::BIGINT AS n_events
-      FROM events GROUP BY user_id
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id
     ), tiled AS (
       SELECT *, NTILE(10) OVER (ORDER BY n_events, user_id) AS decile
       FROM per_user

@@ -136,6 +136,39 @@ def test_user_activity_deciles_partition_users_exactly(spark):
     assert sum(r.total_events for r in out) == len(rows)
 
 
+def test_ntile_from_rank_matches_window_ntile(spark):
+    """The arithmetic NTILE (rank + group size -> bucket) that lets
+    deciles/phases ride global_ranked must reproduce F.ntile exactly —
+    including the remainder rule (first n%k buckets get the extra row)
+    and the n < k degenerate case."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from bigdata_logs_spark.operators.analytics import (
+        global_ranked,
+        ntile_from_rank,
+    )
+
+    for n, k in [(1, 4), (3, 10), (10, 10), (23, 10), (97, 7), (40, 4)]:
+        rows = [(i, float((i * 37) % 13)) for i in range(n)]
+        df = spark.createDataFrame(rows, "id long, v double")
+        w = Window.orderBy("v", "id")
+        want = {
+            r.id: r.b
+            for r in df.withColumn("b", F.ntile(k).over(w)).collect()
+        }
+        ranked = global_ranked(
+            df.withColumn("grp", F.lit("all")), "grp", ("v", "id")
+        )
+        got = {
+            r.id: r.b
+            for r in ranked.withColumn(
+                "b", ntile_from_rank(F.col("rn"), F.col("n"), k)
+            ).collect()
+        }
+        assert got == want, (n, k)
+
+
 def test_daily_value_rank_bounds_and_ties(spark):
     from bigdata_logs_spark.operators.analytics import daily_value_rank
 
