@@ -10903,6 +10903,31 @@ _DRIVER_FIRST = [
     "supplier_nation_revenue",
 ]
 
+# Pre-staged ROUND-9 rotation (mechanical — do this at the start of
+# r9 once CORRECTNESS_r08 lands green): delete the first 50 names
+# above (now r8-certified), keeping the 30-query r3 remainder
+# (`attack_sessions` … `supplier_nation_revenue`) at the head, and
+# append the 49-query r4-stale block below it. The ~50-row r9 window
+# then covers the full r3 remainder + the head (~20) of r4; the r4
+# remainder + the 50 r5-stale lead round 10. r4-stale block, in
+# registry order (latest driver row is round 4 for each):
+#   global_metrics global_metrics_approx event_type_counts
+#   top_entities events_per_hour events_per_day events_by_type_per_day
+#   suspicious_vs_normal_per_day entity_event_matrix entity_profile
+#   profile_global_stats diversity_distribution score_histogram
+#   distinct_event_types events_for_entity store_schema_evolution
+#   token_counts_pandas_udf doc_length_zscores jaccard_pairs
+#   media_frame_offsets tfidf_top_terms component_size_histogram
+#   embedding_quantize orc_roundtrip media_features
+#   store_dynamic_overwrite json_corrupt_handling revenue_grouping_sets
+#   event_value_cube user_sessions funnel_conversion
+#   salted_join_order_priority doc_semantic_neighbors bigram_frequencies
+#   streaming_event_transitions streaming_repeat_offenders
+#   ssh_users_per_ip events_per_day_dense events_daily_moving_avg
+#   qty_price_regression per_source_sample key_skew_report fk_orphans
+#   column_profile conversion_latency doc_chunks kmeans_centroid_update
+#   boilerplate_ngrams boilerplate_fraction
+
 
 def certification_order() -> list[str]:
     """Full registry key list with the priority names first — the
