@@ -598,3 +598,33 @@ def test_semantic_dedup_invariant_under_partitioning_and_row_order(
         )
     )
     assert alt == base
+
+
+@given(
+    n=st.integers(min_value=1, max_value=4000),
+    k=st.integers(min_value=1, max_value=64),
+)
+@settings(max_examples=300, deadline=None)
+def test_ntile_from_rank_formula_matches_sql_semantics(n, k):
+    """Pure-Python mirror of ``ntile_from_rank``'s integer arithmetic
+    against SQL NTILE's definitional form (first n%k buckets take the
+    extra row) for arbitrary (n, k) — the Spark-side equivalence test
+    pins a handful of cases against F.ntile; this covers the space."""
+    q, r = divmod(n, k)
+    hi = q + 1
+    span = r * hi
+
+    def formula(rn: int) -> int:
+        if rn <= span:
+            return (rn + q) // hi
+        return r + (rn - span + q - 1) // max(q, 1)
+
+    # definitional NTILE: walk buckets left to right
+    bucket, filled = 1, 0
+    for rn in range(1, n + 1):
+        size = hi if bucket <= r else q
+        if filled >= size:
+            bucket += 1
+            filled = 0
+        assert formula(rn) == bucket, (n, k, rn)
+        filled += 1
