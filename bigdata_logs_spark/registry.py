@@ -714,12 +714,18 @@ SSH_PARSE_CTE = (
     SSH_GEN_CTE
     + f"""
 , fields AS (
+  -- TRY_CAST, not CAST: DuckDB may evaluate the projection on rows
+  -- the regexp_matches filter will discard (chunk-at-a-time
+  -- execution), where the extract is '' and a plain CAST('' AS INT)
+  -- aborts the whole query. On matching rows the groups are \\d+ so
+  -- TRY_CAST is value-identical. (Surfaced by the sf0.1 sweep; the
+  -- same plan never evaluated the cast early at sf0.01.)
   SELECT
     regexp_extract(value, '{SSH_MASTER}', 1) AS month,
-    CAST(regexp_extract(value, '{SSH_MASTER}', 2) AS INT) AS day,
+    TRY_CAST(regexp_extract(value, '{SSH_MASTER}', 2) AS INT) AS day,
     regexp_extract(value, '{SSH_MASTER}', 3) AS time,
     regexp_extract(value, '{SSH_MASTER}', 4) AS host,
-    CAST(regexp_extract(value, '{SSH_MASTER}', 5) AS INT) AS pid,
+    TRY_CAST(regexp_extract(value, '{SSH_MASTER}', 5) AS INT) AS pid,
     regexp_extract(value, '{SSH_MASTER}', 6) AS message
   FROM gen
   WHERE regexp_matches(value, '{SSH_MASTER}')
@@ -2228,20 +2234,35 @@ def q_streaming_brute_force_detector(spark, sf_dir):
     SSH_PARSE_CTE
     + """
     , t AS (
+      -- rn: a tie-break assigned ONCE and reused by BOTH windows
+      -- below. Two identical failed-login lines share (ip, ts); if
+      -- the lag() pass and the running-sum pass each picked their own
+      -- arbitrary order among such ties, a session flag computed in
+      -- one order could be summed in the other, splitting/merging
+      -- sessions nondeterministically (observed at sf0.1). Among
+      -- equal-ts rows the gap is 0 so the grouping itself is
+      -- order-free — consistency is all that is needed.
       SELECT ip, strptime('2024 ' || month || ' ' || day || ' ' || time,
-                          '%Y %b %d %H:%M:%S') AS ts
+                          '%Y %b %d %H:%M:%S') AS ts,
+             row_number() OVER (PARTITION BY ip, month, day, time
+                                ORDER BY time) AS rn
       FROM parsed
       WHERE event IN ('failed_password', 'invalid_user', 'auth_failure')
         AND ip IS NOT NULL
     ), flagged AS (
-      SELECT ip, ts,
-             CASE WHEN ts - lag(ts) OVER (PARTITION BY ip ORDER BY ts)
-                       <= INTERVAL 5 MINUTE
+      -- strict <: Spark's session_window is [start, start+gap) — an
+      -- event exactly gap later does NOT overlap and opens a new
+      -- session (no such boundary pair exists in the fixtures today;
+      -- strict keeps the oracle correct if one ever does)
+      SELECT ip, ts, rn,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY ip
+                                          ORDER BY ts, rn)
+                       < INTERVAL 5 MINUTE
                   THEN 0 ELSE 1 END AS new_session
       FROM t
     ), sess AS (
       SELECT ip, ts,
-             SUM(new_session) OVER (PARTITION BY ip ORDER BY ts
+             SUM(new_session) OVER (PARTITION BY ip ORDER BY ts, rn
                ROWS UNBOUNDED PRECEDING) AS session_id
       FROM flagged
     )
