@@ -143,6 +143,27 @@ def test_survey_ids_and_registry_tags_stay_in_lockstep():
     assert sorted(i for i in ids - tags if i not in audit.WAIVED) == []
 
 
+def test_certification_order_names_resolve_and_cover_registry():
+    """Every name in _DRIVER_FIRST must be a registered query and
+    appear once: certification_order() FILTERS unknown names, so a
+    typo in a rotation edit (the per-round mechanical re-ordering of
+    the driver window) would otherwise silently shrink the certified
+    window instead of failing. The full order must also remain a
+    permutation of the registry — every query keeps exactly one
+    driver-facing position."""
+    from bigdata_logs_spark.registry import (
+        CERTIFICATION_ORDER,
+        REGISTRY,
+        _DRIVER_FIRST,
+    )
+
+    unknown = [n for n in _DRIVER_FIRST if n not in REGISTRY]
+    assert unknown == [], f"typo'd names silently dropped: {unknown}"
+    dupes = [n for n in set(_DRIVER_FIRST) if _DRIVER_FIRST.count(n) > 1]
+    assert dupes == [], f"duplicate rotation entries: {dupes}"
+    assert sorted(CERTIFICATION_ORDER) == sorted(REGISTRY)
+
+
 def test_bench_extended_names_resolve_in_registry():
     """Every name in bench.py's EXTENDED list must be a registered
     query — a rename otherwise silently drops the op from the
