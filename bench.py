@@ -434,8 +434,15 @@ def main() -> None:
         "streaming": streaming,
         "machine": machine,
     }
+    # Default to an UNTRACKED filename so routine (driver/local) runs
+    # never overwrite the committed idle-machine record in
+    # BENCH_DETAIL.json (round-8 verdict: every bench run left it as a
+    # dirty worktree modification, inviting stale-snapshot confusion).
+    # To refresh the committed record on a verified-idle machine, run:
+    #   SPARK_GRAFT_DETAIL_OUT=BENCH_DETAIL.json python bench.py
+    detail_name = os.environ.get("SPARK_GRAFT_DETAIL_OUT", "BENCH_DETAIL_run.json")
     detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        os.path.dirname(os.path.abspath(__file__)), detail_name
     )
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
@@ -449,7 +456,7 @@ def main() -> None:
         "extended_value": round(sum(extended.values()), 4),
         "streaming_rows_per_sec": streaming.get("rows_per_sec"),
         "machine": machine,
-        "detail": "BENCH_DETAIL.json",
+        "detail": detail_name,
     }
     line = json.dumps(summary)
     if len(line) > 1900:  # belt-and-braces: never outgrow the capture

@@ -953,7 +953,17 @@ def global_ranked(
 
     Rank VALUES are identical to the single-window form — order keys
     must form a total order (pass a unique id last) — so swapping
-    this in changes no certified result, only the physical plan."""
+    this in changes no certified result, only the physical plan.
+
+    Consumer contract (two observable consequences of the eager
+    checkpoint): (1) CONSTRUCTING the result triggers a Spark job —
+    plan-only inspection pays the materialization; (2) the returned
+    DataFrame's lineage is truncated at the snapshot, so after
+    ``release_caches()`` it is NOT lazily recomputable — re-reading
+    it hard-fails with missing-block errors. Consume results fully
+    within the same cache epoch; never hold one across a
+    ``release_caches()`` boundary (long-lived serving sessions that
+    release between queries must rebuild, not re-read)."""
     from bigdata_logs_spark.caching import track_checkpoint
 
     sliced = track_checkpoint(

@@ -2250,14 +2250,17 @@ def q_streaming_brute_force_detector(spark, sf_dir):
       WHERE event IN ('failed_password', 'invalid_user', 'auth_failure')
         AND ip IS NOT NULL
     ), flagged AS (
-      -- strict <: Spark's session_window is [start, start+gap) — an
-      -- event exactly gap later does NOT overlap and opens a new
-      -- session (no such boundary pair exists in the fixtures today;
-      -- strict keeps the oracle correct if one ever does)
+      -- <= (inclusive): Spark MERGES adjacent sessions whose
+      -- [start, start+gap) windows touch — verified empirically on
+      -- 4.1.2: two events exactly gap apart yield ONE session
+      -- (start t0, end t0+2*gap, n=2). A strict < here would split
+      -- them and diverge from the engine at the boundary; the
+      -- boundary-pair regression test in tests/test_sessions.py
+      -- pins this.
       SELECT ip, ts, rn,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY ip
                                           ORDER BY ts, rn)
-                       < INTERVAL 5 MINUTE
+                       <= INTERVAL 5 MINUTE
                   THEN 0 ELSE 1 END AS new_session
       FROM t
     ), sess AS (
@@ -10768,9 +10771,12 @@ def q_binary_file_roundtrip(spark, sf_dir):
     any other master falls back to a driver-side ``toLocalIterator``
     write (streams one partition at a time, never a full collect) so
     a cluster run stays CORRECT instead of silently reading a
-    partial directory. On a real cluster the write leg would point
-    at shared storage (HDFS/object store) and keep the distributed
-    ``foreach``; the binaryFile READ leg is unchanged either way."""
+    partial directory. The binaryFile READ leg has the same
+    constraint: it lists the driver-local tempdir, so on a
+    non-shared-filesystem cluster it fails LOUDLY (FileNotFound on
+    the executors) rather than silently — on a real cluster BOTH
+    legs would point at shared storage (HDFS/object store) and keep
+    the distributed ``foreach`` + distributed read."""
     import os as _o
 
     from pyspark.sql import functions as F
@@ -10826,72 +10832,21 @@ def q_binary_file_roundtrip(spark, sf_dir):
 # bench, and tests see a stable, readable ordering; the driver-facing
 # ``__spark_entry__.queries()`` re-keys by CERTIFICATION_ORDER.
 #
-# Round-8 rotation (consolidation round — NO new queries ahead of
-# this list). Round 7's ~50-row window went entirely to the 12
-# never-certified + 37 new-in-r7 queries + `events_of_type`, so
-# post-r7 the stale ledger is: 34 queries whose latest driver row is
-# round 1, and 46 whose latest row is round 3. Round 8 leads with
-# the full 34-query r1-stale block, then the 46-query r3 block; the
-# ~50-row window re-certifies all 34 r1 + the head (~16) of r3.
-# Round 9 plan: the r3 remainder (~30) + the 49 r4-stale queries
-# lead; after that max staleness is r5 and the rotation is caught up.
-# Everything certified green in round 7 (CORRECTNESS_r07: 50/50)
-# falls to the registry-order tail via ``rest`` below.
+# Round-9 rotation (executed per the r8 pre-stage — still capped on
+# new queries ahead of this list). CORRECTNESS_r08 was 50/50 green and
+# re-certified the 34 r1-stale queries + the 16-query head of the r3
+# block, so post-r8 the stale ledger is: 30 queries whose latest
+# driver row is round 3, and 49 whose latest row is round 4. Round 9
+# leads with the full 30-query r3 remainder, then the 49-query r4
+# block; the ~50-row window re-certifies all 30 r3 + the head (~20)
+# of r4. Round 10 plan: the r4 remainder (~29) + the 50 r5-stale
+# queries lead; after that max staleness is r6. Everything certified
+# green in round 8 (CORRECTNESS_r08: 50/50) falls to the
+# registry-order tail via ``rest`` below.
 _DRIVER_FIRST = [
-    # latest driver row is round 1 (stalest certified block; 34
-    # entries — `events_of_type` was re-certified in round 7 and is
-    # no longer stale)
-    "entity_hourly_activity",
-    "top_events_with_others",
-    "profile_percentages_long",
-    "cumulative_daily_events",
-    "latest_event_per_user",
-    "daily_event_rollup",
-    "value_percentiles",
-    "salted_event_counts",
-    "returning_users",
-    "users_never_high_value",
-    "props_key_distribution",
-    "ssh_parse_full",
-    "ssh_event_counts",
-    "ssh_parse_drop_stats",
-    "ssh_events_per_day",
-    "ssh_root_admin_attempts",
-    "ssh_latest_events",
-    "store_roundtrip",
-    "csv_roundtrip",
-    "pricing_summary",
-    "top_revenue_customers",
-    "regional_revenue",
-    "customers_without_orders",
-    "customers_with_open_orders",
-    "part_type_revenue",
-    "top_order_per_customer",
-    "customer_order_stats",
-    "order_priority_counts",
-    "segment_nation_sales",
-    "doc_stats_by_lang",
-    "token_counts",
-    "word_frequencies",
-    "quality_scores",
-    "lang_id",
-    # latest driver row is round 3
-    "ssh_parse_rejects",
-    "exact_dedup",
-    "minhash_signatures",
-    "minhash_buckets",
-    "simhash",
-    "near_dup_pairs",
-    "embedding_norms",
-    "knn_brute_force",
-    "label_centroids",
-    "lsh_sign_buckets",
-    "embedding_near_dup",
-    "ann_ivf_topk",
-    "media_decode",
-    "media_stats",
-    "streaming_hourly_counts",
-    "streaming_brute_force_detector",
+    # latest driver row is round 3 (stalest certified block; 30
+    # entries — the 16-query head of the old r3 block was
+    # re-certified in round 8 and is no longer stale)
     "attack_sessions",
     "streaming_dedup_counts",
     "train_val_test_split",
@@ -10922,32 +10877,82 @@ _DRIVER_FIRST = [
     "token_length_percentile_gate",
     "streaming_latest_per_ip",
     "supplier_nation_revenue",
+    # latest driver row is round 4 (49 entries, registry order)
+    "global_metrics",
+    "global_metrics_approx",
+    "event_type_counts",
+    "top_entities",
+    "events_per_hour",
+    "events_per_day",
+    "events_by_type_per_day",
+    "suspicious_vs_normal_per_day",
+    "entity_event_matrix",
+    "entity_profile",
+    "profile_global_stats",
+    "diversity_distribution",
+    "score_histogram",
+    "distinct_event_types",
+    "events_for_entity",
+    "store_schema_evolution",
+    "token_counts_pandas_udf",
+    "doc_length_zscores",
+    "jaccard_pairs",
+    "media_frame_offsets",
+    "tfidf_top_terms",
+    "component_size_histogram",
+    "embedding_quantize",
+    "orc_roundtrip",
+    "media_features",
+    "store_dynamic_overwrite",
+    "json_corrupt_handling",
+    "revenue_grouping_sets",
+    "event_value_cube",
+    "user_sessions",
+    "funnel_conversion",
+    "salted_join_order_priority",
+    "doc_semantic_neighbors",
+    "bigram_frequencies",
+    "streaming_event_transitions",
+    "streaming_repeat_offenders",
+    "ssh_users_per_ip",
+    "events_per_day_dense",
+    "events_daily_moving_avg",
+    "qty_price_regression",
+    "per_source_sample",
+    "key_skew_report",
+    "fk_orphans",
+    "column_profile",
+    "conversion_latency",
+    "doc_chunks",
+    "kmeans_centroid_update",
+    "boilerplate_ngrams",
+    "boilerplate_fraction",
 ]
 
-# Pre-staged ROUND-9 rotation (mechanical — do this at the start of
-# r9 once CORRECTNESS_r08 lands green): delete the first 50 names
-# above (now r8-certified), keeping the 30-query r3 remainder
-# (`attack_sessions` … `supplier_nation_revenue`) at the head, and
-# append the 49-query r4-stale block below it. The ~50-row r9 window
-# then covers the full r3 remainder + the head (~20) of r4; the r4
-# remainder + the 50 r5-stale lead round 10. r4-stale block, in
-# registry order (latest driver row is round 4 for each):
-#   global_metrics global_metrics_approx event_type_counts
-#   top_entities events_per_hour events_per_day events_by_type_per_day
-#   suspicious_vs_normal_per_day entity_event_matrix entity_profile
-#   profile_global_stats diversity_distribution score_histogram
-#   distinct_event_types events_for_entity store_schema_evolution
-#   token_counts_pandas_udf doc_length_zscores jaccard_pairs
-#   media_frame_offsets tfidf_top_terms component_size_histogram
-#   embedding_quantize orc_roundtrip media_features
-#   store_dynamic_overwrite json_corrupt_handling revenue_grouping_sets
-#   event_value_cube user_sessions funnel_conversion
-#   salted_join_order_priority doc_semantic_neighbors bigram_frequencies
-#   streaming_event_transitions streaming_repeat_offenders
-#   ssh_users_per_ip events_per_day_dense events_daily_moving_avg
-#   qty_price_regression per_source_sample key_skew_report fk_orphans
-#   column_profile conversion_latency doc_chunks kmeans_centroid_update
-#   boilerplate_ngrams boilerplate_fraction
+# Pre-staged ROUND-10 rotation (mechanical — do this at the start of
+# r10 once CORRECTNESS_r09 lands green): delete the names above that
+# CORRECTNESS_r09 certified (the 30-query r3 remainder + the ~20-query
+# r4 head), keeping the r4 remainder at the head, and append the
+# 50-query r5-stale block below it. The ~50-row r10 window then covers
+# the r4 remainder + the head (~20) of r5; after r10 max staleness is
+# r6 (the 50 r6-certified queries lead round 11). r5-stale block, in
+# ledger order (latest driver row is round 5 for each):
+#   fingerprints textrank_keywords cms_heavy_hitters vocab_growth
+#   pq_codes pq_distortion curriculum_phases zipf_fit kmv_distinct
+#   pq_adc_topk ssh_account_clusters embedding_truncation_fidelity
+#   streaming_kmv_distinct python_datasource_counts daily_value_ohlc
+#   daily_value_interpolated lang_id_confusion quality_dedup_survivors
+#   token_graph_degrees observed_etl_metrics user_attr_scd2
+#   cdc_shared_chunks packing_efficiency session_documents
+#   hourly_burstiness ivf_nprobe_sweep dow_hour_anomalies char_entropy
+#   daily_value_ribbon snapshot_diff bloom_pruned_order_priority
+#   zorder_cells streaming_store_etl hourly_event_anomalies
+#   brute_force_ips order_price_outliers event_type_drift
+#   streaming_event_drift corpus_manifest rollup_incremental_maintenance
+#   ssh_incident_report interarrival_stats media_phash
+#   media_perceptual_dedup store_time_travel minhash_calibration
+#   value_median_pandas_agg props_typed_extract commonness_scores
+#   embedding_random_projection
 
 
 def certification_order() -> list[str]:
