@@ -1,0 +1,36 @@
+"""Registry-wide partitioning-invariance sweep (env-gated).
+
+The default suite checks partition/row-order invariance on
+representative queries; this module runs the EXHAUSTIVE A/B sweep
+from ``tools/invariance_sweep.py`` — every registry query re-executed
+under a hostile re-plan (7 shuffle partitions, AQE off, 1 MiB scan
+splits) must hash-match its engine-default answer. Catches
+order-dependent float accumulation, window ties broken by arrival
+order, and partition-seeded logic that a cluster re-tune would
+surface.
+
+Running every query twice takes ~30-60 min, so the sweep is opt-in:
+
+    INVARIANCE_SWEEP=1 python -m pytest tests/test_invariance_sweep.py -q
+
+Run it (or `python tools/invariance_sweep.py`) at round close, next
+to the oracle and plan sweeps.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+
+@pytest.mark.skipif(
+    not os.environ.get("INVARIANCE_SWEEP"),
+    reason="exhaustive two-pass sweep; set INVARIANCE_SWEEP=1 (tools/invariance_sweep.py is the CLI form)",
+)
+def test_answers_invariant_to_partitioning_registry_wide(spark, sf_dir):
+    from tools.invariance_sweep import sweep
+
+    checked, failures = sweep(spark, sf_dir)
+    assert checked > 0
+    assert not failures, f"partitioning-dependent answers: {failures}"
