@@ -34,3 +34,40 @@ def test_answers_invariant_to_partitioning_registry_wide(spark, sf_dir):
     checked, failures = sweep(spark, sf_dir)
     assert checked > 0
     assert not failures, f"partitioning-dependent answers: {failures}"
+
+
+def test_sweep_detects_partition_dependent_canary(spark, sf_dir):
+    """Negative control (always on — it's two tiny jobs): a query
+    whose answer leaks the physical partitioning MUST fail the sweep,
+    or a green registry run proves nothing. The canary shuffles to
+    ``spark.sql.shuffle.partitions`` tasks and returns the max
+    ``spark_partition_id`` it saw — 31 under defaults, 6 under the
+    hostile re-plan — while a well-behaved sibling on the same data
+    passes."""
+    from pyspark.sql import functions as F
+
+    from tools.invariance_sweep import sweep
+
+    class _Spec:
+        def __init__(self, fn):
+            self.fn = fn
+
+    def canary(spark_, _sf_dir):
+        df = spark_.range(1000).withColumn("k", F.col("id") % 50)
+        return (
+            df.repartition("k")
+            .select(F.spark_partition_id().alias("pid"))
+            .agg(F.max("pid").alias("max_pid"))
+        )
+
+    def wellbehaved(spark_, _sf_dir):
+        df = spark_.range(1000).withColumn("k", F.col("id") % 50)
+        return df.groupBy("k").agg(F.sum("id").alias("s")).orderBy("k")
+
+    checked, failures = sweep(
+        spark,
+        sf_dir,
+        registry={"canary": _Spec(canary), "ok": _Spec(wellbehaved)},
+    )
+    assert checked == 2
+    assert [n for n, _ in failures] == ["canary"]

@@ -61,15 +61,16 @@ def _run(spark, spec, sf_dir):
         spark.catalog.clearCache()
 
 
-def sweep(spark, sf_dir: str, only=None):
+def sweep(spark, sf_dir: str, only=None, registry=None):
     """Run the A/B invariance comparison for every registry query
-    (or the ``only`` subset). Returns (checked, failures) where
-    failures is a list of (query_name, why)."""
+    (or the ``only`` subset; ``registry`` overrides the live REGISTRY
+    so tests can feed canary specs). Returns (checked, failures)
+    where failures is a list of (query_name, why)."""
     defaults = {k: spark.conf.get(k) for k in HOSTILE}
 
     failures = []
     checked = 0
-    for name, spec in REGISTRY.items():
+    for name, spec in (registry if registry is not None else REGISTRY).items():
         if only and name not in only:
             continue
         checked += 1
