@@ -34,6 +34,17 @@ _DEFAULT_CONF: dict[str, str] = {
     "spark.sql.ansi.enabled": "false",
 }
 
+# In local mode the driver JVM *is* the executor: its heap is the
+# entire execution+storage pool for every task thread. Spark's stock
+# default is 1g — on a 32-thread local[32] box that is ~19 MiB of
+# execution memory per task, which forces constant shuffle/agg spills
+# and can kill the JVM outright under adversarial partitioning
+# (observed: the sf0.1 invariance sweep's AQE-off/7-partition pass).
+# Sized for the target box (128 GiB); override for smaller machines.
+# Heap is reserved lazily by the OS, so an idle 32g JVM costs little.
+_DRIVER_MEM_ENV = "SPARK_GRAFT_DRIVER_MEM"
+_DRIVER_MEM_DEFAULT = "32g"
+
 
 def get_spark(
     app_name: str = "bigdata-logs-spark",
@@ -50,6 +61,12 @@ def get_spark(
     builder = SparkSession.builder.appName(app_name)
     builder = builder.master(master or os.environ.get("SPARK_MASTER", "local[*]"))
     conf = dict(_DEFAULT_CONF)
+    # Only effective at JVM launch (the first getOrCreate in the
+    # process); a no-op when attaching to an existing session, e.g.
+    # under the grading driver's own vanilla SparkSession.
+    conf["spark.driver.memory"] = os.environ.get(
+        _DRIVER_MEM_ENV, _DRIVER_MEM_DEFAULT
+    )
     cpus = os.environ.get("SPARK_GRAFT_CPUS")
     conf["spark.sql.shuffle.partitions"] = str(
         shuffle_partitions if shuffle_partitions is not None else (cpus or 32)
