@@ -40,10 +40,41 @@ _DEFAULT_CONF: dict[str, str] = {
 # execution memory per task, which forces constant shuffle/agg spills
 # and can kill the JVM outright under adversarial partitioning
 # (observed: the sf0.1 invariance sweep's AQE-off/7-partition pass).
-# Sized for the target box (128 GiB); override for smaller machines.
+# Sized for the target box (128 GiB) but clamped to a fraction of the
+# machine's detected MemTotal so a smaller / cgroup-limited host isn't
+# OOM-killed under load; $SPARK_GRAFT_DRIVER_MEM overrides unclamped.
 # Heap is reserved lazily by the OS, so an idle 32g JVM costs little.
 _DRIVER_MEM_ENV = "SPARK_GRAFT_DRIVER_MEM"
-_DRIVER_MEM_DEFAULT = "32g"
+_DRIVER_MEM_DEFAULT_GB = 32
+
+
+def _default_driver_mem() -> str:
+    """``32g``, clamped to ~40% of detected MemTotal (min 1 GiB).
+
+    Reads the cgroup-v2 limit when present (containers report the
+    host's MemTotal in /proc/meminfo but enforce the cgroup cap), else
+    /proc/meminfo; on platforms without either, trusts the default.
+    """
+    limit_gb = None
+    try:
+        raw = open("/sys/fs/cgroup/memory.max").read().strip()
+        if raw != "max":
+            limit_gb = int(raw) / (1024**3)
+    except OSError:
+        pass
+    if limit_gb is None:
+        try:
+            with open("/proc/meminfo") as f:
+                for line in f:
+                    if line.startswith("MemTotal:"):
+                        limit_gb = int(line.split()[1]) / (1024**2)
+                        break
+        except OSError:
+            pass
+    gb = _DRIVER_MEM_DEFAULT_GB
+    if limit_gb is not None:
+        gb = max(1, min(gb, int(limit_gb * 0.4)))
+    return f"{gb}g"
 
 
 def get_spark(
@@ -64,8 +95,8 @@ def get_spark(
     # Only effective at JVM launch (the first getOrCreate in the
     # process); a no-op when attaching to an existing session, e.g.
     # under the grading driver's own vanilla SparkSession.
-    conf["spark.driver.memory"] = os.environ.get(
-        _DRIVER_MEM_ENV, _DRIVER_MEM_DEFAULT
+    conf["spark.driver.memory"] = (
+        os.environ.get(_DRIVER_MEM_ENV) or _default_driver_mem()
     )
     cpus = os.environ.get("SPARK_GRAFT_CPUS")
     conf["spark.sql.shuffle.partitions"] = str(

@@ -41,9 +41,11 @@ def test_sweep_detects_partition_dependent_canary(spark, sf_dir):
     whose answer leaks the physical partitioning MUST fail the sweep,
     or a green registry run proves nothing. The canary shuffles to
     ``spark.sql.shuffle.partitions`` tasks and returns the max
-    ``spark_partition_id`` it saw — 31 under defaults, 6 under the
-    hostile re-plan — while a well-behaved sibling on the same data
-    passes."""
+    ``spark_partition_id`` it saw. Under the hostile re-plan (AQE
+    off) that is exactly 6; under defaults AQE may coalesce the tiny
+    shuffle to fewer than the configured 32 partitions, so the test
+    only relies on the two answers DIFFERING — asserted explicitly
+    below — while a well-behaved sibling on the same data passes."""
     from pyspark.sql import functions as F
 
     from tools.invariance_sweep import sweep
@@ -63,6 +65,23 @@ def test_sweep_detects_partition_dependent_canary(spark, sf_dir):
     def wellbehaved(spark_, _sf_dir):
         df = spark_.range(1000).withColumn("k", F.col("id") % 50)
         return df.groupBy("k").agg(F.sum("id").alias("s")).orderBy("k")
+
+    from tools.invariance_sweep import HOSTILE
+
+    # Explicit margin check: the canary's answer really does differ
+    # between the two configs (don't rely on docstring arithmetic —
+    # AQE coalescing makes the pass-A value plan-dependent).
+    defaults = {k: spark.conf.get(k) for k in HOSTILE}
+    try:
+        a_pid = canary(spark, sf_dir).collect()[0][0]
+        for k, v in HOSTILE.items():
+            spark.conf.set(k, v)
+        b_pid = canary(spark, sf_dir).collect()[0][0]
+    finally:
+        for k, v in defaults.items():
+            spark.conf.set(k, v)
+    assert b_pid == 6  # 7 hostile shuffle partitions, AQE off
+    assert a_pid != b_pid, "canary margin collapsed; pick a new canary"
 
     checked, failures = sweep(
         spark,

@@ -74,14 +74,20 @@ def sweep(spark, sf_dir: str, only=None, registry=None):
         if only and name not in only:
             continue
         checked += 1
-        for k, v in defaults.items():
-            spark.conf.set(k, v)
-        a_cols, a_rows, a_err = _run(spark, spec, sf_dir)
-        for k, v in HOSTILE.items():
-            spark.conf.set(k, v)
-        b_cols, b_rows, b_err = _run(spark, spec, sf_dir)
-        for k, v in defaults.items():
-            spark.conf.set(k, v)
+        # try/finally: the sweep runs against a SHARED session (the
+        # pytest fixture, or the caller's), so an unexpected exception
+        # anywhere in the body — not just inside _run — must never
+        # leave it in the hostile config and poison later work.
+        try:
+            for k, v in defaults.items():
+                spark.conf.set(k, v)
+            a_cols, a_rows, a_err = _run(spark, spec, sf_dir)
+            for k, v in HOSTILE.items():
+                spark.conf.set(k, v)
+            b_cols, b_rows, b_err = _run(spark, spec, sf_dir)
+        finally:
+            for k, v in defaults.items():
+                spark.conf.set(k, v)
 
         if a_err or b_err:
             failures.append((name, f"error A={a_err} B={b_err}"))
