@@ -48,23 +48,27 @@ _DRIVER_MEM_ENV = "SPARK_GRAFT_DRIVER_MEM"
 _DRIVER_MEM_DEFAULT_GB = 32
 
 
-def _default_driver_mem() -> str:
+def _default_driver_mem(
+    cgroup_path: str = "/sys/fs/cgroup/memory.max",
+    meminfo_path: str = "/proc/meminfo",
+) -> str:
     """``32g``, clamped to ~40% of detected MemTotal (min 1 GiB).
 
     Reads the cgroup-v2 limit when present (containers report the
     host's MemTotal in /proc/meminfo but enforce the cgroup cap), else
     /proc/meminfo; on platforms without either, trusts the default.
+    The path parameters exist only so tests can feed fixture files.
     """
     limit_gb = None
     try:
-        raw = open("/sys/fs/cgroup/memory.max").read().strip()
+        raw = open(cgroup_path).read().strip()
         if raw != "max":
             limit_gb = int(raw) / (1024**3)
     except OSError:
         pass
     if limit_gb is None:
         try:
-            with open("/proc/meminfo") as f:
+            with open(meminfo_path) as f:
                 for line in f:
                     if line.startswith("MemTotal:"):
                         limit_gb = int(line.split()[1]) / (1024**2)

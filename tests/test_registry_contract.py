@@ -145,13 +145,17 @@ def test_survey_ids_and_registry_tags_stay_in_lockstep():
 
 def test_certification_order_names_resolve_and_cover_registry():
     """Every name in _DRIVER_FIRST must be a registered query and
-    appear once: certification_order() FILTERS unknown names, so a
-    typo in a rotation edit (the per-round mechanical re-ordering of
-    the driver window) would otherwise silently shrink the certified
-    window instead of failing. The full order must also remain a
+    appear once: a typo in a rotation edit (the per-round mechanical
+    re-ordering of the driver window) would otherwise silently shrink
+    the certified window instead of failing. certification_order()
+    now raises on typos/duplicates itself; this test keeps the
+    import-time contract pinned and checks the full order remains a
     permutation of the registry — every query keeps exactly one
-    driver-facing position."""
+    driver-facing position — with the permanently-uncertifiable
+    tail (rows-only-by-design queries) LAST so no ~50-slot window
+    ever spends a slot on a row that cannot convert to green."""
     from bigdata_logs_spark.registry import (
+        _CERTIFICATION_TAIL,
         CERTIFICATION_ORDER,
         REGISTRY,
         _DRIVER_FIRST,
@@ -162,6 +166,37 @@ def test_certification_order_names_resolve_and_cover_registry():
     dupes = [n for n in set(_DRIVER_FIRST) if _DRIVER_FIRST.count(n) > 1]
     assert dupes == [], f"duplicate rotation entries: {dupes}"
     assert sorted(CERTIFICATION_ORDER) == sorted(REGISTRY)
+    n_tail = len(_CERTIFICATION_TAIL)
+    assert CERTIFICATION_ORDER[-n_tail:] == _CERTIFICATION_TAIL
+    assert "global_metrics_approx" in _CERTIFICATION_TAIL
+    head50 = CERTIFICATION_ORDER[:50]
+    assert not set(head50) & set(_CERTIFICATION_TAIL)
+
+
+def test_certification_order_fails_fast_on_rotation_typos(monkeypatch):
+    """The guard the mechanical rotation edit relies on: an unknown
+    name, a duplicate, or a head/tail overlap must raise, not be
+    silently filtered into a smaller driver window."""
+    import pytest
+
+    import bigdata_logs_spark.registry as R
+
+    good = list(R._DRIVER_FIRST)
+
+    monkeypatch.setattr(R, "_DRIVER_FIRST", good + ["no_such_query_xyz"])
+    with pytest.raises(ValueError, match="not in REGISTRY"):
+        R.certification_order()
+
+    monkeypatch.setattr(R, "_DRIVER_FIRST", good + [good[0]])
+    with pytest.raises(ValueError, match="duplicates"):
+        R.certification_order()
+
+    monkeypatch.setattr(R, "_DRIVER_FIRST", good + list(R._CERTIFICATION_TAIL))
+    with pytest.raises(ValueError, match="both head and tail"):
+        R.certification_order()
+
+    monkeypatch.setattr(R, "_DRIVER_FIRST", good)
+    assert R.certification_order() == R.CERTIFICATION_ORDER
 
 
 def test_bench_extended_names_resolve_in_registry():
