@@ -79,6 +79,48 @@ def _shingles() -> Column:
     )
 
 
+def _bucket_pair_rows(
+    rows: DataFrame, key_cols: list[str], cap: int = BUCKET_CAP
+) -> DataFrame:
+    """Candidate-pair expansion from LSH bucket membership WITHOUT a
+    bucket self-join: one groupBy collects each bucket's (cap-bounded)
+    sorted member list, and the in-bucket ordered pairs are expanded
+    map-side with a nested ``transform`` over that list.
+
+    Emits exactly the multiset the classic formulation produces —
+    ``capped.join(capped, key_cols).filter(doc_a < doc_b)`` — one row
+    per (bucket, unordered pair), doc_a < doc_b (members are sorted
+    ascending, so the slice-based expansion enumerates each unordered
+    pair once, in order). Callers ``.distinct()`` for a pair set or
+    ``groupBy().count()`` for shared-bucket tallies, same as they
+    would after the join.
+
+    Why this shape: the self-join costs a groupBy for the occupancy
+    cap plus TWO shuffles of the bucket rows for the join itself;
+    this is ONE shuffle (the groupBy), after which expansion is a
+    narrow array expression. The occupancy cap doubles as the
+    ``collect_list`` bound — a bucket past ``cap`` is dropped before
+    any expansion (quadratic-blowup guard, cap²/2 pairs max per
+    bucket), so per-group state is bounded at 100 TB exactly like the
+    join form's pre-join filter. Input rows must be unique per
+    (bucket, doc_id) — true for banded signatures (one sig per band
+    per doc) and distinct fingerprint rows.
+    """
+    buckets = (
+        rows.groupBy(*key_cols)
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("members"))
+        .filter((F.size("members") >= 2) & (F.size("members") <= cap))
+    )
+    pairs = F.expr(
+        "flatten(transform(members, (a, i) -> "
+        "transform(slice(members, i + 2, size(members) - i - 1), "
+        "b -> struct(a AS doc_a, b AS doc_b))))"
+    )
+    return buckets.select(F.explode(pairs).alias("p")).select(
+        "p.doc_a", "p.doc_b"
+    )
+
+
 def exact_dedup(docs: DataFrame) -> DataFrame:
     """Exact content dedup: md5-group, keep the smallest doc_id.
 
@@ -229,11 +271,12 @@ def near_dup_pairs(
     Candidates = doc pairs sharing any (band, sig) bucket — by
     construction they share at least one shingle, so the all-pairs
     O(n²) never materializes. At scale only the tiny (band, sig,
-    doc_id) triples shuffle for the bucket self-join; production
-    would additionally cap pathological bucket occupancy before the
-    pair expansion."""
-    # cache: the signature set feeds both sides of the bucket
-    # self-join (and is tiny — n_bands rows per doc)
+    doc_id) triples shuffle, ONCE, into the bucket-membership groupBy
+    (_bucket_pair_rows); pathological bucket occupancy is capped
+    before any pair expansion."""
+    # cache: the signature set feeds the bucket groupBy here and is
+    # shared plan-equal across the dedup family (tiny — n_bands rows
+    # per doc)
     sigs = minhash_signatures(docs, n_bands).transform(tracked_cache)
     # Occupancy cap BEFORE pair expansion: a degenerate bucket (e.g.
     # boilerplate shingles shared by millions of docs) would expand
@@ -241,21 +284,9 @@ def near_dup_pairs(
     # bucket's contribution to cap² pairs. A no-op at test scale
     # (max occupancy ~21), a survival requirement at 100 TB. The cap
     # is part of the operator contract — the oracle applies it too.
-    ok = (
-        sigs.groupBy("band", "sig")
-        .agg(F.count(F.lit(1)).alias("n_occ"))
-        .filter(F.col("n_occ") <= BUCKET_CAP)
-        .select("band", "sig")
-    )
-    capped = sigs.join(ok, ["band", "sig"])
-    left = capped.select("band", "sig", F.col("doc_id").alias("doc_a"))
-    right = capped.select("band", "sig", F.col("doc_id").alias("doc_b"))
-    cand = (
-        left.join(right, ["band", "sig"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    # Pair generation is the single-shuffle bucket-membership
+    # expansion (see _bucket_pair_rows), not a bucket self-join.
+    cand = _bucket_pair_rows(sigs, ["band", "sig"]).distinct()
     # Verification never ships shingle ARRAYS through a join (that
     # shuffles every document's shingle set once per candidate pair);
     # instead it works on exploded (doc_id, shingle) rows: the
@@ -485,22 +516,39 @@ def incremental_near_dup(
     Output: (new_doc, old_doc, jaccard)."""
     src = docs.select("doc_id", "source")
     sigs = minhash_signatures(docs, n_bands).join(src, "doc_id")
-    ok = (
+    # Bipartite variant of _bucket_pair_rows: one groupBy collects a
+    # bucket's delta and corpus members separately (collect_list
+    # drops the when()-nulls), the occupancy cap applies to TOTAL
+    # bucket membership exactly as before, and only new×old pairs
+    # are expanded — existing×existing never materializes.
+    is_new = F.col("source") == new_source
+    buckets = (
         sigs.groupBy("band", "sig")
-        .agg(F.count(F.lit(1)).alias("n_occ"))
-        .filter(F.col("n_occ") <= BUCKET_CAP)
-        .select("band", "sig")
-    )
-    capped = sigs.join(ok, ["band", "sig"])
-    new_side = capped.filter(F.col("source") == new_source).select(
-        "band", "sig", F.col("doc_id").alias("new_doc")
-    )
-    old_side = capped.filter(F.col("source") != new_source).select(
-        "band", "sig", F.col("doc_id").alias("old_doc")
+        .agg(
+            F.collect_list(F.when(is_new, F.col("doc_id"))).alias(
+                "new_members"
+            ),
+            F.collect_list(F.when(~is_new, F.col("doc_id"))).alias(
+                "old_members"
+            ),
+        )
+        .filter(
+            (F.size("new_members") + F.size("old_members") <= BUCKET_CAP)
+            & (F.size("new_members") >= 1)
+            & (F.size("old_members") >= 1)
+        )
     )
     cand = (
-        new_side.join(old_side, ["band", "sig"])
-        .select("new_doc", "old_doc")
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(new_members, n -> "
+                    "transform(old_members, o -> "
+                    "struct(n AS new_doc, o AS old_doc))))"
+                )
+            ).alias("p")
+        )
+        .select("p.new_doc", "p.old_doc")
         .distinct()
     )
     # same adaptive verify scoping as near_dup_pairs: on a large
@@ -806,23 +854,7 @@ def minhash_containment(
     signature (prefix-restricted MinHash), same plumbing.
     """
     sigs = minhash_signatures(docs, n_bands).transform(tracked_cache)
-    ok = (
-        sigs.groupBy("band", "sig")
-        .agg(F.count(F.lit(1)).alias("n_occ"))
-        .filter(F.col("n_occ") <= BUCKET_CAP)
-        .select("band", "sig")
-    )
-    capped = sigs.join(ok, ["band", "sig"])
-    cand = (
-        capped.select("band", "sig", F.col("doc_id").alias("doc_a"))
-        .join(
-            capped.select("band", "sig", F.col("doc_id").alias("doc_b")),
-            ["band", "sig"],
-        )
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    cand = _bucket_pair_rows(sigs, ["band", "sig"]).distinct()
     grams = (
         spread_small_input(docs)
         .withColumn("tokens", _tokens(F.col("text")))
@@ -886,7 +918,8 @@ def winnowing_overlap(
     document collapses to its ~2n/(w+1) fingerprint BIGINTs before
     anything shuffles); pair generation is the LSH discipline —
     distinct (doc, fp) rows, occupancy cap on degenerate fingerprints
-    (boilerplate) BEFORE the self-join, equi-join on fp only. 52-bit
+    (boilerplate) BEFORE any pair expansion, single-shuffle bucket-
+    membership expansion on fp (_bucket_pair_rows). 52-bit
     hashes keep every fingerprint double-exact cross-engine.
     """
     hs = F.expr(
@@ -908,17 +941,8 @@ def winnowing_overlap(
         .select("doc_id", F.explode(mins).alias("fp"))
         .transform(tracked_cache)
     )
-    ok = (
-        fps.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("n_occ"))
-        .filter(F.col("n_occ") <= BUCKET_CAP)
-        .select("fp")
-    )
-    capped = fps.join(ok, "fp")
     return (
-        capped.select("fp", F.col("doc_id").alias("doc_a"))
-        .join(capped.select("fp", F.col("doc_id").alias("doc_b")), "fp")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        _bucket_pair_rows(fps, ["fp"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)

@@ -62,6 +62,39 @@ def test_near_dup_pairs_share_a_shingle(docs):
     assert pairs.filter(F.col("doc_a") >= F.col("doc_b")).count() == 0
 
 
+def test_bucket_pair_rows_equals_self_join(docs):
+    """_bucket_pair_rows (single-shuffle groupBy + in-bucket pair
+    expansion) must emit EXACTLY the multiset the classic capped
+    bucket self-join produces — same pairs, same per-bucket
+    multiplicities (winnowing counts shared buckets, so multiset
+    equality, not just set equality, is the contract). Run on the
+    real signature rows so band/sig skew and >2-member buckets are
+    exercised; a tiny cap forces the occupancy-drop path too."""
+    from bigdata_logs_spark.operators.dedup import _bucket_pair_rows
+
+    sigs = minhash_signatures(docs).cache()
+    for cap in (64, 3):
+        new = _bucket_pair_rows(sigs, ["band", "sig"], cap=cap)
+        ok = (
+            sigs.groupBy("band", "sig")
+            .agg(F.count(F.lit(1)).alias("n_occ"))
+            .filter(F.col("n_occ") <= cap)
+            .select("band", "sig")
+        )
+        capped = sigs.join(ok, ["band", "sig"])
+        old = (
+            capped.select("band", "sig", F.col("doc_id").alias("doc_a"))
+            .join(
+                capped.select("band", "sig", F.col("doc_id").alias("doc_b")),
+                ["band", "sig"],
+            )
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+        )
+        assert new.exceptAll(old).count() == 0, f"extra pairs at cap={cap}"
+        assert old.exceptAll(new).count() == 0, f"missing pairs at cap={cap}"
+
+
 def test_jaccard_pairs_bounded(docs):
     pairs = jaccard_pairs(docs, max_doc_id=40, threshold=0.5)
     bad = pairs.filter((F.col("jaccard") < 0.5) | (F.col("jaccard") > 1.0))
