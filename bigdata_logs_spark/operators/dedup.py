@@ -79,13 +79,43 @@ def _shingles() -> Column:
     )
 
 
+def _capped_bucket_rows(
+    rows: DataFrame, key_cols: list[str], cap: int
+) -> DataFrame:
+    """Drop every row of an over-cap bucket BEFORE any membership
+    aggregation, with genuinely bounded per-group state.
+
+    Two steps, both cheap at any scale: (1) a per-key ``count`` —
+    map-side combinable, so only ``(key, partial_count)`` rows enter
+    its shuffle and per-group aggregation state is one long; (2) a
+    broadcast ANTI join of the over-cap keys against the input rows.
+    Over-cap keys are the degenerate boilerplate buckets the cap
+    exists for — few by construction at any corpus size (each needs
+    >cap distinct docs sharing a signature), so the broadcast is
+    always tiny. The output is safe to ``collect_list`` downstream:
+    every surviving bucket has at most ``cap`` members, so the
+    aggregation buffer for ANY key is bounded by ``cap`` — a
+    million-member boilerplate bucket never materializes anywhere,
+    exactly like the classic join form's pre-join occupancy filter.
+    """
+    hot = (
+        rows.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") > cap)
+        .select(*key_cols)
+    )
+    return rows.join(F.broadcast(hot), key_cols, "left_anti")
+
+
 def _bucket_pair_rows(
     rows: DataFrame, key_cols: list[str], cap: int = BUCKET_CAP
 ) -> DataFrame:
     """Candidate-pair expansion from LSH bucket membership WITHOUT a
-    bucket self-join: one groupBy collects each bucket's (cap-bounded)
-    sorted member list, and the in-bucket ordered pairs are expanded
-    map-side with a nested ``transform`` over that list.
+    bucket self-join: over-cap buckets are removed up front
+    (``_capped_bucket_rows`` — count prefilter + broadcast anti-join,
+    bounded state), then one groupBy collects each surviving bucket's
+    (≤cap) sorted member list and the in-bucket ordered pairs are
+    expanded map-side with a nested ``transform`` over that list.
 
     Emits exactly the multiset the classic formulation produces —
     ``capped.join(capped, key_cols).filter(doc_a < doc_b)`` — one row
@@ -97,27 +127,71 @@ def _bucket_pair_rows(
 
     Why this shape: the self-join costs a groupBy for the occupancy
     cap plus TWO shuffles of the bucket rows for the join itself;
-    this is ONE shuffle (the groupBy), after which expansion is a
-    narrow array expression. The occupancy cap doubles as the
-    ``collect_list`` bound — a bucket past ``cap`` is dropped before
-    any expansion (quadratic-blowup guard, cap²/2 pairs max per
-    bucket), so per-group state is bounded at 100 TB exactly like the
-    join form's pre-join filter. Input rows must be unique per
-    (bucket, doc_id) — true for banded signatures (one sig per band
-    per doc) and distinct fingerprint rows.
+    this is one full-row shuffle (the membership groupBy) plus a
+    combined-count shuffle of ``(key, partial_count)`` rows, after
+    which expansion is a narrow array expression. Because the
+    prefilter runs BEFORE ``collect_list``, per-group aggregation
+    state is bounded by ``cap`` — a degenerate boilerplate bucket is
+    dropped without its membership ever being buffered or shuffled
+    (quadratic-blowup guard, cap²/2 pairs max per bucket). Input rows
+    must be unique per (bucket, doc_id) — true for banded signatures
+    (one sig per band per doc) and distinct fingerprint rows; the
+    ``doc_a != doc_b`` guard below keeps a future non-unique caller
+    from silently emitting self-pairs.
     """
     buckets = (
-        rows.groupBy(*key_cols)
+        _capped_bucket_rows(rows, key_cols, cap)
+        .groupBy(*key_cols)
         .agg(F.sort_array(F.collect_list("doc_id")).alias("members"))
-        .filter((F.size("members") >= 2) & (F.size("members") <= cap))
+        .filter(F.size("members") >= 2)
     )
     pairs = F.expr(
         "flatten(transform(members, (a, i) -> "
         "transform(slice(members, i + 2, size(members) - i - 1), "
         "b -> struct(a AS doc_a, b AS doc_b))))"
     )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+    )
+
+
+def _bipartite_pair_rows(
+    rows: DataFrame,
+    key_cols: list[str],
+    is_left: Column,
+    left_name: str,
+    right_name: str,
+    cap: int = BUCKET_CAP,
+) -> DataFrame:
+    """Cross-side (left × right) candidate pairs from bucket
+    membership — the delta-vs-corpus shape of ``_bucket_pair_rows``:
+    same count-prefilter + broadcast anti-join occupancy cap (bounded
+    ``collect_list`` state, see ``_capped_bucket_rows``), but members
+    are collected per side and only left×right pairs are expanded, so
+    right×right (existing×existing) never materializes.
+
+    The occupancy count covers ALL bucket rows — including rows on
+    neither side (``is_left`` NULL, e.g. a NULL source column) —
+    exactly like the classic join form's pre-join ``count``; the
+    side lists then drop the NULL-side rows via ``when()``.
+    """
+    survivors = _capped_bucket_rows(rows, key_cols, cap)
+    buckets = (
+        survivors.groupBy(*key_cols)
+        .agg(
+            F.collect_list(F.when(is_left, F.col("doc_id"))).alias("lhs"),
+            F.collect_list(F.when(~is_left, F.col("doc_id"))).alias("rhs"),
+        )
+        .filter((F.size("lhs") >= 1) & (F.size("rhs") >= 1))
+    )
+    pairs = F.expr(
+        "flatten(transform(lhs, n -> transform(rhs, o -> "
+        f"struct(n AS {left_name}, o AS {right_name}))))"
+    )
     return buckets.select(F.explode(pairs).alias("p")).select(
-        "p.doc_a", "p.doc_b"
+        f"p.{left_name}", f"p.{right_name}"
     )
 
 
@@ -135,11 +209,15 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     return winners.select("doc_id", "content_key", "dup_count").orderBy("doc_id")
 
 
-def minhash_signatures(docs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
-    """Banded min-hash: band j's hash of a shingle is an 8-hex-char
-    (32-bit) slice of md5 — bands 0-3 slice md5(shingle), bands 4-7
-    slice md5('#' || shingle) — and the signature is the min slice
-    over the document's shingles.
+def _minhash_signature_rows(
+    docs: DataFrame, n_bands: int = N_BANDS
+) -> DataFrame:
+    """Unordered (doc_id, band, sig) rows — the dedup family's hot
+    path. ``minhash_signatures`` adds the presentation ``orderBy`` for
+    the registry/oracle surface; internal consumers skip it because
+    the trailing global sort is a rangepartitioning exchange the very
+    next groupBy would destroy anyway (one full-row shuffle saved per
+    pipeline).
 
     Two md5 evaluations per shingle produce all 8 band hashes (the
     slices of a cryptographic digest are independent uniform values —
@@ -169,22 +247,27 @@ def minhash_signatures(docs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
     mins = grams.groupBy("doc_id").agg(
         *[F.min(s).alias(f"b{j}") for j, s in enumerate(slices)]
     )
-    return (
-        mins.select(
-            "doc_id",
-            F.posexplode(F.array(*[F.col(f"b{j}") for j in range(8)])).alias(
-                "band", "sig"
-            ),
-        )
-        .orderBy("doc_id", "band")
+    return mins.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"b{j}") for j in range(8)])).alias(
+            "band", "sig"
+        ),
     )
+
+
+def minhash_signatures(docs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
+    """Banded min-hash signatures with deterministic presentation
+    order — the registry/oracle surface of ``_minhash_signature_rows``
+    (see that docstring for the hashing construction and its cost
+    model)."""
+    return _minhash_signature_rows(docs, n_bands).orderBy("doc_id", "band")
 
 
 def minhash_buckets(docs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
     """LSH buckets with >1 member: these are the candidate-pair
     generators. Output stays aggregate (band, sig, n_docs, members) —
     pairs themselves are only expanded downstream when needed."""
-    sigs = minhash_signatures(docs, n_bands)
+    sigs = _minhash_signature_rows(docs, n_bands)
     return (
         sigs.groupBy("band", "sig")
         .agg(
@@ -277,7 +360,7 @@ def near_dup_pairs(
     # cache: the signature set feeds the bucket groupBy here and is
     # shared plan-equal across the dedup family (tiny — n_bands rows
     # per doc)
-    sigs = minhash_signatures(docs, n_bands).transform(tracked_cache)
+    sigs = _minhash_signature_rows(docs, n_bands).transform(tracked_cache)
     # Occupancy cap BEFORE pair expansion: a degenerate bucket (e.g.
     # boilerplate shingles shared by millions of docs) would expand
     # quadratically; buckets over the cap are dropped, bounding any
@@ -515,42 +598,24 @@ def incremental_near_dup(
     keeps warm); verification is the same exploded-gram equi-join.
     Output: (new_doc, old_doc, jaccard)."""
     src = docs.select("doc_id", "source")
-    sigs = minhash_signatures(docs, n_bands).join(src, "doc_id")
-    # Bipartite variant of _bucket_pair_rows: one groupBy collects a
-    # bucket's delta and corpus members separately (collect_list
-    # drops the when()-nulls), the occupancy cap applies to TOTAL
-    # bucket membership exactly as before, and only new×old pairs
-    # are expanded — existing×existing never materializes.
-    is_new = F.col("source") == new_source
-    buckets = (
-        sigs.groupBy("band", "sig")
-        .agg(
-            F.collect_list(F.when(is_new, F.col("doc_id"))).alias(
-                "new_members"
-            ),
-            F.collect_list(F.when(~is_new, F.col("doc_id"))).alias(
-                "old_members"
-            ),
-        )
-        .filter(
-            (F.size("new_members") + F.size("old_members") <= BUCKET_CAP)
-            & (F.size("new_members") >= 1)
-            & (F.size("old_members") >= 1)
-        )
+    # cached: the signature rows feed both legs of the shared
+    # occupancy prefilter (count + anti-join) in _bipartite_pair_rows
+    sigs = (
+        _minhash_signature_rows(docs, n_bands)
+        .join(src, "doc_id")
+        .transform(tracked_cache)
     )
-    cand = (
-        buckets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(new_members, n -> "
-                    "transform(old_members, o -> "
-                    "struct(n AS new_doc, o AS old_doc))))"
-                )
-            ).alias("p")
-        )
-        .select("p.new_doc", "p.old_doc")
-        .distinct()
-    )
+    # Bipartite _bucket_pair_rows: same count-prefilter occupancy cap
+    # (bounded collect_list state; the count covers TOTAL bucket
+    # membership, NULL sources included), then only new×old pairs are
+    # expanded — existing×existing never materializes.
+    cand = _bipartite_pair_rows(
+        sigs,
+        ["band", "sig"],
+        F.col("source") == new_source,
+        "new_doc",
+        "old_doc",
+    ).distinct()
     # same adaptive verify scoping as near_dup_pairs: on a large
     # corpus, explode grams only for docs in a candidate pair (the
     # delta and its bucket-mates — a sliver of the corpus); on a
@@ -643,7 +708,7 @@ def minhash_calibration(docs: DataFrame) -> DataFrame:
     the 8-row-per-doc signature table; output is one row.
     """
     pairs = near_dup_pairs(docs)
-    sigs = minhash_signatures(docs)
+    sigs = _minhash_signature_rows(docs)
     sa = sigs.select(
         F.col("doc_id").alias("doc_a"), "band", F.col("sig").alias("sig_a")
     )
@@ -802,29 +867,11 @@ def cdc_shared_chunks(docs: DataFrame, min_shared: int = 2) -> DataFrame:
         .select("doc_id", "fp")
         .distinct()
     )
-    groups = (
-        prints.groupBy("fp")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sort_array(F.collect_list("doc_id")).alias("members"),
-        )
-        .where(
-            (F.col("n_docs") >= 2) & (F.col("n_docs") <= CDC_OCCUPANCY_CAP)
-        )
-    )
-    pairs = groups.select(
-        F.explode(
-            F.expr(
-                """
-                flatten(transform(members, (a, i) ->
-                  transform(slice(members, i + 2, size(members) - i - 1),
-                            b -> struct(a AS doc_a, b AS doc_b))))
-                """
-            )
-        ).alias("p")
-    ).select(F.col("p.doc_a"), F.col("p.doc_b"))
     return (
-        pairs.groupBy("doc_a", "doc_b")
+        _bucket_pair_rows(
+            prints.transform(tracked_cache), ["fp"], cap=CDC_OCCUPANCY_CAP
+        )
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared_chunks"))
         .where(F.col("n_shared_chunks") >= min_shared)
         .orderBy("doc_a", "doc_b")
@@ -853,7 +900,7 @@ def minhash_containment(
     100 TB the recall fix is banding on the min of the two docs'
     signature (prefix-restricted MinHash), same plumbing.
     """
-    sigs = minhash_signatures(docs, n_bands).transform(tracked_cache)
+    sigs = _minhash_signature_rows(docs, n_bands).transform(tracked_cache)
     cand = _bucket_pair_rows(sigs, ["band", "sig"]).distinct()
     grams = (
         spread_small_input(docs)

@@ -633,9 +633,9 @@ def streaming_lsh_dedup_state(
 
     spark = doc_stream.sparkSession
     from bigdata_logs_spark.operators.dedup import (
+        _minhash_signature_rows,
         _shingles,
         _tokens,
-        minhash_signatures,
     )
 
     for d in (state_dir, state_dir + "__ckpt"):
@@ -647,7 +647,7 @@ def streaming_lsh_dedup_state(
 
     def merge(batch: DataFrame, _batch_id: int) -> None:
         batch = batch.select("doc_id", "text")
-        minhash_signatures(batch).write.mode("append").parquet(sig_dir)
+        _minhash_signature_rows(batch).write.mode("append").parquet(sig_dir)
         (
             batch.withColumn("tokens", _tokens(F.col("text")))
             .select(

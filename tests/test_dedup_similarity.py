@@ -95,6 +95,79 @@ def test_bucket_pair_rows_equals_self_join(docs):
         assert old.exceptAll(new).count() == 0, f"missing pairs at cap={cap}"
 
 
+def test_bucket_pair_rows_prefilters_hot_buckets(docs):
+    """The occupancy cap must drop over-cap buckets BEFORE the
+    membership collect_list (bounded aggregation state — the 100 TB
+    boilerplate-bucket guard): the physical plan's only collect_list
+    aggregate has to sit above the anti-join against the over-cap key
+    set, not before the size filter."""
+    from bigdata_logs_spark.operators.dedup import _bucket_pair_rows
+
+    sigs = minhash_signatures(docs)
+    plan = _bucket_pair_rows(sigs, ["band", "sig"])._jdf.queryExecution().toString()
+    ix_collect = plan.find("collect_list")
+    ix_anti = plan.find("LeftAnti")
+    assert ix_anti != -1, "no anti-join prefilter in the plan"
+    assert ix_collect != -1
+    # physical plans print top-down: the collect_list aggregate must
+    # appear ABOVE (before, textually) the anti join it consumes
+    assert ix_collect < ix_anti
+
+
+def test_bucket_pair_rows_no_self_pairs_on_duplicate_rows(docs, spark):
+    """Non-unique (bucket, doc_id) input must not emit (d, d) pairs —
+    the documented precondition is now also guarded in the output."""
+    from bigdata_logs_spark.operators.dedup import _bucket_pair_rows
+
+    rows = spark.createDataFrame(
+        [("b1", 1), ("b1", 1), ("b1", 2), ("b2", 3), ("b2", 3)],
+        "bucket string, doc_id int",
+    )
+    got = _bucket_pair_rows(rows, ["bucket"]).collect()
+    assert all(r.doc_a != r.doc_b for r in got)
+    assert {(r.doc_a, r.doc_b) for r in got} == {(1, 2)}
+
+
+def test_bipartite_pair_rows_equals_capped_join(docs):
+    """_bipartite_pair_rows (incremental_near_dup's candidate stage)
+    must emit EXACTLY the multiset of the classic capped new×old
+    bucket join; tiny cap exercises the occupancy-drop path, and the
+    occupancy count covers ALL bucket rows (both sides), matching the
+    join form's pre-join count."""
+    from bigdata_logs_spark.operators.dedup import _bipartite_pair_rows
+
+    sigs = (
+        minhash_signatures(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .cache()
+    )
+    is_new = F.col("source") == "src9"
+    for cap in (64, 3):
+        new = _bipartite_pair_rows(
+            sigs, ["band", "sig"], is_new, "new_doc", "old_doc", cap=cap
+        )
+        ok = (
+            sigs.groupBy("band", "sig")
+            .agg(F.count(F.lit(1)).alias("n_occ"))
+            .filter(F.col("n_occ") <= cap)
+            .select("band", "sig")
+        )
+        capped = sigs.join(ok, ["band", "sig"])
+        old = (
+            capped.filter(is_new)
+            .select("band", "sig", F.col("doc_id").alias("new_doc"))
+            .join(
+                capped.filter(~is_new).select(
+                    "band", "sig", F.col("doc_id").alias("old_doc")
+                ),
+                ["band", "sig"],
+            )
+            .select("new_doc", "old_doc")
+        )
+        assert new.exceptAll(old).count() == 0, f"extra pairs at cap={cap}"
+        assert old.exceptAll(new).count() == 0, f"missing pairs at cap={cap}"
+
+
 def test_jaccard_pairs_bounded(docs):
     pairs = jaccard_pairs(docs, max_doc_id=40, threshold=0.5)
     bad = pairs.filter((F.col("jaccard") < 0.5) | (F.col("jaccard") > 1.0))
