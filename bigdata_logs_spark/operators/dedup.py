@@ -266,13 +266,37 @@ def minhash_signatures(docs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
 def minhash_buckets(docs: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
     """LSH buckets with >1 member: these are the candidate-pair
     generators. Output stays aggregate (band, sig, n_docs, members) —
-    pairs themselves are only expanded downstream when needed."""
-    sigs = _minhash_signature_rows(docs, n_bands)
+    pairs themselves are only expanded downstream when needed.
+
+    ``n_docs`` is the exact occupancy (plain combinable counter); the
+    inspection list ``members`` is the first ``BUCKET_CAP`` member
+    ids in sort order, marked by a window rank BEFORE the aggregate
+    so no per-group buffer grows with bucket size (a boilerplate
+    bucket past the cap reports its true n_docs with a cap-bounded
+    member sample — consistent with the pair-expansion contract,
+    which never expands such buckets at all)."""
+    from pyspark.sql import Window
+
+    sigs = _minhash_signature_rows(docs, n_bands).withColumn(
+        "member", F.col("doc_id").cast("string")
+    )
+    # one row per (band, sig, doc) by construction -> rank is total
+    rn = F.row_number().over(
+        Window.partitionBy("band", "sig").orderBy("member")
+    )
     return (
-        sigs.groupBy("band", "sig")
+        sigs.withColumn("rn", rn)
+        .groupBy("band", "sig")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.array_join(F.sort_array(F.collect_set(F.col("doc_id").cast("string"))), ",").alias("members"),
+            F.array_join(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(F.col("rn") <= BUCKET_CAP, F.col("member"))
+                    )
+                ),
+                ",",
+            ).alias("members"),
         )
         .filter(F.col("n_docs") > 1)
         .orderBy("band", "sig")

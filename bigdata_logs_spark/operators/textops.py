@@ -1110,24 +1110,39 @@ def inverted_index_postings(docs: DataFrame, top_n: int = 20) -> DataFrame:
     corpus; df/tf are also the raw inputs every BM25 variant needs).
 
     Scale shape: one explode -> per-(token, doc) tf (combinable),
-    then one token-keyed aggregation; posting lists are capped at
-    build time (sorted set, first 10) so no unbounded array rides
-    the shuffle; top-k is TakeOrderedAndProject."""
+    then a token-keyed window rank + aggregation SHARING one
+    hash-partitioning: ``row_number`` over (token, doc_id) marks each
+    token's 10 smallest doc ids with a spillable sort (no per-group
+    buffer, however big a stopword's posting list is), and the
+    aggregate's ``collect_list(when(rn <= 10, ...))`` accumulates at
+    most 10 elements per group — df/tf stay plain combinable
+    counters, so NO aggregation state anywhere grows with posting
+    length (a full collect-then-slice would buffer a stopword's
+    entire posting set). Top-k is TakeOrderedAndProject."""
+    from pyspark.sql import Window
+
     tf = (
         with_tokens(docs)
         .select("doc_id", F.explode("tokens").alias("token"))
         .groupBy("token", "doc_id")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    # unique (token, doc_id) keys -> the rank is deterministic
+    rn = F.row_number().over(
+        Window.partitionBy("token").orderBy("doc_id")
+    )
     posting = F.array_join(
         F.transform(
-            F.slice(F.sort_array(F.collect_set("doc_id")), 1, 10),
+            F.sort_array(
+                F.collect_list(F.when(F.col("rn") <= 10, F.col("doc_id")))
+            ),
             lambda v: v.cast("string"),
         ),
         ",",
     )
     return (
-        tf.groupBy("token")
+        tf.withColumn("rn", rn)
+        .groupBy("token")
         .agg(
             F.count(F.lit(1)).alias("df"),
             F.sum("tf").alias("total_tf"),

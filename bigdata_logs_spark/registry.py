@@ -1513,7 +1513,7 @@ def q_minhash_signatures(spark, sf_dir):
       FROM sh CROSS JOIN range(0, 8) AS r(band)
     )
     SELECT band, sig, COUNT(*)::BIGINT AS n_docs,
-           array_to_string(list_sort(list_distinct(list(doc_id::VARCHAR))), ',') AS members
+           array_to_string(list_sort(list_distinct(list(doc_id::VARCHAR)))[1:64], ',') AS members
     FROM sigs GROUP BY band, sig HAVING COUNT(*) > 1
     ORDER BY band, sig
     """,
@@ -10832,73 +10832,22 @@ def q_binary_file_roundtrip(spark, sf_dir):
 # bench, and tests see a stable, readable ordering; the driver-facing
 # ``__spark_entry__.queries()`` re-keys by CERTIFICATION_ORDER.
 #
-# Round-10 rotation (executed per the r9 pre-stage — new-query cap
-# still in effect ahead of this list). CORRECTNESS_r09 was 49 green +
-# the by-design rows-only ``global_metrics_approx`` and re-certified
-# the full 30-query r3 remainder plus the 20-query head of the r4
-# block, so post-r9 the stale ledger (computed from CORRECTNESS_r01-
-# r09) is: 29 queries whose latest driver row is round 4, and 50
-# whose latest row is round 5 — max staleness after r9 is r4. Round
-# 10 leads with the full 29-query r4 remainder (registry order), then
-# the 50-query r5-stale block (ledger order); the ~50-row window
-# re-certifies all 29 r4 + the head (~21) of r5. After r10 max
-# staleness is r5 (~29 r5 queries remain). Everything certified green
-# in round 9 falls to the registry-order tail via ``rest`` below.
+# Round-11 rotation (executed per the r10 pre-stage — new-query cap
+# still in effect ahead of this list). CORRECTNESS_r10 was 50/50 green
+# and re-certified the full 29-query r4 remainder plus the 21-query
+# head of the r5 block, so post-r10 the stale ledger (computed from
+# CORRECTNESS_r01-r10) is: 29 queries whose latest driver row is round
+# 5, and 50 whose latest row is round 6 — max staleness after r10 is
+# r5. Round 11 leads with the full 29-query r5 remainder (ledger
+# order), then the 50-query r6-stale block (r6-window order); the
+# ~50-row window re-certifies all 29 r5 + the head (~21) of r6. After
+# r11 max staleness is r6 (~29 r6 queries remain) and the rotation is
+# one round from fully caught up. Everything certified green in round
+# 10 falls to the registry-order tail via ``rest`` below.
 _DRIVER_FIRST = [
-    # latest driver row is round 4 (stalest certified block; 29
-    # entries, registry order — the 20-query head of the old r4
-    # block was re-certified in round 9 and is no longer stale)
-    "tfidf_top_terms",
-    "component_size_histogram",
-    "embedding_quantize",
-    "orc_roundtrip",
-    "media_features",
-    "store_dynamic_overwrite",
-    "json_corrupt_handling",
-    "revenue_grouping_sets",
-    "event_value_cube",
-    "user_sessions",
-    "funnel_conversion",
-    "salted_join_order_priority",
-    "doc_semantic_neighbors",
-    "bigram_frequencies",
-    "streaming_event_transitions",
-    "streaming_repeat_offenders",
-    "ssh_users_per_ip",
-    "events_per_day_dense",
-    "events_daily_moving_avg",
-    "qty_price_regression",
-    "per_source_sample",
-    "key_skew_report",
-    "fk_orphans",
-    "column_profile",
-    "conversion_latency",
-    "doc_chunks",
-    "kmeans_centroid_update",
-    "boilerplate_ngrams",
-    "boilerplate_fraction",
-    # latest driver row is round 5 (50 entries, ledger order)
-    "fingerprints",
-    "textrank_keywords",
-    "cms_heavy_hitters",
-    "vocab_growth",
-    "pq_codes",
-    "pq_distortion",
-    "curriculum_phases",
-    "zipf_fit",
-    "kmv_distinct",
-    "pq_adc_topk",
-    "ssh_account_clusters",
-    "embedding_truncation_fidelity",
-    "streaming_kmv_distinct",
-    "python_datasource_counts",
-    "daily_value_ohlc",
-    "daily_value_interpolated",
-    "lang_id_confusion",
-    "quality_dedup_survivors",
-    "token_graph_degrees",
-    "observed_etl_metrics",
-    "user_attr_scd2",
+    # latest driver row is round 5 (stalest certified block; 29
+    # entries, ledger order — the 21-query head of the old r5 block
+    # was re-certified in round 10 and is no longer stale)
     "cdc_shared_chunks",
     "packing_efficiency",
     "session_documents",
@@ -10928,6 +10877,57 @@ _DRIVER_FIRST = [
     "props_typed_extract",
     "commonness_scores",
     "embedding_random_projection",
+    # latest driver row is round 6 (50 entries, ledger order)
+    "rare_transitions",
+    "user_activity_deciles",
+    "ngram_novelty",
+    "pair_similarity_histogram",
+    "doc_ngrams_udtf",
+    "daily_value_rank",
+    "leakage_safe_split",
+    "source_vocab_overlap",
+    "centroid_confusion",
+    "funnel_coverage_audit",
+    "ewma_daily_counts",
+    "kmv_set_ops",
+    "minhash_containment",
+    "token_graph_triangles",
+    "pmi_bigrams",
+    "lm_doc_scores",
+    "dashboard_render_all",
+    "ivfpq_adc_topk",
+    "winnowing_overlap",
+    "semantic_dedup",
+    "token_budget_allocation",
+    "scd2_asof_enrichment",
+    "streaming_near_dup_pairs",
+    "dq_expectations",
+    "cusum_changepoints",
+    "binary_knn",
+    "duplicate_ngram_fraction",
+    "hll_distinct",
+    "bloom_membership",
+    "robust_daily_trend",
+    "weighted_median_price",
+    "multiset_except_all",
+    "multiset_intersect_all",
+    "benford_first_digit",
+    "token_graph_kcore",
+    "confusable_usernames",
+    "kwic_concordance",
+    "inverted_index_postings",
+    "normalization_dedup",
+    "bfs_reachability",
+    "knn_diversity",
+    "modal_activity_profile",
+    "holt_linear_trend",
+    "streaming_cms_heavy_hitters",
+    "corpus_dedup_funnel",
+    "ams_f2_skew",
+    "value_boxplot_stats",
+    "longest_event_streaks",
+    "mmr_rerank",
+    "nearest_event_join",
 ]
 
 # Permanently-uncertifiable tail: ``global_metrics_approx`` is the
@@ -10940,31 +10940,31 @@ _CERTIFICATION_TAIL = [
     "global_metrics_approx",
 ]
 
-# Pre-staged ROUND-11 rotation (mechanical — do this at the start of
-# r11 once CORRECTNESS_r10 lands green): delete the names above that
-# CORRECTNESS_r10 certified (the 29-query r4 remainder + the ~21-query
-# r5 head), keeping the r5 remainder at the head, and append the
-# 50-query r6-stale block below it. The ~50-row r11 window then covers
-# the r5 remainder + the head (~21) of r6; after r11 max staleness is
-# r6 (~29 r6 queries remain) and the rotation is one round from fully
-# caught up. r6-stale block, in ledger order (latest driver row is
-# round 6 for each):
-#   rare_transitions user_activity_deciles ngram_novelty
-#   pair_similarity_histogram doc_ngrams_udtf daily_value_rank
-#   leakage_safe_split source_vocab_overlap centroid_confusion
-#   funnel_coverage_audit ewma_daily_counts kmv_set_ops
-#   minhash_containment token_graph_triangles pmi_bigrams lm_doc_scores
-#   dashboard_render_all ivfpq_adc_topk winnowing_overlap semantic_dedup
-#   token_budget_allocation scd2_asof_enrichment
-#   streaming_near_dup_pairs dq_expectations cusum_changepoints
-#   binary_knn duplicate_ngram_fraction hll_distinct bloom_membership
-#   robust_daily_trend weighted_median_price multiset_except_all
-#   multiset_intersect_all benford_first_digit token_graph_kcore
-#   confusable_usernames kwic_concordance inverted_index_postings
-#   normalization_dedup bfs_reachability knn_diversity
-#   modal_activity_profile holt_linear_trend streaming_cms_heavy_hitters
-#   corpus_dedup_funnel ams_f2_skew value_boxplot_stats
-#   longest_event_streaks mmr_rerank nearest_event_join
+# Pre-staged ROUND-12 rotation (mechanical — do this at the start of
+# r12 once CORRECTNESS_r11 lands green): delete the names above that
+# CORRECTNESS_r11 certified (the 29-query r5 remainder + the ~21-query
+# r6 head, through ``token_budget_allocation``), keeping the r6
+# remainder at the head, and append the 50-query r7-stale block below
+# it. The ~50-row r12 window then covers the 29-query r6 remainder +
+# the head (~21) of r7; after r12 the rotation is fully caught up
+# (max staleness r7, steady-state ~2-round-old signatures
+# thereafter). r7-stale block, in ledger order (latest driver row is
+# round 7 for each):
+#   weekly_pct_change behavioral_entropy top_value_days_with_ties
+#   cumulative_unique_users trimmed_mean_value epoch_shuffle_shards value_gini
+#   rolling_active_users association_rules markov_stationary
+#   two_proportion_drift embedding_drift streaming_hll_distinct
+#   value_lorenz_deciles bm25_topk knn_label_accuracy label_cluster_quality
+#   pca_top_component ks_drift structural_breaks daily_acf histogram_quantiles
+#   centroid_silhouette rake_keyphrases readability_profile weighted_sample
+#   seasonal_decomposition spearman_value_time session_concurrency heaps_law
+#   slo_burn_alerts streaming_line_length_quantiles
+#   seasonal_adjusted_anomalies kendall_tau_daily degree_assortativity
+#   hopkins_statistic streaming_bloom_filter tokenizer_fertility
+#   capacity_forecast rank_movers char_class_profile_arrow
+#   weekday_effect_anova survival_churn_curve burrows_delta user_resurrections
+#   dedup_tier_agreement media_byte_entropy mann_whitney_value
+#   binary_file_roundtrip events_of_type
 
 
 def certification_order() -> list[str]:

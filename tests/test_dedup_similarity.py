@@ -168,6 +168,24 @@ def test_bipartite_pair_rows_equals_capped_join(docs):
         assert old.exceptAll(new).count() == 0, f"missing pairs at cap={cap}"
 
 
+def test_minhash_buckets_caps_member_list_not_count(spark):
+    """A bucket past BUCKET_CAP still reports its exact n_docs but
+    lists only the first-cap member sample — the member list is
+    rank-gated BEFORE aggregation so per-group state stays bounded."""
+    from bigdata_logs_spark.operators.dedup import BUCKET_CAP, minhash_buckets
+
+    n = BUCKET_CAP + 6
+    docs = spark.createDataFrame(
+        [(i, "identical boilerplate text shared by every doc") for i in range(n)],
+        "doc_id long, text string",
+    )
+    got = minhash_buckets(docs).collect()
+    assert len(got) == 8  # one bucket per band, all with the same docs
+    for r in got:
+        assert r.n_docs == n
+        assert len(r.members.split(",")) == BUCKET_CAP
+
+
 def test_jaccard_pairs_bounded(docs):
     pairs = jaccard_pairs(docs, max_doc_id=40, threshold=0.5)
     bad = pairs.filter((F.col("jaccard") < 0.5) | (F.col("jaccard") > 1.0))
