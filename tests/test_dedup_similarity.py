@@ -168,6 +168,61 @@ def test_bipartite_pair_rows_equals_capped_join(docs):
         assert old.exceptAll(new).count() == 0, f"missing pairs at cap={cap}"
 
 
+def test_winnowing_fp_path_equals_self_join(docs):
+    """The single-key (fp) winnowing path counts SHARED buckets per
+    pair (n_shared feeds min_shared), so the expansion's per-pair
+    multiplicities must match the classic capped fp self-join's —
+    checked end-to-end on the real fingerprint rows at a tiny cap to
+    force the occupancy-drop path."""
+    from bigdata_logs_spark.operators.dedup import (
+        WINNOW_W,
+        _bucket_pair_rows,
+        _shingles,
+        _tokens,
+    )
+
+    hs = F.expr(
+        "transform(shingles,"
+        " s -> CAST(conv(substring(md5(s), 1, 13), 16, 10) AS BIGINT))"
+    )
+    mins = F.expr(
+        f"""
+        array_distinct(transform(
+          sequence(1, greatest(size(hs) - {WINNOW_W} + 1, 1)),
+          i -> array_min(slice(hs, i, {WINNOW_W}))))
+        """
+    )
+    fps = (
+        docs.withColumn("tokens", _tokens(F.col("text")))
+        .withColumn("shingles", _shingles())
+        .withColumn("hs", hs)
+        .select("doc_id", F.explode(mins).alias("fp"))
+        .cache()
+    )
+    for cap in (64, 2):
+        new = (
+            _bucket_pair_rows(fps, ["fp"], cap=cap)
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+        )
+        ok = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("n_occ"))
+            .filter(F.col("n_occ") <= cap)
+            .select("fp")
+        )
+        capped = fps.join(ok, ["fp"])
+        old = (
+            capped.select("fp", F.col("doc_id").alias("doc_a"))
+            .join(capped.select("fp", F.col("doc_id").alias("doc_b")), "fp")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+        )
+        assert new.exceptAll(old).count() == 0, f"extra at cap={cap}"
+        assert old.exceptAll(new).count() == 0, f"missing at cap={cap}"
+
+
 def test_minhash_buckets_caps_member_list_not_count(spark):
     """A bucket past BUCKET_CAP still reports its exact n_docs but
     lists only the first-cap member sample — the member list is
