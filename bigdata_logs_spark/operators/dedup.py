@@ -98,6 +98,13 @@ def _capped_bucket_rows(
     million-member boilerplate bucket never materializes anywhere,
     exactly like the classic join form's pre-join occupancy filter.
     """
+    # a NULL key never joins, so the classic self-join form emits
+    # nothing for null-key rows — drop them up front so the groupBy
+    # path (where NULL is an ordinary group) can't diverge from that
+    # contract (unreachable for today's md5-derived keys; guarded
+    # for future callers)
+    for k in key_cols:
+        rows = rows.filter(F.col(k).isNotNull())
     hot = (
         rows.groupBy(*key_cols)
         .agg(F.count(F.lit(1)).alias("n_occ"))

@@ -128,6 +128,21 @@ def test_bucket_pair_rows_no_self_pairs_on_duplicate_rows(docs, spark):
     assert {(r.doc_a, r.doc_b) for r in got} == {(1, 2)}
 
 
+def test_bucket_pair_rows_drops_null_key_rows(spark):
+    """NULL bucket keys never join in the classic self-join form, so
+    the groupBy expansion must emit nothing for them either (NULL is
+    an ordinary group to groupBy — without the guard a null-key
+    bucket would wrongly pair its members)."""
+    from bigdata_logs_spark.operators.dedup import _bucket_pair_rows
+
+    rows = spark.createDataFrame(
+        [(None, 1), (None, 2), ("b1", 3), ("b1", 4)],
+        "bucket string, doc_id int",
+    )
+    got = {(r.doc_a, r.doc_b) for r in _bucket_pair_rows(rows, ["bucket"]).collect()}
+    assert got == {(3, 4)}
+
+
 def test_bipartite_pair_rows_equals_capped_join(docs):
     """_bipartite_pair_rows (incremental_near_dup's candidate stage)
     must emit EXACTLY the multiset of the classic capped new×old
