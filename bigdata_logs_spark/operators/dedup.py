@@ -79,9 +79,7 @@ def _shingles() -> Column:
     )
 
 
-def _rank_gated_rows(
-    rows: DataFrame, key_cols: list[str], cap: int
-) -> DataFrame:
+def _rank_gated_rows(rows: DataFrame, key_cols: list[str]) -> DataFrame:
     """Bucket rows with a per-bucket ``row_number`` (``rn``) for
     cap-gated membership aggregation with genuinely bounded state.
 
@@ -149,7 +147,7 @@ def _bucket_pair_rows(
     emitting self-pairs.
     """
     buckets = (
-        _rank_gated_rows(rows, key_cols, cap)
+        _rank_gated_rows(rows, key_cols)
         .groupBy(*key_cols)
         .agg(
             F.count(F.lit(1)).alias("n_occ"),
@@ -197,7 +195,7 @@ def _bipartite_pair_rows(
     """
     gated = F.col("rn") <= cap
     buckets = (
-        _rank_gated_rows(rows, key_cols, cap)
+        _rank_gated_rows(rows, key_cols)
         .groupBy(*key_cols)
         .agg(
             F.count(F.lit(1)).alias("n_occ"),
