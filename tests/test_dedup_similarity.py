@@ -157,6 +157,53 @@ def test_bucket_pair_rows_drops_null_key_rows(spark):
     assert got == {(3, 4)}
 
 
+def test_bipartite_pair_rows_rank_gate_plan(docs):
+    """The bipartite (delta-vs-corpus) expansion must carry the same
+    single-pass rank-gate shape as ``_bucket_pair_rows``: no anti-join
+    prefilter, the side-list collect_lists above the row_number
+    window, and the window's exchange as the only hashpartitioning on
+    the bucket key."""
+    from bigdata_logs_spark.operators.dedup import _bipartite_pair_rows
+
+    sigs = minhash_signatures(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    plan = (
+        _bipartite_pair_rows(
+            sigs, ["band", "sig"], F.col("source") == "src9", "n", "o"
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftAnti" not in plan
+    ix_collect = plan.find("collect_list")
+    ix_window = plan.find("row_number")
+    assert ix_window != -1 and ix_collect != -1
+    assert ix_collect < ix_window
+    assert plan.count("hashpartitioning(band") == 1
+
+
+def test_winnowing_fp_rank_gate_single_shuffle(docs):
+    """The single-key (fp) expansion paths (winnowing, CDC chunks)
+    get the same one-exchange guarantee: the window's
+    hashpartitioning on fp is the expansion's only shuffle on that
+    key."""
+    from bigdata_logs_spark.operators.dedup import _bucket_pair_rows
+
+    fps = docs.select(
+        "doc_id", F.substring(F.md5("text"), 1, 4).alias("fp")
+    )
+    plan = (
+        _bucket_pair_rows(fps, ["fp"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftAnti" not in plan
+    assert plan.count("hashpartitioning(fp") == 1
+
+
 def test_bipartite_pair_rows_equals_capped_join(docs):
     """_bipartite_pair_rows (incremental_near_dup's candidate stage)
     must emit EXACTLY the multiset of the classic capped new×old
