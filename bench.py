@@ -300,6 +300,7 @@ def main() -> None:
         # round-6 additions:
         "kmv_set_ops",
         "minhash_containment",
+        "containment_rare_shingle",
         "token_graph_triangles",
         "pmi_bigrams",
         "lm_doc_scores",

@@ -952,6 +952,17 @@ def minhash_containment(
         .select("doc_id", F.explode(F.array_distinct(_shingles())).alias("gram"))
         .transform(tracked_cache)
     )
+    return _containment_scores(cand, grams, threshold)
+
+
+def _containment_scores(
+    cand: DataFrame, grams: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-containment verification shared by DD-13 and DD-18:
+    ``|A ∩ B| / min(|A|, |B|)`` over candidate (doc_a, doc_b) pairs
+    and distinct (doc_id, gram) rows — intersection as a pair-gram
+    equi-join count, set sizes from a per-doc aggregate; only
+    fixed-width rows shuffle, shingle arrays never cross the wire."""
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         cand.join(grams.select(F.col("doc_id").alias("doc_a"), "gram"), "doc_a")
@@ -984,6 +995,60 @@ def minhash_containment(
         .filter(F.col("containment") >= threshold)
         .orderBy("doc_a", "doc_b")
     )
+
+
+def containment_rare_shingle(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    df_cap: int = BUCKET_CAP,
+    min_shared: int = 2,
+) -> DataFrame:
+    """DD-18: containment dedup with candidates from a DF-capped
+    shingle inverted index — the recall fix DD-13's own contract
+    notes flag for extreme size ratios. MinHash-LSH banding is tuned
+    for JACCARD: a short document pasted verbatim inside a much
+    longer one has containment 1.0 but Jaccard ~|A|/|B|, far below
+    the band curve, so DD-13 can structurally miss exactly the pairs
+    containment exists to catch. Candidates here are instead doc
+    pairs sharing ANY shingle whose document frequency is at most
+    ``df_cap``: a contained document shares its ENTIRE shingle set
+    with its container, so unless every one of its shingles is
+    boilerplate-common (df > cap), at least one co-occurrence
+    survives — recall for high-containment pairs does not decay with
+    the size ratio. Verification and output contract are DD-13's
+    (shared ``_containment_scores``), so the two tiers are directly
+    comparable.
+
+    Scale shape: the inverted index IS the LSH bucket discipline on
+    (gram) keys — distinct (doc_id, gram) rows, rank-gated occupancy
+    cap (``_bucket_pair_rows``: over-cap boilerplate shingles are
+    dropped before any pair expansion, bounded aggregation state,
+    one exchange), so a stopword shingle can never go quadratic; the
+    gram relation is computed once and cached for its two consumers
+    (candidate generation and verification). Candidates must share
+    at least ``min_shared`` rare shingles (the DD-12/DD-14 gate) —
+    on a phrase-heavy corpus single-shingle co-occurrence generates
+    ~10x the candidates verification will reject (measured 1.13M ->
+    ~0.1M at sf0.1), while a contained doc shares ALL its shingles,
+    so the gate costs containment recall only for docs so short they
+    have one non-boilerplate shingle. Both df_cap and min_shared are
+    the operator's precision/recall knobs and part of its contract —
+    the oracle applies the same values.
+    """
+    grams = (
+        spread_small_input(docs)
+        .withColumn("tokens", _tokens(F.col("text")))
+        .select("doc_id", F.explode(F.array_distinct(_shingles())).alias("gram"))
+        .transform(tracked_cache)
+    )
+    cand = (
+        _bucket_pair_rows(grams, ["gram"], cap=df_cap)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .select("doc_a", "doc_b")
+    )
+    return _containment_scores(cand, grams, threshold)
 
 
 WINNOW_W = 4  # winnowing window: guaranteed density 2/(w+1)

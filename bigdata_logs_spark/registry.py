@@ -7232,6 +7232,45 @@ def q_minhash_containment(spark, sf_dir):
 
 
 @register(
+    "containment_rare_shingle",
+    TOKS_CTE
+    + f"""
+    , sh AS (SELECT doc_id, list_distinct({SHINGLES_EXPR}) AS shingles FROM toks)
+    , grams AS (SELECT doc_id, unnest(shingles) AS gram FROM sh)
+    , rare AS (SELECT gram FROM grams GROUP BY gram
+               HAVING COUNT(*) <= {DD.BUCKET_CAP})
+    , gr AS (SELECT g.doc_id, g.gram FROM grams g JOIN rare USING (gram))
+    , cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM gr a JOIN gr b ON a.gram = b.gram
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    )
+    , cont AS (
+      SELECT doc_a, doc_b,
+             len(list_intersect(x.shingles, y.shingles))::BIGINT AS n_inter,
+             len(x.shingles)::BIGINT AS sz_a, len(y.shingles)::BIGINT AS sz_b
+      FROM cand JOIN sh x ON cand.doc_a = x.doc_id
+                JOIN sh y ON cand.doc_b = y.doc_id
+    )
+    SELECT doc_a, doc_b, n_inter, sz_a, sz_b,
+           ROUND(n_inter::DOUBLE / LEAST(sz_a, sz_b), 4) AS containment
+    FROM cont
+    WHERE ROUND(n_inter::DOUBLE / LEAST(sz_a, sz_b), 4) >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("DD-18",),
+)
+def q_containment_rare_shingle(spark, sf_dir):
+    """DD-18 containment with DF-capped rare-shingle candidates: the
+    size-ratio recall fix for DD-13 — a contained doc shares its
+    whole shingle set with its container, so any non-boilerplate
+    shingle survives as a candidate however extreme the length
+    ratio; Jaccard-tuned LSH bands structurally miss those pairs."""
+    return DD.containment_rare_shingle(_docs(spark, sf_dir))
+
+
+@register(
     "token_graph_triangles",
     TOKS_CTE
     + """
@@ -10842,17 +10881,22 @@ def q_binary_file_roundtrip(spark, sf_dir):
 # ``_bipartite_pair_rows``) was rewritten this round (count+anti-join
 # prefilter -> single-pass window-rank occupancy gate), so every
 # query whose DAG includes it has a certification signed against the
-# OLD plan. The window therefore leads with the 11 changed-code
-# queries not already due for rotation (incl. the two ADVICE
-# promotions ``minhash_buckets`` and ``incremental_near_dup``, whose
-# r11 implementation/contract changes were never driver-certified),
-# then the full 29-query r6 remainder, then the r7-stale head. After
-# r12: max staleness r7 (~39 r7 queries remain; ``dedup_tier_agreement``
-# was promoted out of the r7 block), fully caught up by r13.
+# OLD plan. The window therefore leads with the round's one NEW
+# query (``containment_rare_shingle`` — a new query always certifies
+# in its first driver window) and the 11 changed-code queries not
+# already due for rotation (incl. the two ADVICE promotions
+# ``minhash_buckets`` and ``incremental_near_dup``, whose r11
+# implementation/contract changes were never driver-certified), then
+# the full 29-query r6 remainder, then the r7-stale head (9 fit).
+# After r12: max staleness r7 (40 r7 queries remain;
+# ``dedup_tier_agreement`` was promoted out of the r7 block,
+# ``markov_stationary`` fell back out of the window), fully caught
+# up by r13.
 _DRIVER_FIRST = [
     # changed-code re-certification (11 entries): DAG includes the
     # r12 rank-gated pair expansion, or (minhash_buckets,
     # incremental_near_dup) r11 changes never driver-certified
+    "containment_rare_shingle",
     "minhash_buckets",
     "incremental_near_dup",
     "minhash_containment",
@@ -10907,7 +10951,6 @@ _DRIVER_FIRST = [
     "value_gini",
     "rolling_active_users",
     "association_rules",
-    "markov_stationary",
 ]
 
 # Permanently-uncertifiable tail: ``global_metrics_approx`` is the
@@ -10924,15 +10967,17 @@ _CERTIFICATION_TAIL = [
 # r13 once CORRECTNESS_r12 lands green, PROVIDED no operator cores
 # change in r13; changed-code queries always jump the queue as r12's
 # head did): delete the names above that CORRECTNESS_r12 certified
-# (the 11 changed-code heads + the 29-query r6 remainder + the
-# ~10-query r7 head, through ``markov_stationary``), and lead with
-# the 39-query r7 remainder below, then the r8-stale block head
+# (the new-query + 11 changed-code head + the 29-query r6 remainder
+# + the 9-query r7 head, through ``association_rules``), and lead
+# with the 40-query r7 remainder below, then the r8-stale block head
 # (compute from the CORRECTNESS_r01..r12 ledgers) to fill the ~50-row
 # window. After r13 max staleness is r8 — the steady-state
 # ~2-round-old signature. r7-stale remainder, in ledger order (latest
 # driver row is round 7 for each; dedup_tier_agreement left this
-# block via r12's changed-code promotion):
-#   two_proportion_drift embedding_drift streaming_hll_distinct
+# block via r12's changed-code promotion, and markov_stationary fell
+# back out of the r12 window when the new DD-18 query took the head
+# slot):
+#   markov_stationary two_proportion_drift embedding_drift streaming_hll_distinct
 #   value_lorenz_deciles bm25_topk knn_label_accuracy label_cluster_quality
 #   pca_top_component ks_drift structural_breaks daily_acf histogram_quantiles
 #   centroid_silhouette rake_keyphrases readability_profile weighted_sample

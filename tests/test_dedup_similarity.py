@@ -157,6 +157,70 @@ def test_bucket_pair_rows_drops_null_key_rows(spark):
     assert got == {(3, 4)}
 
 
+def test_containment_rare_shingle_catches_lsh_miss(spark):
+    """DD-18's reason to exist: a short doc pasted verbatim inside a
+    much longer one has containment 1.0 but Jaccard ~|A|/|B|, far
+    below the 8x4 band curve — the Jaccard-tuned LSH tier (DD-13)
+    structurally misses it, the DF-capped rare-shingle inverted index
+    must not (the contained doc shares its WHOLE shingle set with its
+    container, so any non-boilerplate shingle is a candidate
+    generator however extreme the size ratio)."""
+    import random
+
+    from bigdata_logs_spark.operators.dedup import (
+        containment_rare_shingle,
+        minhash_containment,
+    )
+
+    random.seed(7)
+    words = [f"w{i}" for i in range(2000)]
+    small = " ".join(random.sample(words, 12))
+    big = (
+        " ".join(random.sample(words, 600))
+        + " " + small + " "
+        + " ".join(random.sample(words, 600))
+    )
+    rows = [(1, small), (2, big)] + [
+        (i, " ".join(random.sample(words, 50))) for i in range(3, 23)
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    assert minhash_containment(df).count() == 0, "fixture drifted"
+    got = containment_rare_shingle(df).collect()
+    assert [(r.doc_a, r.doc_b, r.containment) for r in got] == [(1, 2, 1.0)]
+    # sizes are exact distinct-shingle-set sizes
+    assert got[0].n_inter == got[0].sz_a
+
+
+def test_containment_rare_shingle_df_cap_drops_boilerplate(spark):
+    """A shingle whose document frequency exceeds the cap generates
+    no candidates (the quadratic-blowup guard is part of the operator
+    contract): docs related ONLY through an over-cap boilerplate
+    shingle must not pair."""
+    from bigdata_logs_spark.operators.dedup import containment_rare_shingle
+
+    boiler = "click here now"
+    # 5 docs share ONLY the boilerplate shingle; with df_cap=4 the
+    # shingle is over-cap, so no pairs survive (min_shared=1 isolates
+    # the cap contract from the shared-shingle gate)
+    rows = [(i, f"u{i} v{i} " + boiler + f" x{i} y{i}") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    assert (
+        containment_rare_shingle(
+            df, threshold=0.0, df_cap=4, min_shared=1
+        ).count()
+        == 0
+    )
+    # at df_cap=5 the shingle is within cap and all 10 pairs appear
+    assert (
+        containment_rare_shingle(
+            df, threshold=0.0, df_cap=5, min_shared=1
+        ).count()
+        == 10
+    )
+    # the default min_shared=2 gate drops single-shingle candidates
+    assert containment_rare_shingle(df, threshold=0.0, df_cap=5).count() == 0
+
+
 def test_bipartite_pair_rows_rank_gate_plan(docs):
     """The bipartite (delta-vs-corpus) expansion must carry the same
     single-pass rank-gate shape as ``_bucket_pair_rows``: no anti-join
