@@ -10871,86 +10871,71 @@ def q_binary_file_roundtrip(spark, sf_dir):
 # bench, and tests see a stable, readable ordering; the driver-facing
 # ``__spark_entry__.queries()`` re-keys by CERTIFICATION_ORDER.
 #
-# Round-12 rotation. CORRECTNESS_r11 was 50/50 green and re-certified
-# the full 29-query r5 remainder plus the 21-query head of the r6
-# block (through ``token_budget_allocation``), so the pure-staleness
-# ledger after r11 is: 29 r6-stale queries, then the 50-query
-# r7-stale block. Round 12 deviates from the pre-staged
-# staleness-only window for a reason the r11 ADVICE flagged: the
-# dedup pair-expansion core (``_bucket_pair_rows`` /
-# ``_bipartite_pair_rows``) was rewritten this round (count+anti-join
-# prefilter -> single-pass window-rank occupancy gate), so every
-# query whose DAG includes it has a certification signed against the
-# OLD plan. The window therefore leads with the round's one NEW
-# query (``containment_rare_shingle`` — a new query always certifies
-# in its first driver window) and the 11 changed-code queries not
-# already due for rotation (incl. the two ADVICE promotions
-# ``minhash_buckets`` and ``incremental_near_dup``, whose r11
-# implementation/contract changes were never driver-certified), then
-# the full 29-query r6 remainder, then the r7-stale head (9 fit).
-# After r12: max staleness r7 (40 r7 queries remain;
-# ``dedup_tier_agreement`` was promoted out of the r7 block,
-# ``markov_stationary`` fell back out of the window), fully caught
-# up by r13.
+# Round-13 rotation (the pre-staged catch-up step). CORRECTNESS_r12
+# was 50/50 green and certified exactly the r12 head (the new DD-18
+# query, the 11 changed-code queries, the 29-query r6 remainder, and
+# the 9-query r7 head through ``association_rules``), so the
+# pure-staleness ledger after r12 is: 40 r7-stale queries, then a
+# 48-query r8-stale block (Counter over CORRECTNESS_r01..r12:
+# r7 40, r8 48, r9 48, r10 49, r11 45, r12 50). The r13 window leads
+# with the full 40-query r7 remainder, then the r8-stale block head
+# (10 fit). After r13: max staleness r8 — the steady-state
+# ~2-round-old signature the rotation has been converging to.
 _DRIVER_FIRST = [
-    # changed-code re-certification (11 entries): DAG includes the
-    # r12 rank-gated pair expansion, or (minhash_buckets,
-    # incremental_near_dup) r11 changes never driver-certified
-    "containment_rare_shingle",
-    "minhash_buckets",
-    "incremental_near_dup",
-    "minhash_containment",
-    "winnowing_overlap",
-    "cdc_shared_chunks",
-    "near_dup_pairs",
-    "near_dup_components",
-    "quality_dedup_survivors",
-    "leakage_safe_split",
-    "minhash_calibration",
-    "dedup_tier_agreement",
-    # latest driver row is round 6 (stalest certified block; 29
+    # latest driver row is round 7 (stalest certified block; 40
     # entries, ledger order)
-    "scd2_asof_enrichment",
-    "streaming_near_dup_pairs",
-    "dq_expectations",
-    "cusum_changepoints",
-    "binary_knn",
-    "duplicate_ngram_fraction",
-    "hll_distinct",
-    "bloom_membership",
-    "robust_daily_trend",
-    "weighted_median_price",
-    "multiset_except_all",
-    "multiset_intersect_all",
-    "benford_first_digit",
-    "token_graph_kcore",
-    "confusable_usernames",
-    "kwic_concordance",
-    "inverted_index_postings",
-    "normalization_dedup",
-    "bfs_reachability",
-    "knn_diversity",
-    "modal_activity_profile",
-    "holt_linear_trend",
-    "streaming_cms_heavy_hitters",
-    "corpus_dedup_funnel",
-    "ams_f2_skew",
-    "value_boxplot_stats",
-    "longest_event_streaks",
-    "mmr_rerank",
-    "nearest_event_join",
-    # latest driver row is round 7 (head of the 49-entry block that
-    # remains after dedup_tier_agreement's promotion; ledger order —
-    # the ~10 that fit complete the ~50-row window)
-    "weekly_pct_change",
-    "behavioral_entropy",
-    "top_value_days_with_ties",
-    "cumulative_unique_users",
-    "trimmed_mean_value",
-    "epoch_shuffle_shards",
-    "value_gini",
-    "rolling_active_users",
-    "association_rules",
+    "markov_stationary",
+    "two_proportion_drift",
+    "embedding_drift",
+    "streaming_hll_distinct",
+    "value_lorenz_deciles",
+    "bm25_topk",
+    "knn_label_accuracy",
+    "label_cluster_quality",
+    "pca_top_component",
+    "ks_drift",
+    "structural_breaks",
+    "daily_acf",
+    "histogram_quantiles",
+    "centroid_silhouette",
+    "rake_keyphrases",
+    "readability_profile",
+    "weighted_sample",
+    "seasonal_decomposition",
+    "spearman_value_time",
+    "session_concurrency",
+    "heaps_law",
+    "slo_burn_alerts",
+    "streaming_line_length_quantiles",
+    "seasonal_adjusted_anomalies",
+    "kendall_tau_daily",
+    "degree_assortativity",
+    "hopkins_statistic",
+    "streaming_bloom_filter",
+    "tokenizer_fertility",
+    "capacity_forecast",
+    "rank_movers",
+    "char_class_profile_arrow",
+    "weekday_effect_anova",
+    "survival_churn_curve",
+    "burrows_delta",
+    "user_resurrections",
+    "media_byte_entropy",
+    "mann_whitney_value",
+    "binary_file_roundtrip",
+    "events_of_type",
+    # latest driver row is round 8 (head of the 48-entry block,
+    # ledger order — the ~10 that fit complete the ~50-row window)
+    "entity_hourly_activity",
+    "top_events_with_others",
+    "profile_percentages_long",
+    "cumulative_daily_events",
+    "latest_event_per_user",
+    "daily_event_rollup",
+    "value_percentiles",
+    "salted_event_counts",
+    "returning_users",
+    "users_never_high_value",
 ]
 
 # Permanently-uncertifiable tail: ``global_metrics_approx`` is the
@@ -10963,32 +10948,31 @@ _CERTIFICATION_TAIL = [
     "global_metrics_approx",
 ]
 
-# Pre-staged ROUND-13 rotation (mechanical — do this at the start of
-# r13 once CORRECTNESS_r12 lands green, PROVIDED no operator cores
-# change in r13; changed-code queries always jump the queue as r12's
-# head did): delete the names above that CORRECTNESS_r12 certified
-# (the new-query + 11 changed-code head + the 29-query r6 remainder
-# + the 9-query r7 head, through ``association_rules``), and lead
-# with the 40-query r7 remainder below, then the r8-stale block head
-# (compute from the CORRECTNESS_r01..r12 ledgers) to fill the ~50-row
-# window. After r13 max staleness is r8 — the steady-state
-# ~2-round-old signature. r7-stale remainder, in ledger order (latest
-# driver row is round 7 for each; dedup_tier_agreement left this
-# block via r12's changed-code promotion, and markov_stationary fell
-# back out of the r12 window when the new DD-18 query took the head
-# slot):
-#   markov_stationary two_proportion_drift embedding_drift streaming_hll_distinct
-#   value_lorenz_deciles bm25_topk knn_label_accuracy label_cluster_quality
-#   pca_top_component ks_drift structural_breaks daily_acf histogram_quantiles
-#   centroid_silhouette rake_keyphrases readability_profile weighted_sample
-#   seasonal_decomposition spearman_value_time session_concurrency heaps_law
-#   slo_burn_alerts streaming_line_length_quantiles
-#   seasonal_adjusted_anomalies kendall_tau_daily degree_assortativity
-#   hopkins_statistic streaming_bloom_filter tokenizer_fertility
-#   capacity_forecast rank_movers char_class_profile_arrow
-#   weekday_effect_anova survival_churn_curve burrows_delta user_resurrections
-#   media_byte_entropy mann_whitney_value
-#   binary_file_roundtrip events_of_type
+# Pre-staged ROUND-14 rotation (mechanical — do this at the start of
+# r14 once CORRECTNESS_r13 lands green, PROVIDED no operator cores
+# change in r14; changed-code queries always jump the queue as r12's
+# head did): delete the names above that CORRECTNESS_r13 certified
+# (the 40-query r7 remainder + the 10-query r8 head, through
+# ``users_never_high_value``), and lead with the 38-query r8
+# remainder below, then the r9-stale block head (12 fit) to fill the
+# ~50-row window. After r14 max staleness stays r9 (≈2 rounds old) —
+# the steady state. r8-stale remainder, in ledger order:
+#   props_key_distribution ssh_parse_full ssh_event_counts
+#   ssh_parse_drop_stats ssh_events_per_day ssh_root_admin_attempts
+#   ssh_latest_events store_roundtrip csv_roundtrip pricing_summary
+#   top_revenue_customers regional_revenue customers_without_orders
+#   customers_with_open_orders part_type_revenue top_order_per_customer
+#   customer_order_stats order_priority_counts segment_nation_sales
+#   doc_stats_by_lang token_counts word_frequencies quality_scores
+#   lang_id ssh_parse_rejects exact_dedup minhash_signatures simhash
+#   embedding_norms knn_brute_force label_centroids lsh_sign_buckets
+#   embedding_near_dup ann_ivf_topk media_decode media_stats
+#   streaming_hourly_counts streaming_brute_force_detector
+# then the r9-stale head (12): attack_sessions streaming_dedup_counts
+#   train_val_test_split stratified_sample contamination_check
+#   simhash_near_dup near_dup_survivors json_roundtrip knn_quantized
+#   streaming_stateful_alerts bucketed_order_revenue
+#   asof_last_signup_before_error
 
 
 def certification_order() -> list[str]:
