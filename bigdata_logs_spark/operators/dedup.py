@@ -39,6 +39,14 @@ N_BANDS = 8
 # LSH buckets larger than this never expand to candidate pairs
 # (quadratic-blowup guard; part of the near-dup operator contract)
 BUCKET_CAP = 64
+# DD-13/DD-18 verification gate: minimum |A∩B| / min(|A|,|B|) to
+# report a containment pair. Module-level (not an inline default) so
+# the DuckDB oracles interpolate the SAME value — operator and oracle
+# cannot drift independently.
+CONTAINMENT_THRESHOLD = 0.5
+# DD-18 candidate gate: minimum rare shingles a pair must share
+# before verification (the DD-12/DD-14 shared-fingerprint discipline)
+RARE_MIN_SHARED = 2
 
 
 def _tokens(text: Column) -> Column:
@@ -923,7 +931,9 @@ def cdc_shared_chunks(docs: DataFrame, min_shared: int = 2) -> DataFrame:
 
 
 def minhash_containment(
-    docs: DataFrame, n_bands: int = N_BANDS, threshold: float = 0.5
+    docs: DataFrame,
+    n_bands: int = N_BANDS,
+    threshold: float = CONTAINMENT_THRESHOLD,
 ) -> DataFrame:
     """DD-13: asymmetric CONTAINMENT over the LSH candidate pairs —
     ``|A ∩ B| / min(|A|, |B|)`` on exact shingle sets. Whole-document
@@ -999,9 +1009,9 @@ def _containment_scores(
 
 def containment_rare_shingle(
     docs: DataFrame,
-    threshold: float = 0.5,
+    threshold: float = CONTAINMENT_THRESHOLD,
     df_cap: int = BUCKET_CAP,
-    min_shared: int = 2,
+    min_shared: int = RARE_MIN_SHARED,
 ) -> DataFrame:
     """DD-18: containment dedup with candidates from a DF-capped
     shingle inverted index — the recall fix DD-13's own contract

@@ -7208,7 +7208,7 @@ def q_kmv_set_ops(spark, sf_dir):
 @register(
     "minhash_containment",
     NDP_PAIRS_CTES
-    + """
+    + f"""
     , cont AS (
       SELECT doc_a, doc_b,
              len(list_intersect(x.shingles, y.shingles))::BIGINT AS n_inter,
@@ -7219,7 +7219,7 @@ def q_kmv_set_ops(spark, sf_dir):
     SELECT doc_a, doc_b, n_inter, sz_a, sz_b,
            ROUND(n_inter::DOUBLE / LEAST(sz_a, sz_b), 4) AS containment
     FROM cont
-    WHERE ROUND(n_inter::DOUBLE / LEAST(sz_a, sz_b), 4) >= 0.5
+    WHERE ROUND(n_inter::DOUBLE / LEAST(sz_a, sz_b), 4) >= {DD.CONTAINMENT_THRESHOLD}
     ORDER BY doc_a, doc_b
     """,
     tags=("DD-13",),
@@ -7244,7 +7244,7 @@ def q_minhash_containment(spark, sf_dir):
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM gr a JOIN gr b ON a.gram = b.gram
       WHERE a.doc_id < b.doc_id
-      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+      GROUP BY 1, 2 HAVING COUNT(*) >= {DD.RARE_MIN_SHARED}
     )
     , cont AS (
       SELECT doc_a, doc_b,
@@ -7256,7 +7256,7 @@ def q_minhash_containment(spark, sf_dir):
     SELECT doc_a, doc_b, n_inter, sz_a, sz_b,
            ROUND(n_inter::DOUBLE / LEAST(sz_a, sz_b), 4) AS containment
     FROM cont
-    WHERE ROUND(n_inter::DOUBLE / LEAST(sz_a, sz_b), 4) >= 0.5
+    WHERE ROUND(n_inter::DOUBLE / LEAST(sz_a, sz_b), 4) >= {DD.CONTAINMENT_THRESHOLD}
     ORDER BY doc_a, doc_b
     """,
     tags=("DD-18",),
