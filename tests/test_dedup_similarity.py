@@ -106,26 +106,11 @@ def test_bucket_pair_rows_rank_gates_hot_buckets(docs):
     it)."""
     from bigdata_logs_spark.operators.dedup import _bucket_pair_rows
 
+    from tests.planprobe import assert_rank_gate_shape, physical_plan
+
     sigs = minhash_signatures(docs)
-    plan = (
-        _bucket_pair_rows(sigs, ["band", "sig"])
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
-    assert "LeftAnti" not in plan, "anti-join prefilter is back"
-    ix_collect = plan.find("collect_list")
-    ix_window = plan.find("row_number")
-    assert ix_window != -1, "no row_number rank gate in the plan"
-    assert ix_collect != -1
-    # physical plans print top-down: the collect_list aggregate must
-    # appear ABOVE (before, textually) the window that feeds it
-    assert ix_collect < ix_window
-    # shuffle-reuse pin: exactly one exchange on the bucket key —
-    # the window's; the membership aggregate must not add another
-    assert plan.count("hashpartitioning(band") == 1, plan[
-        plan.find("hashpartitioning(band") - 200 :
-    ][:1200]
+    plan = physical_plan(_bucket_pair_rows(sigs, ["band", "sig"]))
+    assert_rank_gate_shape(plan, "band")
 
 
 def test_bucket_pair_rows_no_self_pairs_on_duplicate_rows(docs, spark):
@@ -228,24 +213,17 @@ def test_bipartite_pair_rows_rank_gate_plan(docs):
     window, and the window's exchange as the only hashpartitioning on
     the bucket key."""
     from bigdata_logs_spark.operators.dedup import _bipartite_pair_rows
+    from tests.planprobe import assert_rank_gate_shape, physical_plan
 
     sigs = minhash_signatures(docs).join(
         docs.select("doc_id", "source"), "doc_id"
     )
-    plan = (
+    plan = physical_plan(
         _bipartite_pair_rows(
             sigs, ["band", "sig"], F.col("source") == "src9", "n", "o"
         )
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
     )
-    assert "LeftAnti" not in plan
-    ix_collect = plan.find("collect_list")
-    ix_window = plan.find("row_number")
-    assert ix_window != -1 and ix_collect != -1
-    assert ix_collect < ix_window
-    assert plan.count("hashpartitioning(band") == 1
+    assert_rank_gate_shape(plan, "band")
 
 
 def test_winnowing_fp_rank_gate_single_shuffle(docs):
@@ -254,18 +232,17 @@ def test_winnowing_fp_rank_gate_single_shuffle(docs):
     hashpartitioning on fp is the expansion's only shuffle on that
     key."""
     from bigdata_logs_spark.operators.dedup import _bucket_pair_rows
+    from tests.planprobe import (
+        assert_single_exchange_on,
+        physical_plan,
+    )
 
     fps = docs.select(
         "doc_id", F.substring(F.md5("text"), 1, 4).alias("fp")
     )
-    plan = (
-        _bucket_pair_rows(fps, ["fp"])
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
+    plan = physical_plan(_bucket_pair_rows(fps, ["fp"]))
     assert "LeftAnti" not in plan
-    assert plan.count("hashpartitioning(fp") == 1
+    assert_single_exchange_on(plan, "fp")
 
 
 def test_bipartite_pair_rows_equals_capped_join(docs):
