@@ -1201,7 +1201,13 @@ def dedup_tier_agreement(docs: DataFrame, max_group: int = 64) -> DataFrame:
     )
     mh_pairs = near_dup_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
     sh_pairs = simhash_near_dup(docs).select("doc_a", "doc_b")
-    tiers = (
+    # cache: the 3-tier union feeds THREE consumers below (the size
+    # aggregate and both sides of the intersection self-join); without
+    # it every consumer re-runs all three tier pipelines — the full
+    # LSH verify and the simhash candidate join each execute 3x
+    # (measured 2.7 s -> ~1 s at sf0.1; at scale it triples the
+    # dominant cost outright). Pair rows only — tiny.
+    tiers = tracked_cache(
         ex_pairs.withColumn("tier", F.lit("exact"))
         .unionByName(mh_pairs.withColumn("tier", F.lit("minhash")))
         .unionByName(sh_pairs.withColumn("tier", F.lit("simhash")))

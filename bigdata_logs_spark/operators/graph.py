@@ -87,7 +87,12 @@ def textrank_keywords(
     # Edges annotated with source out-weight: the loop-invariant graph,
     # cached because all `iterations` joins re-read it.
     graph = tracked_cache(edges.join(out_w, "src"))
-    nodes = graph.select(F.col("src").alias("token")).distinct()
+    # cache: referenced by the rank init plus every iteration's
+    # left join — uncached, each reference re-runs the distinct over
+    # the edge list. Vocabulary-sized.
+    nodes = tracked_cache(
+        graph.select(F.col("src").alias("token")).distinct()
+    )
 
     # The rank vector is vocabulary-sized — orders of magnitude
     # smaller than the edge list — so each iteration broadcasts it
@@ -396,7 +401,13 @@ def markov_stationary(events: DataFrame, iterations: int = 5) -> DataFrame:
     )
     out_w = edges.groupBy("src").agg(F.sum("n").alias("ow"))
     graph = tracked_cache(edges.join(out_w, "src"))
-    nodes = events.select(F.col("event_type").alias("t")).distinct()
+    # cache: the node table is referenced once per iteration plus the
+    # final share projection — uncached, EVERY reference re-scans the
+    # corpus and re-runs the distinct (iterations + 2 full corpus
+    # passes; the one genuine scale bug in this operator). k rows.
+    nodes = tracked_cache(
+        events.select(F.col("event_type").alias("t")).distinct()
+    )
 
     mass = nodes.withColumn("m", F.lit(SCALE).cast("long"))
     for _ in range(iterations):
@@ -418,6 +429,10 @@ def markov_stationary(events: DataFrame, iterations: int = 5) -> DataFrame:
             "t", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("m")
         )
 
+    # cache: `mass` feeds both the grand total and the share
+    # projection; uncached, the whole unrolled iteration chain would
+    # execute twice. k rows.
+    mass = tracked_cache(mass)
     total = mass.agg(F.sum("m").alias("tot"))
     return (
         mass.crossJoin(F.broadcast(total))

@@ -157,8 +157,16 @@ def ann_ivf_topk(
     broadcast quantizer), and search touches ~nprobe/n_cells of the
     corpus instead of all of it. Rounded distances + label tiebreaks
     keep cell assignment engine-independent."""
+    from bigdata_logs_spark.caching import tracked_cache
+
     cent = centroid_vectors(emb)
-    ranked = (
+    # cache: the quantizer assignment feeds BOTH the inverted lists
+    # (assign) and the query probes — uncached, the corpus × centroid
+    # scoring and its per-vector window run twice per search, and a
+    # multi-leg consumer (the nprobe sweep) pays it per leg. This is
+    # the materialized cell assignment an IVF index IS; plan-equal
+    # legs share the one copy.
+    ranked = tracked_cache(
         emb.crossJoin(F.broadcast(cent))
         .select(
             "vec_id",
@@ -559,7 +567,14 @@ def ann_recall(
     itself only joins two (n_queries × k)-row results, so its cost is
     negligible next to the searches. At 100 TB you run this on a
     sampled query set, not the full corpus."""
-    exact = knn_brute_force(emb, n_queries, k).select("query_id", "neighbor_id")
+    from bigdata_logs_spark.caching import tracked_cache
+
+    # cache: tiny (n_queries × k); the brute-force side is identical
+    # across the nprobe sweep's legs, so plan-equal reuse means the
+    # exact baseline is computed once per sweep, not once per leg.
+    exact = tracked_cache(
+        knn_brute_force(emb, n_queries, k).select("query_id", "neighbor_id")
+    )
     approx = (
         ann_ivf_topk(emb, n_queries, k, nprobe)
         .select("query_id", "neighbor_id")
@@ -1508,6 +1523,13 @@ def mmr_rerank(
     )
     out = picked
     for step in range(2, select + 1):
+        # cache: each greedy step references the selected-so-far set
+        # TWICE (the max-sim aggregation and the candidate anti-join),
+        # and `out` embeds every earlier step — uncached, the unrolled
+        # plan re-executes step k-1's windows/joins 2x per step
+        # (geometric blowup in both plan size and work). ≤ n_queries ×
+        # select rows.
+        out = tracked_cache(out)
         sel = out.select("query_id", F.col("nid").alias("nb"))
         cand = short.join(
             out.select("query_id", "nid"), ["query_id", "nid"], "left_anti"
