@@ -28,6 +28,11 @@ from pyspark.sql import functions as F
 N_PLANES = 8
 
 
+# The corpus contract fixes embeddings at 64 dims; _dot_unrolled
+# relies on it (with a guarded fold fallback for any other length).
+EMB_DIM = 64
+
+
 def _dot(a: str, b: str) -> Column:
     """Sequential left-fold dot product in double (order mirrored by
     the oracle SQL)."""
@@ -36,6 +41,38 @@ def _dot(a: str, b: str) -> Column:
         aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
                   CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
         """
+    )
+
+
+def _dot_unrolled(a: str, b: str) -> Column:
+    """``_dot`` with the fold unrolled into a flat left-associated
+    sum of element products — bit-identical IEEE order
+    ((0.0 + p1) + p2) + ... — for HIGH-VOLUME pair loops only.
+
+    Why two forms: zip_with/aggregate are CodegenFallback expressions
+    evaluated interpreted per element, so at large pair counts the
+    unrolled chain (whole-stage codegen) wins big — measured 3.7 s ->
+    2.5 s on the 500k-pair knn_label_accuracy at sf0.1. But every
+    occurrence of the 64-term tree also adds fixed driver-side
+    analysis/codegen cost per query construction (measured +0.05-0.7 s
+    on bounded-pair queries like ivfpq_adc_topk, which evaluate the
+    expression only ~10^4 times), so the fold stays the default and
+    call sites opt in where the evaluation count provably dominates.
+    Any non-EMB_DIM input falls back to the identical-semantics fold
+    (the CASE branches are exclusive at runtime; collect-time
+    semantics match because 0.0 + p1 == p1 for every IEEE double)."""
+    terms = " + ".join(
+        f"CAST(element_at({a}, {i}) AS DOUBLE) * "
+        f"CAST(element_at({b}, {i}) AS DOUBLE)"
+        for i in range(1, EMB_DIM + 1)
+    )
+    fold = f"""
+        aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
+        """
+    return F.expr(
+        f"CASE WHEN size({a}) = {EMB_DIM} AND size({b}) = {EMB_DIM} "
+        f"THEN CAST(0.0 AS DOUBLE) + {terms} ELSE {fold} END"
     )
 
 
@@ -55,13 +92,22 @@ def knn_brute_force(
     against the corpus; per-query top-k by (rounded cosine desc,
     neighbor id) — the deterministic tiebreak keeps ranking
     engine-independent."""
+    # Norms are hoisted to the per-ROW sides (sqrt(dot(v, v)) is
+    # deterministic, so the cosine is bit-identical) — inside the
+    # pair expression they'd run |Q| x |C| times and triple the
+    # per-pair flops; they also push the pair expression past the
+    # JIT's huge-method limit once _dot unrolls (measured: the
+    # 3-dots-per-pair form got SLOWER with the unrolled fast path).
     q = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.sqrt(_dot("embedding", "embedding")).alias("q_norm"),
     )
     c = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("neighbor_label"),
         F.col("embedding").alias("c_emb"),
+        F.sqrt(_dot("embedding", "embedding")).alias("c_norm"),
     )
     scored = (
         F.broadcast(q)
@@ -70,8 +116,7 @@ def knn_brute_force(
         .withColumn(
             "cosine",
             F.round(
-                _dot("q_emb", "c_emb")
-                / (F.sqrt(_dot("q_emb", "q_emb")) * F.sqrt(_dot("c_emb", "c_emb"))),
+                _dot("q_emb", "c_emb") / (F.col("q_norm") * F.col("c_norm")),
                 6,
             ),
         )
@@ -171,6 +216,11 @@ def ann_ivf_topk(
         .select(
             "vec_id",
             "embedding",
+            # norm hoisted per ROW (and cached with the assignment):
+            # inside the pair expression it would run per candidate
+            # pair; sqrt(dot(v, v)) is deterministic so the cosine is
+            # bit-identical
+            F.sqrt(_dot("embedding", "embedding")).alias("nrm"),
             "cell",
             F.round(_l2("embedding", "cvec"), 6).alias("dist"),
         )
@@ -185,10 +235,16 @@ def ann_ivf_topk(
         F.col("vec_id").alias("neighbor_id"),
         "cell",
         F.col("embedding").alias("n_emb"),
+        F.col("nrm").alias("n_norm"),
     )
     probes = ranked.filter(
         (F.col("vec_id") < n_queries) & (F.col("rnk") <= nprobe)
-    ).select(F.col("vec_id").alias("query_id"), "cell", F.col("embedding").alias("q_emb"))
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        "cell",
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_norm"),
+    )
     scored = (
         F.broadcast(probes)
         .join(assign, "cell")
@@ -198,8 +254,7 @@ def ann_ivf_topk(
             "neighbor_id",
             "cell",
             F.round(
-                _dot("q_emb", "n_emb")
-                / (F.sqrt(_dot("q_emb", "q_emb")) * F.sqrt(_dot("n_emb", "n_emb"))),
+                _dot("q_emb", "n_emb") / (F.col("q_norm") * F.col("n_norm")),
                 6,
             ).alias("cosine"),
         )
@@ -509,15 +564,18 @@ def knn_quantized(
         "vec_id", F.col("codes").alias("q8")
     )
     base = emb.join(codes, "vec_id")
+    # norms hoisted per ROW (bit-identical cosine; see knn_brute_force)
     q = base.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
+        F.sqrt(_dot("embedding", "embedding")).alias("q_norm"),
         F.col("q8").alias("q_codes"),
     )
     c = base.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("neighbor_label"),
         F.col("embedding").alias("c_emb"),
+        F.sqrt(_dot("embedding", "embedding")).alias("c_norm"),
         F.col("q8").alias("c_codes"),
     )
     int_dot = F.expr(
@@ -544,8 +602,7 @@ def knn_quantized(
         candidates.withColumn(
             "cosine",
             F.round(
-                _dot("q_emb", "c_emb")
-                / (F.sqrt(_dot("q_emb", "q_emb")) * F.sqrt(_dot("c_emb", "c_emb"))),
+                _dot("q_emb", "c_emb") / (F.col("q_norm") * F.col("c_norm")),
                 6,
             ),
         )
@@ -1364,12 +1421,16 @@ def binary_knn(
         .filter(F.col("rs") <= shortlist)
         .drop("rs")
     )
+    # norms hoisted per ROW (bit-identical cosine; see knn_brute_force)
     qe = emb.select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.sqrt(_dot("embedding", "embedding")).alias("q_norm"),
     )
     ne = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("n_emb"),
+        F.sqrt(_dot("embedding", "embedding")).alias("n_norm"),
     )
     rer = (
         short.join(F.broadcast(qe.filter(F.col("query_id") < n_queries)), "query_id")
@@ -1379,11 +1440,7 @@ def binary_knn(
             "neighbor_id",
             "hamming",
             F.round(
-                _dot("q_emb", "n_emb")
-                / (
-                    F.sqrt(_dot("q_emb", "q_emb"))
-                    * F.sqrt(_dot("n_emb", "n_emb"))
-                ),
+                _dot("q_emb", "n_emb") / (F.col("q_norm") * F.col("n_norm")),
                 6,
             ).alias("cosine"),
         )
@@ -1427,11 +1484,19 @@ def knn_diversity(emb: DataFrame, n_queries: int = 5, k: int = 5) -> DataFrame:
         F.col("a.neighbor_id").alias("na"),
         F.col("b.neighbor_id").alias("nb"),
     )
-    ea = emb.select(F.col("vec_id").alias("na"), F.col("embedding").alias("va"))
-    eb = emb.select(F.col("vec_id").alias("nb"), F.col("embedding").alias("vb"))
+    # norms hoisted per ROW (bit-identical cosine; see knn_brute_force)
+    ea = emb.select(
+        F.col("vec_id").alias("na"),
+        F.col("embedding").alias("va"),
+        F.sqrt(_dot("embedding", "embedding")).alias("norm_a"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("nb"),
+        F.col("embedding").alias("vb"),
+        F.sqrt(_dot("embedding", "embedding")).alias("norm_b"),
+    )
     cos = F.round(
-        _dot("va", "vb")
-        / (F.sqrt(_dot("va", "va")) * F.sqrt(_dot("vb", "vb"))),
+        _dot("va", "vb") / (F.col("norm_a") * F.col("norm_b")),
         6,
     )
     scored = (
@@ -1491,13 +1556,21 @@ def mmr_rerank(
             F.col("cosine").alias("qcos"),
         )
     )
-    ea = emb.select(F.col("vec_id").alias("na"), F.col("embedding").alias("va"))
-    eb = emb.select(F.col("vec_id").alias("nb"), F.col("embedding").alias("vb"))
+    # norms hoisted per ROW (bit-identical cosine; see knn_brute_force)
+    ea = emb.select(
+        F.col("vec_id").alias("na"),
+        F.col("embedding").alias("va"),
+        F.sqrt(_dot("embedding", "embedding")).alias("norm_a"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("nb"),
+        F.col("embedding").alias("vb"),
+        F.sqrt(_dot("embedding", "embedding")).alias("norm_b"),
+    )
     a = short.select("query_id", F.col("nid").alias("na"))
     b = short.select("query_id", F.col("nid").alias("nb"))
     cos = F.round(
-        _dot("va", "vb")
-        / (F.sqrt(_dot("va", "va")) * F.sqrt(_dot("vb", "vb"))),
+        _dot("va", "vb") / (F.col("norm_a") * F.col("norm_b")),
         6,
     )
     sims = tracked_cache(
@@ -1674,8 +1747,11 @@ def knn_label_accuracy(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cosine",
+            # |Q| x |C| evaluations — the one pair loop in the engine
+            # big enough for the unrolled codegen form to pay for its
+            # plan-size overhead (see _dot_unrolled)
             F.round(
-                _dot("q_emb", "c_emb")
+                _dot_unrolled("q_emb", "c_emb")
                 / (F.col("q_norm") * F.col("c_norm")),
                 6,
             ),
