@@ -29,6 +29,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from bigdata_logs_spark.functions import spread_small_input
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -503,7 +505,16 @@ def media_byte_entropy(media: DataFrame) -> DataFrame:
     |alphabet| rows per payload ever shuffle; the entropy reduction
     is one combinable aggregation. (At 100 TB the per-row histogram
     moves into U-7's mapInArrow kernel — same outputs, zero explode;
-    this is the oracle-mirrored form.)"""
+    this is the oracle-mirrored form.)
+
+    The byte explode is the engine's most row-multiplying narrow
+    stage (|payload| rows per payload), so an under-split scan
+    serializes it through one core: spread_small_input first
+    (measured 2.0 s -> 0.5 s at sf0.1; no-op on a well-split scan).
+    A mapInArrow Counter kernel was measured too and LOST to the
+    spread explode (0.58 vs 0.50 s — Python worker round-trip
+    exceeds the explode's codegen cost at this alphabet size)."""
+    media = spread_small_input(media)
     chars = media.select(
         "media_id",
         "kind",

@@ -16,6 +16,8 @@ import pandas  # noqa: F401  (resolves stringified pandas_udf type hints)
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from bigdata_logs_spark.caching import tracked_cache
+
 # Marker stopwords for the quality/lang heuristics (present in the
 # synthetic corpus vocabulary).
 STOPWORDS = ("a", "the")
@@ -28,6 +30,13 @@ def _tokens(text: Column) -> Column:
 
 
 def with_tokens(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    # Deliberately NO spread_small_input here: measured across the
+    # token-consuming battery at sf0.1, the repartition exchange
+    # (which ships the full text column) costs more than one core's
+    # tokenize+explode for every consumer except the per-CHARACTER
+    # explode in media_byte_entropy, which spreads at its own call
+    # site. Heavier per-token stages (shingle+md5 in the dedup
+    # family) spread themselves for the same reason.
     return docs.withColumn("tokens", _tokens(F.col(text_col)))
 
 
@@ -247,10 +256,16 @@ def tfidf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
     # so the operator is fully lazy — no eager count job at build time
     n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     toks = with_tokens(docs).select("doc_id", F.explode(F.col("tokens")).alias("term"))
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = toks.select("doc_id", "term").distinct().groupBy("term").agg(
-        F.count(F.lit(1)).alias("df")
+    # cache: tf feeds both the df derivation and the scoring join —
+    # uncached, the tokenize+explode+agg would run twice
+    tf = tracked_cache(
+        toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     )
+    # df derived FROM tf (tf has exactly one row per (doc, term), so
+    # counting rows per term == counting distinct docs per term) —
+    # this replaces a second full explode + a distinct exchange with
+    # one vocab-sized aggregation over the cached tf
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     score = F.round(
         F.col("tf").cast("double")
         * F.log(F.col("n_docs") / F.col("df").cast("double")),
@@ -497,7 +512,10 @@ def ngram_novelty(docs: DataFrame, k: int = 3) -> DataFrame:
     integer fraction. Only (doc_id, gram) pairs ever shuffle; the
     fraction is exact integer arithmetic with one final division.
     """
-    grams = (
+    # cache: the distinct-gram explode feeds both the first-owner
+    # aggregation and the join's probe side — uncached, the
+    # tokenize+gram explode runs twice
+    grams = tracked_cache(
         with_tokens(docs)
         .select(
             "doc_id",
@@ -958,7 +976,9 @@ def duplicate_ngram_fraction(docs: DataFrame, k: int = 3) -> DataFrame:
     """
     from bigdata_logs_spark.operators.dedup import _shingles
 
-    per_doc = (
+    # cache: per_doc feeds both the corpus-count aggregation and the
+    # join's probe side — uncached, the shingle explode runs twice
+    per_doc = tracked_cache(
         with_tokens(docs)
         .select("doc_id", F.explode(_shingles()).alias("gram"))
         .groupBy("doc_id", "gram")
@@ -1011,9 +1031,14 @@ def confusable_usernames(parsed: DataFrame) -> DataFrame:
         "array_union(array(name), transform(sequence(1, length(name)), "
         "i -> concat(substring(name, 1, i - 1), substring(name, i + 1))))"
     )
-    keyed = users.select(
-        "name", "n_attempts", F.explode(deletes).alias("k")
-    ).distinct()
+    # cache: both sides of the deletion-key self-join read this —
+    # uncached, the SSH parse + username aggregation + delete-variant
+    # explode all run twice
+    keyed = tracked_cache(
+        users.select(
+            "name", "n_attempts", F.explode(deletes).alias("k")
+        ).distinct()
+    )
     a, b = keyed.alias("a"), keyed.alias("b")
     pairs = (
         a.join(
@@ -1186,7 +1211,10 @@ def bm25_topk(
     from pyspark.sql import Window
 
     toks = with_tokens(docs).select("doc_id", "tokens")
-    tf = (
+    # cache: tf feeds the df aggregation AND the scoring join —
+    # uncached, the explode+agg runs twice (these are the "model
+    # tables built once per corpus snapshot" of the contract below)
+    tf = tracked_cache(
         toks.select("doc_id", F.explode("tokens").alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
@@ -1442,7 +1470,13 @@ def heaps_law(docs: DataFrame, checkpoints: int = 10) -> DataFrame:
         .groupBy("fd")
         .agg(F.count(F.lit(1)).alias("v"))
     )
-    rng = per_doc.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+    # cache the (doc_id, m) projection: it feeds the id-range probe
+    # and the cumulative-token leg (two more tokenize passes
+    # otherwise); two ints per doc, so the cache is metadata-sized —
+    # deliberately NOT caching the token arrays for one more saved
+    # pass (firsts keeps its own single explode)
+    sizes = tracked_cache(per_doc.select("doc_id", "m"))
+    rng = sizes.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
     cks = (
         rng.select(
             F.explode(
@@ -1458,7 +1492,7 @@ def heaps_law(docs: DataFrame, checkpoints: int = 10) -> DataFrame:
         )
     )
     n_cum = (
-        per_doc.select("doc_id", "m")
+        sizes
         .crossJoin(F.broadcast(cks))
         .where(F.col("doc_id") <= F.col("ck_doc"))
         .groupBy("ck", "ck_doc")
@@ -1667,8 +1701,11 @@ def burrows_delta(docs: DataFrame, top_m: int = 30) -> DataFrame:
     toks = with_tokens(docs).select(
         "source", F.explode("tokens").alias("token")
     )
-    cell = toks.groupBy("source", "token").agg(
-        F.count(F.lit(1)).alias("cnt")
+    # cache: cell feeds THREE consumers (per-source totals, the
+    # corpus-wide marker top-m, and the grid join) — uncached, the
+    # tokenize+explode+agg pipeline runs three times
+    cell = tracked_cache(
+        toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("cnt"))
     )
     totals = cell.groupBy("source").agg(F.sum("cnt").alias("total"))
     markers = (
