@@ -548,36 +548,44 @@ def weighted_median_price(lineitem: DataFrame) -> DataFrame:
 
     Exactness: prices and quantities ride as DECIMAL(18,2) (exact
     sums in any order), the half-total comparison is 2*cum >= total
-    in DECIMAL (no division), and equal prices aggregate BEFORE the
-    cumulative window so the pick is order-free.
+    in DECIMAL (no division), and the cumulative window uses a RANGE
+    frame (all price PEERS included in the running sum), so equal
+    prices contribute together and the pick is order-free — the same
+    tie-inclusive cumulative a (flag, price) pre-aggregation would
+    produce.
 
-    Scale shape: one combinable (flag, price) pre-aggregation
-    collapses the fact table, then a bounded per-flag ordered window
-    over distinct prices; the standard at-scale variant (bucketed
+    Scale shape: ONE exchange on the flag key feeds the ordered
+    window directly (an earlier (flag, price) pre-aggregation was
+    measured pure overhead: ~99.9% of (flag, price) groups are
+    singletons, so it shuffled the fact table a second time without
+    collapsing it); the eligible set then reduces by a tiny per-flag
+    min aggregation. The standard at-scale variant (bucketed
     quantile on a fixed price grid) keeps the same two-pass shape.
     """
     qty = F.col("l_quantity").cast("decimal(18,2)")
     price = F.col("l_extendedprice").cast("decimal(18,2)")
-    per_price = lineitem.groupBy(
-        "l_returnflag", price.alias("price")
-    ).agg(F.sum(qty).alias("w"))
+    rows = lineitem.select(
+        "l_returnflag", price.alias("price"), qty.alias("w")
+    )
     wo = (
         Window.partitionBy("l_returnflag")
         .orderBy("price")
-        .rowsBetween(Window.unboundedPreceding, 0)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     )
     wp = Window.partitionBy("l_returnflag")
-    cum = per_price.withColumn("cw", F.sum("w").over(wo)).withColumn(
+    cum = rows.withColumn("cw", F.sum("w").over(wo)).withColumn(
         "total", F.sum("w").over(wp)
     )
     eligible = cum.where(F.col("cw") * 2 >= F.col("total"))
-    wmin = Window.partitionBy("l_returnflag").orderBy("price")
     return (
-        eligible.withColumn("rn", F.row_number().over(wmin))
-        .where(F.col("rn") == 1)
+        eligible.groupBy("l_returnflag")
+        .agg(
+            F.min("price").alias("wmp"),
+            F.max("total").alias("total"),
+        )
         .select(
             "l_returnflag",
-            F.col("price").cast("double").alias("weighted_median_price"),
+            F.col("wmp").cast("double").alias("weighted_median_price"),
             F.col("total").cast("double").alias("total_weight"),
         )
         .orderBy("l_returnflag")

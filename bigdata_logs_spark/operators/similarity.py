@@ -1304,6 +1304,10 @@ def semantic_dedup(
         a.join(b, "cell")
         .filter(F.col("u") < F.col("v"))
         .filter(
+            # stays on the fold _dot: the pair table is cached, so
+            # the filter executes once per session while the unrolled
+            # form would tax every RE-construction with its plan-size
+            # analysis cost (measured flat-to-worse here)
             F.round(_dot("e_u", "e_v") / (F.col("n_u") * F.col("n_v")), 6)
             >= threshold
         )
