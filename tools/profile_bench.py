@@ -79,6 +79,13 @@ def main() -> None:
     ap.add_argument("--suffix", default="before")
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--no-plans", action="store_true")
+    ap.add_argument(
+        "--plans-only",
+        action="store_true",
+        help="dump explain('formatted') per query without timing "
+        "(builds the DataFrame; runs no counts except what query "
+        "construction itself triggers)",
+    )
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -107,6 +114,21 @@ def main() -> None:
             continue
         fn = REGISTRY[name].fn
         spark.sparkContext.setJobDescription(f"profile:{name}")
+        if args.plans_only:
+            df = fn(spark, sf_dir)
+            plan = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+            with open(
+                os.path.join(outdir, f"{name}_{args.suffix}.txt"), "w"
+            ) as f:
+                f.write(plan)
+            stats = plan_stats(plan)
+            results[name] = stats
+            print(f"{name:36s} exch={stats['exchanges']:3d} (plan only)")
+            release_caches()
+            spark.catalog.clearCache()
+            continue
         jobs_before = len(tracker.getJobIdsForGroup(None) or [])
         # cold: construction + first count, like bench.py's cold pass
         t0 = time.perf_counter()
