@@ -243,8 +243,26 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     return winners.select("doc_id", "content_key", "dup_count").orderBy("doc_id")
 
 
+def _distinct_gram_rows(docs: DataFrame) -> DataFrame:
+    """Distinct (doc_id, gram) shingle rows — the dedup family's
+    shared base relation. The MinHash signature build consumes it
+    (per-band minima are duplicate-insensitive, so distinct rows give
+    bit-identical signatures with strictly fewer md5 evaluations than
+    the multiset explode) and the Jaccard/containment verify legs are
+    defined on exactly these rows — so a composed query that needs
+    both can compute the tokenize+shingle explode ONCE and share it.
+    """
+    return (
+        spread_small_input(docs)
+        .withColumn("tokens", _tokens(F.col("text")))
+        .select(
+            "doc_id", F.explode(F.array_distinct(_shingles())).alias("gram")
+        )
+    )
+
+
 def _minhash_signature_rows(
-    docs: DataFrame, n_bands: int = N_BANDS
+    docs: DataFrame, n_bands: int = N_BANDS, grams: DataFrame | None = None
 ) -> DataFrame:
     """Unordered (doc_id, band, sig) rows — the dedup family's hot
     path. ``minhash_signatures`` adds the presentation ``orderBy`` for
@@ -258,23 +276,27 @@ def _minhash_signature_rows(
     the standard one-strong-hash-split-into-k minhash construction),
     versus one md5 PER BAND per shingle in the naive form: 4x less
     hashing. The 8 per-band minima also come from a SINGLE
-    hash-aggregate pass over the exploded (doc_id, shingle) rows — no
-    8x band explosion ever hits the shuffle; the per-doc result is
-    stacked to (doc_id, band, sig) rows afterwards, when there are
-    only n_docs rows left. All expressions stay in whole-stage
-    codegen (hashing inside `transform` lambdas would run on the
-    interpreted path, ~40x slower here).
+    hash-aggregate pass over the (doc_id, gram) rows — no 8x band
+    explosion ever hits the shuffle; the per-doc result is stacked to
+    (doc_id, band, sig) rows afterwards, when there are only n_docs
+    rows left. All expressions stay in whole-stage codegen (hashing
+    inside `transform` lambdas would run on the interpreted path,
+    ~40x slower here).
+
+    ``grams``: pre-built (doc_id, gram) rows to consume instead of
+    building ``_distinct_gram_rows(docs)`` — callers that also run a
+    gram-level verify leg pass their (tracked-cached) gram relation
+    here so the corpus is tokenized and shingled once per composed
+    query instead of once per leg. A band minimum over the DISTINCT
+    shingle set equals the minimum over the shingle multiset, so the
+    signatures are bit-identical either way.
     """
     if n_bands != 8:
         raise ValueError("the md5-slice band layout is fixed at 8 bands")
-    # tiny test corpora read as one split; spread the CPU-heavy
-    # shingle+hash stage across the session's slots (no-op at scale)
-    docs = spread_small_input(docs)
-    grams = docs.withColumn("tokens", _tokens(F.col("text"))).select(
-        F.col("doc_id"), F.explode(_shingles()).alias("shingle")
-    )
-    h1 = F.md5(F.col("shingle"))
-    h2 = F.md5(F.concat(F.lit("#"), F.col("shingle")))
+    if grams is None:
+        grams = _distinct_gram_rows(docs)
+    h1 = F.md5(F.col("gram"))
+    h2 = F.md5(F.concat(F.lit("#"), F.col("gram")))
     slices = [F.substring(h1, 8 * j + 1, 8) for j in range(4)] + [
         F.substring(h2, 8 * j + 1, 8) for j in range(4)
     ]
@@ -415,10 +437,24 @@ def near_dup_pairs(
     doc_id) triples shuffle, ONCE, into the bucket-membership groupBy
     (_bucket_pair_rows); pathological bucket occupancy is capped
     before any pair expansion."""
+    # One tokenize+shingle explode per query, not one per leg: below
+    # the scope threshold the verify leg consumes the FULL distinct-
+    # gram relation anyway, so the signature build shares the same
+    # tracked-cached subtree instead of re-exploding the corpus
+    # (above the threshold the verify explode is candidate-scoped —
+    # a sliver of the corpus — and caching a corpus-sized gram
+    # relation to save that sliver would cost more than it saves, so
+    # the legs stay separate there).
+    scoped = _scope_verify(docs)
+    grams_all = (
+        None if scoped else _distinct_gram_rows(docs).transform(tracked_cache)
+    )
     # cache: the signature set feeds the bucket groupBy here and is
     # shared plan-equal across the dedup family (tiny — n_bands rows
     # per doc)
-    sigs = _minhash_signature_rows(docs, n_bands).transform(tracked_cache)
+    sigs = _minhash_signature_rows(docs, n_bands, grams=grams_all).transform(
+        tracked_cache
+    )
     # Occupancy cap BEFORE pair expansion: a degenerate bucket (e.g.
     # boilerplate shingles shared by millions of docs) would expand
     # quadratically; buckets over the cap are dropped, bounding any
@@ -448,8 +484,7 @@ def near_dup_pairs(
     # same adaptive-physical-plan pattern as spread_small_input).
     # Results are identical either way, so the switch is invisible
     # to oracles and callers.
-    verify_src = spread_small_input(docs)
-    if _scope_verify(docs):
+    if scoped:
         # the pair set feeds three consumers on this path (its two id
         # projections and the intersection join) — pin it
         cand = cand.transform(tracked_cache)
@@ -458,13 +493,11 @@ def near_dup_pairs(
             .union(cand.select(F.col("doc_b").alias("doc_id")))
             .distinct()
         )
-        verify_src = verify_src.join(cand_ids, "doc_id", "left_semi")
-    grams = (
-        verify_src
-        .withColumn("tokens", _tokens(F.col("text")))
-        .select("doc_id", F.explode(F.array_distinct(_shingles())).alias("gram"))
-        .transform(tracked_cache)
-    )
+        grams = _distinct_gram_rows(
+            docs.join(cand_ids, "doc_id", "left_semi")
+        ).transform(tracked_cache)
+    else:
+        grams = grams_all
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         cand.join(
@@ -656,9 +689,19 @@ def incremental_near_dup(
     keeps warm); verification is the same exploded-gram equi-join.
     Output: (new_doc, old_doc, jaccard)."""
     src = docs.select("doc_id", "source")
-    # no cache: the rank-gated expansion reads the signature rows
-    # exactly once (the old two-legged occupancy prefilter needed one)
-    sigs = _minhash_signature_rows(docs, n_bands).join(src, "doc_id")
+    # same one-explode-per-query sharing as near_dup_pairs: below the
+    # scope threshold the verify leg consumes the full gram relation,
+    # so the signature build reads the same tracked-cached subtree
+    scoped = _scope_verify(docs)
+    grams_all = (
+        None if scoped else _distinct_gram_rows(docs).transform(tracked_cache)
+    )
+    # no cache on the signature rows: the rank-gated expansion reads
+    # them exactly once (the old two-legged occupancy prefilter
+    # needed one)
+    sigs = _minhash_signature_rows(docs, n_bands, grams=grams_all).join(
+        src, "doc_id"
+    )
     # Bipartite _bucket_pair_rows: same rank-gated occupancy cap
     # (bounded collect_list state; the count covers TOTAL bucket
     # membership, NULL sources included), then only new×old pairs are
@@ -673,22 +716,20 @@ def incremental_near_dup(
     # same adaptive verify scoping as near_dup_pairs: on a large
     # corpus, explode grams only for docs in a candidate pair (the
     # delta and its bucket-mates — a sliver of the corpus); on a
-    # small one, skip the gating semi join and overlap the stages
-    verify_src = spread_small_input(docs)
-    if _scope_verify(docs):
+    # small one, skip the gating semi join and share the full gram
+    # relation with the signature build above
+    if scoped:
         cand = cand.transform(tracked_cache)
         cand_ids = (
             cand.select(F.col("new_doc").alias("doc_id"))
             .union(cand.select(F.col("old_doc").alias("doc_id")))
             .distinct()
         )
-        verify_src = verify_src.join(cand_ids, "doc_id", "left_semi")
-    grams = (
-        verify_src
-        .withColumn("tokens", _tokens(F.col("text")))
-        .select("doc_id", F.explode(F.array_distinct(_shingles())).alias("gram"))
-        .transform(tracked_cache)
-    )
+        grams = _distinct_gram_rows(
+            docs.join(cand_ids, "doc_id", "left_semi")
+        ).transform(tracked_cache)
+    else:
+        grams = grams_all
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         cand.join(grams.select(F.col("doc_id").alias("new_doc"), "gram"), "new_doc")
@@ -954,14 +995,14 @@ def minhash_containment(
     100 TB the recall fix is banding on the min of the two docs'
     signature (prefix-restricted MinHash), same plumbing.
     """
-    sigs = _minhash_signature_rows(docs, n_bands)
+    # DD-13's verify leg always consumes the FULL gram relation (no
+    # candidate scoping here — containment recall needs every doc's
+    # set size), so the signature build shares the same cached gram
+    # subtree unconditionally: one tokenize+shingle explode per query
+    # instead of two (guide §2.4/§5).
+    grams = _distinct_gram_rows(docs).transform(tracked_cache)
+    sigs = _minhash_signature_rows(docs, n_bands, grams=grams)
     cand = _bucket_pair_rows(sigs, ["band", "sig"]).distinct()
-    grams = (
-        spread_small_input(docs)
-        .withColumn("tokens", _tokens(F.col("text")))
-        .select("doc_id", F.explode(F.array_distinct(_shingles())).alias("gram"))
-        .transform(tracked_cache)
-    )
     return _containment_scores(cand, grams, threshold)
 
 
@@ -1045,12 +1086,7 @@ def containment_rare_shingle(
     the operator's precision/recall knobs and part of its contract —
     the oracle applies the same values.
     """
-    grams = (
-        spread_small_input(docs)
-        .withColumn("tokens", _tokens(F.col("text")))
-        .select("doc_id", F.explode(F.array_distinct(_shingles())).alias("gram"))
-        .transform(tracked_cache)
-    )
+    grams = _distinct_gram_rows(docs).transform(tracked_cache)
     cand = (
         _bucket_pair_rows(grams, ["gram"], cap=df_cap)
         .groupBy("doc_a", "doc_b")
