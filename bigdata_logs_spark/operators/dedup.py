@@ -618,7 +618,7 @@ def near_dup_components(
     (tiny relative to the corpus: it's the LSH-verified near-dup
     set), never on the documents; the full corpus is touched exactly
     once, by the final left join attaching singleton labels. The
-    driver-side loop holds only a changed-row count per round — no
+    driver-side loop holds only a converged? flag per round — no
     data is collected.
 
     Lineage control, checkpoint-block hygiene, and the

@@ -298,20 +298,26 @@ def token_graph_kcore(docs: DataFrame, k: int = 3, rounds: int = 4) -> DataFrame
     rows = []
     cur = edges
     for rnd in range(rounds + 1):
-        stats = cur.agg(
+        # ONE degree aggregation per round serves both consumers: the
+        # round stats (n_nodes = group count, n_edges = Σdeg/2 — src
+        # is never null, so the group count IS countDistinct(src), and
+        # Σdeg IS the edge-row count) and the peel predicate. The old
+        # form paid a second edge-sized exchange per round for a
+        # separate countDistinct over cur. deg is vocabulary-sized.
+        deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        stats = deg.agg(
             F.lit(rnd).alias("round"),
-            F.countDistinct("src").alias("n_nodes"),
-            (F.count(F.lit(1)) / 2).cast("bigint").alias("n_edges"),
+            F.count(F.lit(1)).alias("n_nodes"),
+            # coalesce: Σdeg over a fully-peeled (empty) graph is
+            # NULL where the old count(*) was 0
+            (F.coalesce(F.sum("deg"), F.lit(0)) / 2)
+            .cast("bigint")
+            .alias("n_edges"),
         )
         rows.append(stats)
         if rnd == rounds:
             break
-        alive = (
-            cur.groupBy("src")
-            .agg(F.count(F.lit(1)).alias("deg"))
-            .where(F.col("deg") >= k)
-            .select("src")
-        )
+        alive = deg.where(F.col("deg") >= k).select("src")
         cur = tracked_cache(
             cur.join(alive, "src", "left_semi")
             .join(alive.withColumnRenamed("src", "dst"), "dst", "left_semi")
@@ -362,7 +368,11 @@ def bfs_reachability(docs: DataFrame, hops: int = 4) -> DataFrame:
                 F.lit(hop).alias("hop"), F.count(F.lit(1)).alias("n_new_nodes")
             )
         )
-        visited = tracked_cache(visited.unionByName(nxt).distinct())
+        # visited and nxt are DISJOINT (nxt is anti-joined against
+        # visited) and each internally distinct, so their union is
+        # already a set — the old .distinct() here was a semantic
+        # no-op costing one exchange per hop
+        visited = tracked_cache(visited.unionByName(nxt))
         frontier = nxt
     out = rows[0]
     for r in rows[1:]:

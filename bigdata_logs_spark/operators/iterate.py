@@ -21,7 +21,7 @@ callers:
   the "label = component minimum" contract (a >max_iter-diameter
   component would otherwise split undetected).
 
-The driver holds one changed-row count per round — never label data.
+The driver holds one converged? flag per round — never label data.
 """
 
 from __future__ import annotations
@@ -80,11 +80,16 @@ def propagate_min_labels(
             .localCheckpoint(eager=True)
         )
         new_snapshot = _checkpoint_rdd(updated)
-        n_changed = updated.filter(F.col("changed")).count()
+        # convergence probe, not a tally: isEmpty() short-circuits on
+        # the first changed row (non-converged rounds — the common
+        # case — touch one cached partition instead of scanning every
+        # checkpoint block the way the old count() did; only the
+        # final, converged round pays the full scan)
+        converged = updated.filter(F.col("changed")).isEmpty()
         current = updated.select(key, label)
         prev_snapshot.unpersist(False)
         prev_snapshot = new_snapshot
-        if n_changed == 0:
+        if converged:
             track_checkpoint_rdd(prev_snapshot)
             return current
     prev_snapshot.unpersist(False)

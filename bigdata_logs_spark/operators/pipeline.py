@@ -784,9 +784,34 @@ def corpus_dedup_funnel(docs: DataFrame) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    comp = DD.near_dup_components(docs, threshold=0.5).select(
-        "doc_id", "component"
-    )
+    # Overlap independent jobs (guide §2.6): near_dup_components runs
+    # a blocking driver-side label-propagation loop over the TINY pair
+    # list, leaving most executor slots idle for its duration. The two
+    # corpus-scan caches above don't depend on it, so materialize them
+    # from a small thread pool while the loop runs — the final
+    # aggregation then reads warm blocks. Spark's scheduler interleaves
+    # the concurrent jobs' tasks (FIFO back-fill); results are
+    # unaffected because the threads only force caches the plan below
+    # consumes anyway, and both are joined before this function
+    # returns so cache-release discipline sees a quiesced query.
+    from concurrent.futures import ThreadPoolExecutor
+
+    spark = docs.sparkSession
+
+    def _force(df: DataFrame, desc: str) -> None:
+        spark.sparkContext.setJobDescription(desc)
+        df.count()
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [
+            pool.submit(_force, toks, "funnel: token-count cache"),
+            pool.submit(_force, hashes, "funnel: digest cache"),
+        ]
+        comp = DD.near_dup_components(docs, threshold=0.5).select(
+            "doc_id", "component"
+        )
+        for f in futs:
+            f.result()
     s3 = (
         s2.join(comp, "doc_id")
         .groupBy("component")
