@@ -172,6 +172,7 @@ UNBENCHED = [
     # streaming family: drain throughput is bench_streaming's metric
     "streaming_near_dup_pairs",
     "streaming_cms_heavy_hitters",
+    "streaming_lsh_state_occupancy",
 ]
 
 

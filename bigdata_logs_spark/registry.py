@@ -6890,6 +6890,59 @@ def q_streaming_near_dup_pairs(spark, sf_dir):
 
 
 @register(
+    "streaming_lsh_state_occupancy",
+    TOKS_CTE
+    + f"""
+    , sh AS (SELECT doc_id, list_distinct({SHINGLES_EXPR}) AS shingles FROM toks)
+    , sigs AS (
+      SELECT doc_id, r.band::INT AS band,
+             list_min(list_transform(shingles,
+               s -> CASE WHEN r.band < 4 THEN substr(md5(s), r.band * 8 + 1, 8)
+                    ELSE substr(md5('#' || s), (r.band - 4) * 8 + 1, 8) END)) AS sig
+      FROM sh CROSS JOIN range(0, 8) AS r(band)
+    ), occ AS (
+      SELECT band, sig, COUNT(*)::BIGINT AS n FROM sigs GROUP BY band, sig
+    )
+    SELECT COUNT(*)::BIGINT AS n_buckets,
+           SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_multi,
+           MAX(n)::BIGINT AS max_occupancy,
+           SUM(CASE WHEN n > {DD.BUCKET_CAP} THEN 1 ELSE 0 END)::BIGINT
+             AS n_over_cap,
+           SUM(n * (n - 1) // 2)::BIGINT AS n_pairs_uncapped,
+           SUM(CASE WHEN n <= {DD.BUCKET_CAP} THEN n * (n - 1) // 2
+               ELSE 0 END)::BIGINT AS n_pairs_capped
+    FROM occ
+    """,
+    tags=("ST-14", "OPS-2"),
+)
+def q_streaming_lsh_state_occupancy(spark, sf_dir):
+    """ST-14's operational gauge: after a full drain, the signature
+    state's bucket-occupancy profile — max occupancy and the exact
+    Σ occ·(occ-1)/2 pair-expansion exposure with and without the
+    BUCKET_CAP gate. This is the number that decides whether the next
+    drain needs ``occupancy_cap`` (the capped, no-oracle production
+    mode); split-invariant because the drained signature state is a
+    pure function of the corpus, so it keeps a full hash oracle."""
+    import os as _o
+
+    from bigdata_logs_spark.streaming.ingest import (
+        streaming_lsh_state_occupancy,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    src = _scratch_path("bls_docstream_src", sf_dir)
+    if not _o.path.exists(_o.path.join(src, "_SUCCESS")):
+        docs.repartition(4, "doc_id").write.mode("overwrite").json(src)
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    state = _scratch_path("bls_lshocc_state", sf_dir)
+    return streaming_lsh_state_occupancy(stream, state, cap=DD.BUCKET_CAP)
+
+
+@register(
     "scd2_asof_enrichment",
     """
     WITH observed AS (

@@ -601,6 +601,7 @@ def streaming_lsh_dedup_state(
     state_dir: str,
     threshold: float = 0.05,
     timeout_sec: int = 180,
+    occupancy_cap: int | None = None,
 ) -> DataFrame:
     """ST-14: streaming incremental MinHash-LSH deduplication — the
     streaming twin of DD-9 (``incremental_near_dup``): documents
@@ -617,10 +618,27 @@ def streaming_lsh_dedup_state(
     whichever member arrives later (or their shared batch) — and the
     emitted set equals the batch ``near_dup_pairs`` WITHOUT the
     occupancy cap, regardless of how the feed splits into batches.
-    (The cap is deliberately absent here: capping per batch against a
-    growing state would make emission order-dependent; a production
-    deployment caps at candidate-generation time per batch and
-    accepts the bounded recall drift, documented.)
+    (The cap is deliberately absent by DEFAULT: capping per batch
+    against a growing state would make emission order-dependent; see
+    ``occupancy_cap`` below for the production mode.)
+
+    ``occupancy_cap``: the 100 TB survival knob. With the default
+    ``None`` the batch×state candidate join is uncapped — per-batch
+    cost is |batch| × bucket occupancy with occupancy unbounded, so a
+    boilerplate shingle shared by millions of stored docs makes one
+    batch quadratic. Setting a cap applies the batch-side
+    ``BUCKET_CAP`` discipline at candidate-generation time: buckets
+    whose CURRENT state occupancy exceeds the cap generate no
+    candidates this batch, bounding every bucket's contribution to
+    cap² pairs per batch. The trade, stated exactly: a pair whose
+    every shared bucket is over the cap at the later member's arrival
+    is never emitted (bounded recall drift on boilerplate-heavy
+    feeds), and because a bucket crosses the cap at a batch-dependent
+    moment, the emitted set is no longer batch-split invariant — so
+    capped mode carries no hash-match oracle; it is the documented
+    operational mode, monitored via ``streaming_lsh_state_occupancy``
+    (which reports exactly the pair-expansion exposure the cap
+    bounds).
 
     State layout under ``state_dir``: ``sigs/`` (doc_id, band, sig),
     ``grams/`` (doc_id, gram md5) — fingerprints only, text is never
@@ -658,6 +676,17 @@ def streaming_lsh_dedup_state(
             .parquet(gram_dir)
         )
         all_sigs = spark.read.parquet(sig_dir)
+        if occupancy_cap is not None:
+            # candidate-time occupancy gate: buckets over the cap are
+            # excluded from BOTH join sides before any pair expansion
+            # (digest-only aggregation — the documents never shuffle)
+            ok = (
+                all_sigs.groupBy("band", "sig")
+                .agg(F.count(F.lit(1)).alias("n_occ"))
+                .where(F.col("n_occ") <= occupancy_cap)
+                .select("band", "sig")
+            )
+            all_sigs = all_sigs.join(ok, ["band", "sig"], "left_semi")
         batch_ids = batch.select("doc_id")
         batch_sigs = all_sigs.join(batch_ids, "doc_id", "left_semi")
         cand = (
@@ -729,6 +758,53 @@ def streaming_lsh_dedup_state(
         return spark.read.parquet(pair_dir).orderBy("doc_a", "doc_b")
     return spark.createDataFrame(
         [], "doc_a bigint, doc_b bigint, jaccard double"
+    )
+
+
+def streaming_lsh_state_occupancy(
+    doc_stream: DataFrame,
+    state_dir: str,
+    timeout_sec: int = 180,
+    cap: int = 64,
+) -> DataFrame:
+    """ST-14's operational gauge: drain the feed through the
+    (uncapped, hash-certified) LSH dedup, then report the signature
+    state's bucket-occupancy profile — the number that decides
+    whether the next drain needs ``occupancy_cap``. One row:
+
+    - ``n_buckets`` / ``n_multi``: distinct (band, sig) buckets, and
+      how many hold >= 2 docs (the candidate generators);
+    - ``max_occupancy``: the hottest bucket — per-batch cost is
+      |batch| × THIS without a cap;
+    - ``n_over_cap``: buckets past ``cap`` (what capped mode would
+      silence);
+    - ``n_pairs_uncapped`` vs ``n_pairs_capped``: Σ occ·(occ-1)/2
+      with and without the cap — the exact pair-expansion exposure
+      the cap bounds, as exact BIGINTs.
+
+    Split-invariant BY CONSTRUCTION (unlike per-batch emission
+    counts): the final signature state is one append-only row set per
+    document regardless of batching, so every statistic here — and
+    its DuckDB oracle — is a pure function of the corpus. Cost: one
+    digest-only aggregation over the state table.
+    """
+    spark = doc_stream.sparkSession
+    streaming_lsh_dedup_state(doc_stream, state_dir, timeout_sec=timeout_sec)
+    import os
+
+    sigs = spark.read.parquet(os.path.join(state_dir, "sigs"))
+    occ = sigs.groupBy("band", "sig").agg(F.count(F.lit(1)).alias("n"))
+    # integer DIV, not float /2: exact BIGINT at any occupancy
+    pairs = F.expr("n * (n - 1) DIV 2")
+    return occ.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum((F.col("n") >= 2).cast("bigint")).alias("n_multi"),
+        F.max("n").alias("max_occupancy"),
+        F.sum((F.col("n") > cap).cast("bigint")).alias("n_over_cap"),
+        F.sum(pairs).alias("n_pairs_uncapped"),
+        F.sum(F.when(F.col("n") <= cap, pairs).otherwise(F.lit(0))).alias(
+            "n_pairs_capped"
+        ),
     )
 
 

@@ -481,3 +481,68 @@ def test_streaming_lsh_dedup_is_batch_split_invariant(spark, sf_dir, tmp_path):
     four_batches = drain(1, "state_four")
     assert one_batch == four_batches
     assert len(one_batch) > 0
+
+
+def test_streaming_lsh_occupancy_cap_gates_boilerplate(spark, tmp_path):
+    """ST-14 capped mode: buckets whose state occupancy exceeds the cap
+    generate no candidates — on a boilerplate-heavy feed (ten identical
+    docs share every band bucket) the capped drain emits a strict
+    subset of the uncapped pair set, while a cap above the maximum
+    occupancy reproduces it exactly; the occupancy report quantifies
+    precisely the exposure the cap removes."""
+    from bigdata_logs_spark.streaming.ingest import (
+        streaming_lsh_dedup_state,
+        streaming_lsh_state_occupancy,
+    )
+
+    rows = [
+        (i, "the same boilerplate line repeated everywhere")
+        for i in range(10)
+    ]
+    rows += [
+        (100, "another unique document text here"),
+        (101, "another unique document text here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    src = str(tmp_path / "docsrc")
+    docs.repartition(3, "doc_id").write.mode("overwrite").json(src)
+
+    def stream():
+        return (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+
+    def drain(state, cap):
+        return sorted(
+            map(
+                str,
+                streaming_lsh_dedup_state(
+                    stream(), str(tmp_path / state), occupancy_cap=cap
+                ).collect(),
+            )
+        )
+
+    uncapped = drain("state_uncapped", None)
+    # 10 identical docs -> C(10,2)=45 pairs, plus the (100, 101) pair
+    assert len(uncapped) == 46
+    # a cap above the max occupancy is a no-op: identical emission
+    assert drain("state_cap_hi", 64) == uncapped
+    # a cap below the boilerplate occupancy silences that bucket for
+    # every batch after it crosses the cap: strictly fewer pairs, all
+    # of them drawn from the uncapped set, and the small (occupancy-2)
+    # bucket's pair survives
+    capped = drain("state_cap_lo", 4)
+    assert set(capped) < set(uncapped)
+    assert any("doc_a=100" in r for r in capped)
+
+    # the report states the exposure exactly: per band, one 10-member
+    # bucket (45 pairs) and one 2-member bucket (1 pair), 8 bands
+    report = streaming_lsh_state_occupancy(
+        stream(), str(tmp_path / "state_report"), cap=4
+    ).collect()[0]
+    assert report.max_occupancy == 10
+    assert report.n_over_cap == 8
+    assert report.n_pairs_uncapped == 8 * (45 + 1)
+    assert report.n_pairs_capped == 8 * 1
