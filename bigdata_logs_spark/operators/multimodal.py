@@ -29,8 +29,6 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-
-from bigdata_logs_spark.functions import spread_small_input
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -40,6 +38,8 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+from bigdata_logs_spark.functions import spread_small_input
 
 MEDIA_SCHEMA = StructType(
     [

@@ -10935,60 +10935,67 @@ def q_binary_file_roundtrip(spark, sf_dir):
 # (10 fit). After r13: max staleness r8 — the steady-state
 # ~2-round-old signature the rotation has been converging to.
 _DRIVER_FIRST = [
-    # latest driver row is round 7 (stalest certified block; 40
-    # entries, ledger order)
-    "markov_stationary",
-    "two_proportion_drift",
-    "embedding_drift",
-    "streaming_hll_distinct",
-    "value_lorenz_deciles",
-    "bm25_topk",
-    "knn_label_accuracy",
-    "label_cluster_quality",
-    "pca_top_component",
-    "ks_drift",
-    "structural_breaks",
-    "daily_acf",
-    "histogram_quantiles",
-    "centroid_silhouette",
-    "rake_keyphrases",
-    "readability_profile",
-    "weighted_sample",
-    "seasonal_decomposition",
-    "spearman_value_time",
-    "session_concurrency",
-    "heaps_law",
-    "slo_burn_alerts",
-    "streaming_line_length_quantiles",
-    "seasonal_adjusted_anomalies",
-    "kendall_tau_daily",
-    "degree_assortativity",
-    "hopkins_statistic",
-    "streaming_bloom_filter",
-    "tokenizer_fertility",
-    "capacity_forecast",
-    "rank_movers",
-    "char_class_profile_arrow",
-    "weekday_effect_anova",
-    "survival_churn_curve",
-    "burrows_delta",
-    "user_resurrections",
-    "media_byte_entropy",
-    "mann_whitney_value",
-    "binary_file_roundtrip",
-    "events_of_type",
-    # latest driver row is round 8 (head of the 48-entry block,
-    # ledger order — the ~10 that fit complete the ~50-row window)
-    "entity_hourly_activity",
-    "top_events_with_others",
-    "profile_percentages_long",
-    "cumulative_daily_events",
-    "latest_event_per_user",
-    "daily_event_rollup",
-    "value_percentiles",
-    "salted_event_counts",
-    "returning_users",
-    "users_never_high_value",
+    # Round-14 rotation. Changed-code queries jump the queue (the r12
+    # precedent): this round restructured the dedup family's gram
+    # sharing, the kcore/bfs round aggregations, the iterate-loop
+    # convergence probe (components/clusters consumers), the funnel's
+    # cache overlap, and added the ST-14 occupancy report — all 19
+    # certified first, in dependency order.
+    "streaming_lsh_state_occupancy",  # new this round
+    "minhash_signatures",
+    "minhash_buckets",
+    "near_dup_pairs",
+    "near_dup_survivors",
+    "near_dup_components",
+    "component_size_histogram",
+    "minhash_calibration",
+    "quality_dedup_survivors",
+    "incremental_near_dup",
+    "minhash_containment",
+    "containment_rare_shingle",
+    "corpus_curation",
+    "corpus_dedup_funnel",
+    "dedup_tier_agreement",
+    "token_graph_kcore",
+    "bfs_reachability",
+    "ssh_account_clusters",
+    "streaming_near_dup_pairs",
+    # ...then the r8-stale remainder (ledger order; 31 fit to fill
+    # the ~50-row window — minhash_signatures above already came from
+    # this block). Still r8-stale after r14: embedding_near_dup
+    # ann_ivf_topk media_decode media_stats streaming_hourly_counts
+    # streaming_brute_force_detector — stage those first in r15.
+    "props_key_distribution",
+    "ssh_parse_full",
+    "ssh_event_counts",
+    "ssh_parse_drop_stats",
+    "ssh_events_per_day",
+    "ssh_root_admin_attempts",
+    "ssh_latest_events",
+    "store_roundtrip",
+    "csv_roundtrip",
+    "pricing_summary",
+    "top_revenue_customers",
+    "regional_revenue",
+    "customers_without_orders",
+    "customers_with_open_orders",
+    "part_type_revenue",
+    "top_order_per_customer",
+    "customer_order_stats",
+    "order_priority_counts",
+    "segment_nation_sales",
+    "doc_stats_by_lang",
+    "token_counts",
+    "word_frequencies",
+    "quality_scores",
+    "lang_id",
+    "ssh_parse_rejects",
+    "exact_dedup",
+    "simhash",
+    "embedding_norms",
+    "knn_brute_force",
+    "label_centroids",
+    "lsh_sign_buckets",
 ]
 
 # Permanently-uncertifiable tail: ``global_metrics_approx`` is the
@@ -11001,31 +11008,20 @@ _CERTIFICATION_TAIL = [
     "global_metrics_approx",
 ]
 
-# Pre-staged ROUND-14 rotation (mechanical — do this at the start of
-# r14 once CORRECTNESS_r13 lands green, PROVIDED no operator cores
-# change in r14; changed-code queries always jump the queue as r12's
-# head did): delete the names above that CORRECTNESS_r13 certified
-# (the 40-query r7 remainder + the 10-query r8 head, through
-# ``users_never_high_value``), and lead with the 38-query r8
-# remainder below, then the r9-stale block head (12 fit) to fill the
-# ~50-row window. After r14 max staleness stays r9 (≈2 rounds old) —
-# the steady state. r8-stale remainder, in ledger order:
-#   props_key_distribution ssh_parse_full ssh_event_counts
-#   ssh_parse_drop_stats ssh_events_per_day ssh_root_admin_attempts
-#   ssh_latest_events store_roundtrip csv_roundtrip pricing_summary
-#   top_revenue_customers regional_revenue customers_without_orders
-#   customers_with_open_orders part_type_revenue top_order_per_customer
-#   customer_order_stats order_priority_counts segment_nation_sales
-#   doc_stats_by_lang token_counts word_frequencies quality_scores
-#   lang_id ssh_parse_rejects exact_dedup minhash_signatures simhash
-#   embedding_norms knn_brute_force label_centroids lsh_sign_buckets
-#   embedding_near_dup ann_ivf_topk media_decode media_stats
-#   streaming_hourly_counts streaming_brute_force_detector
-# then the r9-stale head (12): attack_sessions streaming_dedup_counts
-#   train_val_test_split stratified_sample contamination_check
-#   simhash_near_dup near_dup_survivors json_roundtrip knn_quantized
-#   streaming_stateful_alerts bucketed_order_revenue
-#   asof_last_signup_before_error
+# Pre-staged ROUND-15 rotation (mechanical — do this at the start of
+# r15 once CORRECTNESS_r14 lands green, PROVIDED no operator cores
+# change in r15; changed-code queries always jump the queue): delete
+# the names above that CORRECTNESS_r14 certified, lead with the
+# 6-query r8-stale remainder, then the r9-stale block in ledger
+# order. r8-stale remainder: embedding_near_dup ann_ivf_topk
+# media_decode media_stats streaming_hourly_counts
+# streaming_brute_force_detector. r9-stale block head:
+#   attack_sessions streaming_dedup_counts train_val_test_split
+#   stratified_sample contamination_check simhash_near_dup
+#   json_roundtrip knn_quantized streaming_stateful_alerts
+#   bucketed_order_revenue asof_last_signup_before_error ...
+# (~44 more fit; consult the CORRECTNESS_r01.. ledger for the
+# per-query latest-certified round as r13's rotation did).
 
 
 def certification_order() -> list[str]:

@@ -469,3 +469,21 @@ def test_centroid_confusion_diagonal_dominates_separable_labels(spark):
     assert {(r.label, r.predicted) for r in out} == {(0, 0), (1, 1)}
     assert all(r.label_accuracy == 1.0 for r in out)
     assert sum(r.n for r in out) == 16
+
+
+def test_emb_dim_matches_corpus_contract(spark, sf_dir):
+    """similarity.EMB_DIM gates the codegen'd unrolled dot product: a
+    corpus dimension change would silently drop every opted-in call
+    site onto the interpreted fold path (correct but ~1.5x slower on
+    the 500k-pair loops) — fail HERE instead, so the constant and the
+    corpus can't drift apart unnoticed."""
+    from bigdata_logs_spark.operators.similarity import EMB_DIM
+    from bigdata_logs_spark.sources import load_table
+
+    dims = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(F.size("embedding").alias("d"))
+        .distinct()
+        .collect()
+    )
+    assert [r.d for r in dims] == [EMB_DIM]
