@@ -294,9 +294,13 @@ def main() -> None:
             tt = probe()
             if name not in timings or dt < timings[name]:
                 # task-time is recorded from the SAME rep the reported
-                # wall-clock comes from, so the two columns agree
+                # wall-clock comes from, so the two columns agree; if
+                # the probe failed on the min-wall rep, DROP any stale
+                # reading from another rep rather than mispair them
                 if tt is not None:
                     task_ms[name] = tt
+                else:
+                    task_ms.pop(name, None)
             timings[name] = min(timings.get(name, dt), dt)
             assert n >= 0
     release_caches()
@@ -463,8 +467,11 @@ def main() -> None:
             dt = round(time.perf_counter() - t0, 4)
             tt = probe()
             if name not in extended or dt < extended[name]:
+                # same-rep pairing rule as the steady pass above
                 if tt is not None:
                     extended_task_ms[name] = tt
+                else:
+                    extended_task_ms.pop(name, None)
             extended[name] = min(extended.get(name, dt), dt)
             # same honesty rule as the cold loop: no operator-internal
             # cache (e.g. the incident report's parsed projection) may

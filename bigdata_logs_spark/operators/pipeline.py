@@ -794,24 +794,43 @@ def corpus_dedup_funnel(docs: DataFrame) -> DataFrame:
     # unaffected because the threads only force caches the plan below
     # consumes anyway, and both are joined before this function
     # returns so cache-release discipline sees a quiesced query.
-    from concurrent.futures import ThreadPoolExecutor
+    from pyspark import InheritableThread
 
     spark = docs.sparkSession
+    errors: list[BaseException] = []
 
     def _force(df: DataFrame, desc: str) -> None:
-        spark.sparkContext.setJobDescription(desc)
-        df.count()
+        # InheritableThread (not a bare pool thread): local properties
+        # — job group/tags for harness cancellation, and a per-thread
+        # description slot even under non-pinned py4j mode — are
+        # inherited and cleaned up the documented way (guide §2.6)
+        try:
+            spark.sparkContext.setJobDescription(desc)
+            df.count()
+        except BaseException as e:  # noqa: BLE001 — re-raised below
+            errors.append(e)
+        finally:
+            spark.sparkContext.setJobDescription(None)
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        futs = [
-            pool.submit(_force, toks, "funnel: token-count cache"),
-            pool.submit(_force, hashes, "funnel: digest cache"),
-        ]
+    workers = [
+        InheritableThread(
+            target=_force, args=(toks, "funnel: token-count cache")
+        ),
+        InheritableThread(
+            target=_force, args=(hashes, "funnel: digest cache")
+        ),
+    ]
+    for w in workers:
+        w.start()
+    try:
         comp = DD.near_dup_components(docs, threshold=0.5).select(
             "doc_id", "component"
         )
-        for f in futs:
-            f.result()
+    finally:
+        for w in workers:
+            w.join()
+    if errors:
+        raise errors[0]
     s3 = (
         s2.join(comp, "doc_id")
         .groupBy("component")

@@ -785,14 +785,29 @@ def streaming_lsh_state_occupancy(
     Split-invariant BY CONSTRUCTION (unlike per-batch emission
     counts): the final signature state is one append-only row set per
     document regardless of batching, so every statistic here — and
-    its DuckDB oracle — is a pure function of the corpus. Cost: one
-    digest-only aggregation over the state table.
+    its DuckDB oracle — is a pure function of the corpus. The drain
+    itself runs CAPPED at ``cap``: the sigs/grams appends happen
+    before the candidate gate, so the state (and therefore this
+    report) is byte-identical to an uncapped drain, but the gauge
+    stays bounded on exactly the boilerplate-heavy feed it exists to
+    diagnose — the one place an uncapped drain would go quadratic.
+    The report itself is one digest-only aggregation over that state.
     """
     spark = doc_stream.sparkSession
-    streaming_lsh_dedup_state(doc_stream, state_dir, timeout_sec=timeout_sec)
+    streaming_lsh_dedup_state(
+        doc_stream, state_dir, timeout_sec=timeout_sec, occupancy_cap=cap
+    )
     import os
 
-    sigs = spark.read.parquet(os.path.join(state_dir, "sigs"))
+    sig_dir = os.path.join(state_dir, "sigs")
+    if os.path.exists(os.path.join(sig_dir, "_SUCCESS")):
+        sigs = spark.read.parquet(sig_dir)
+    else:
+        # empty feed / timed-out drain: no state was ever written —
+        # report the deterministic empty-state row (n_buckets=0,
+        # NULL extrema) instead of crashing on a missing path (the
+        # same guard the pairs read in streaming_lsh_dedup_state has)
+        sigs = spark.createDataFrame([], "doc_id bigint, band int, sig string")
     occ = sigs.groupBy("band", "sig").agg(F.count(F.lit(1)).alias("n"))
     # integer DIV, not float /2: exact BIGINT at any occupancy
     pairs = F.expr("n * (n - 1) DIV 2")

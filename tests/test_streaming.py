@@ -546,3 +546,27 @@ def test_streaming_lsh_occupancy_cap_gates_boilerplate(spark, tmp_path):
     assert report.n_over_cap == 8
     assert report.n_pairs_uncapped == 8 * (45 + 1)
     assert report.n_pairs_capped == 8 * 1
+
+
+def test_streaming_lsh_occupancy_empty_feed_reports_not_crashes(
+    spark, tmp_path
+):
+    """An empty source (no files yet) must yield the deterministic
+    empty-state report row, not a missing-path AnalysisException —
+    monitoring gauges run before the feed does."""
+    from bigdata_logs_spark.streaming.ingest import (
+        streaming_lsh_state_occupancy,
+    )
+
+    src = tmp_path / "empty_src"
+    src.mkdir()
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    row = streaming_lsh_state_occupancy(
+        stream, str(tmp_path / "state_empty"), timeout_sec=60
+    ).collect()[0]
+    assert row.n_buckets == 0
+    assert row.max_occupancy is None
